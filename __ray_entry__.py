@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the covertile Ray-Data engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ray.init() itself BEFORE importing this module; nothing
+here (or in covertile/) initialises or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+entry()      — flagship pipeline on /root/testdata/sf0.001 (span-table
+               derivation -> partitioned cover-tree index -> epsilon
+               radius self-join -> spans re-joined), returns a Dataset.
+queries()    — one entry per implemented operator (SURVEY.md §2).
+oracle_sql() — DuckDB-equivalent SQL per query (column names match; float
+               math is bit-identical by construction, see
+               covertile/geometry.py).
 """
 
 from __future__ import annotations
@@ -18,27 +17,34 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from covertile import api
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return api.flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "epsilon_graph": api.q_epsilon_graph,
+        "knn_join": api.q_knn_join,
+        "pip_join": api.q_pip_join,
+        "tile_assign": api.q_tile_assign,
+        "tile_agg": api.q_tile_agg,
+        "cell_stats": api.q_cell_stats,
+        "span_stats": api.q_span_stats,
+        "doc_enrich": api.q_doc_enrich,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "epsilon_graph": api.sql_epsilon_graph(),
+        "knn_join": api.sql_knn_join(),
+        "pip_join": api.sql_pip_join(),
+        "tile_assign": api.sql_tile_assign(),
+        "tile_agg": api.sql_tile_agg(),
+        "cell_stats": api.sql_cell_stats(),
+        "span_stats": api.sql_span_stats(),
+        "doc_enrich": api.sql_doc_enrich(),
+    }

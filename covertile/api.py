@@ -1,0 +1,354 @@
+"""Driver-facing query API: one function per operator, plus its oracle SQL.
+
+Each query function takes ``sf_dir`` (a directory of parquet tables) and
+returns a ray.data.Dataset whose rows/columns/values exactly match the
+oracle SQL run by DuckDB over the same parquet files (bitwise for floats —
+see geometry.py).  Ray sessions are owned by the caller.
+
+Indexes are checkpointed under /tmp keyed by (input, config) so the build
+cost is shared across queries in one driver run and across resumed runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from . import geometry, shapes
+from .pipeline import (
+    Index, auto_resolution, build_index, config_hash, derive_points,
+)
+from .queries import epsilon_graph, knn_join, pip_join, tile_assign
+
+EPS_RADIUS = 0.5
+KNN_K = 8
+CELL_STATS_RES = 4
+MIN_PARTITIONS = 8
+CKPT_ROOT = os.environ.get("COVERTILE_CKPT", "/tmp/covertile-ckpt")
+
+
+def _read_docs(sf_dir: str, columns=("doc_id",)):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=list(columns))
+
+
+def _index_for(sf_dir: str, radius: float | None):
+    """Build (or load) the partitioned cover-tree index for sf_dir."""
+    docs = _read_docs(sf_dir)
+    n = docs.count()
+    resolution = auto_resolution(n, radius,
+                                 target_cell_points=max(64, n // 64))
+    target = max(256, n // MIN_PARTITIONS)
+    ckpt = os.path.join(
+        CKPT_ROOT,
+        config_hash(sf=os.path.abspath(sf_dir), n=n,
+                    resolution=resolution, target=target))
+    points = derive_points(docs, resolution)
+    idx = build_index(points, ckpt, resolution, target_points=target,
+                      min_partitions=MIN_PARTITIONS)
+    return idx, points, n
+
+
+# ------------------------------------------------------------ epsilon graph
+
+def q_epsilon_graph(sf_dir: str):
+    idx, points, _ = _index_for(sf_dir, EPS_RADIUS)
+    return epsilon_graph(idx, points, EPS_RADIUS).sort(["src_id", "dst_id"])
+
+
+def sql_epsilon_graph() -> str:
+    d = geometry.dist_sql("a.x", "a.y", "b.x", "b.y")
+    return f"""
+WITH pts AS ({geometry.pts_cte()})
+SELECT a.doc_id AS src_id, b.doc_id AS dst_id, {d} AS dist
+FROM pts a, pts b
+WHERE {d} <= {EPS_RADIUS}
+ORDER BY src_id, dst_id
+"""
+
+
+# ----------------------------------------------------------------- kNN join
+
+def q_knn_join(sf_dir: str):
+    idx, points, n = _index_for(sf_dir, None)
+    return knn_join(idx, points, KNN_K, n_points_hint=n).sort(
+        ["query_id", "rank"])
+
+
+def sql_knn_join() -> str:
+    d = geometry.dist_sql("a.x", "a.y", "b.x", "b.y")
+    return f"""
+WITH pts AS ({geometry.pts_cte()}),
+cand AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id, {d} AS dist
+  FROM pts a, pts b WHERE a.doc_id != b.doc_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, rank, neighbor_id, dist FROM ranked
+WHERE rank <= {KNN_K} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------- PIP join
+
+def q_pip_join(sf_dir: str):
+    docs = _read_docs(sf_dir)
+    points = derive_points(docs, 1)
+    edges, offs, ids = shapes.make_polygons()
+    return pip_join(points, edges, offs, ids).sort(["doc_id", "polygon_id"])
+
+
+def sql_pip_join() -> str:
+    return shapes.pip_oracle_sql(geometry.pts_cte())
+
+
+# ------------------------------------------------------------------- tiles
+
+def q_tile_assign(sf_dir: str):
+    docs = _read_docs(sf_dir)
+    points = derive_points(docs, 1)
+    return tile_assign(points, shapes.TILE_MIN, shapes.TILE_MIN,
+                       shapes.TILE_SIDE, shapes.TILE_G).sort(
+        ["tile_id", "doc_id"])
+
+
+def sql_tile_assign() -> str:
+    return shapes.tile_assign_oracle_sql(geometry.pts_cte())
+
+
+def q_tile_agg(sf_dir: str):
+    """Per-tile aggregate with in-batch partial aggregation before the
+    (tiny) groupby shuffle — the A3/pre-aggregation pattern."""
+    docs = _read_docs(sf_dir, columns=("doc_id", "n_chars"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        x, y = geometry.derive_xy(ids)
+        ix = np.floor((x.astype(np.float64) - shapes.TILE_MIN)
+                      / shapes.TILE_SIDE).astype(np.int64)
+        iy = np.floor((y.astype(np.float64) - shapes.TILE_MIN)
+                      / shapes.TILE_SIDE).astype(np.int64)
+        tile = iy * shapes.TILE_G + ix
+        nch = batch["n_chars"].to_numpy()
+        uniq, inv = np.unique(tile, return_inverse=True)
+        cnt = np.bincount(inv)
+        sch = np.bincount(inv, weights=nch).astype(np.int64)
+        return pa.table({"tile_id": uniq, "n": cnt.astype(np.int64),
+                         "sc": sch})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("tile_id").sum(["n", "sc"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["sum(n)"].to_numpy()
+        sc = batch["sum(sc)"].to_numpy()
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "n_docs": n,
+            "sum_chars": sc,
+            "avg_chars": sc.astype(np.float64) / n.astype(np.float64),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("tile_id")
+
+
+def sql_tile_agg() -> str:
+    return f"""
+WITH pts AS ({geometry.pts_cte()}),
+t AS (
+  SELECT CAST(floor((CAST(p.y AS DOUBLE) - {shapes.TILE_MIN!r}) / {shapes.TILE_SIDE!r}) AS BIGINT)
+           * {shapes.TILE_G}
+       + CAST(floor((CAST(p.x AS DOUBLE) - {shapes.TILE_MIN!r}) / {shapes.TILE_SIDE!r}) AS BIGINT)
+         AS tile_id,
+         d.n_chars AS n_chars
+  FROM pts p JOIN documents d ON p.doc_id = d.doc_id
+)
+SELECT tile_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM t GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+# -------------------------------------------------------------- cell stats
+
+def q_cell_stats(sf_dir: str):
+    """Per-cell document counts at a fixed resolution — the skew-detection
+    aggregate (reference per-hub counts, src/DistCoverTree.cpp:45-83)."""
+    from . import cells as C
+    docs = _read_docs(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        x, y = geometry.derive_xy(ids)
+        cell = C.cell_of(x, y, CELL_STATS_RES)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uniq.astype(np.int64),
+                         "n": cnt.astype(np.int64)})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("cell").sum("n"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from . import cells as C2
+        code = batch["cell"].to_numpy().astype(np.uint64)
+        ix, iy = C2.morton_decode(code)
+        return pa.table({"ix": ix, "iy": iy,
+                         "n_docs": batch["sum(n)"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        ["ix", "iy"])
+
+
+# -------------------------------------------------------------- span table
+
+def q_span_stats(sf_dir: str):
+    """Derive the interleaved span table (north-rule input shape), then
+    report per-doc span structure computed from the ACTUAL nested column —
+    proving derivation, not just re-evaluating the formula the SQL uses."""
+    from . import spans as S
+    import pyarrow.compute as pc
+    docs = _read_docs(sf_dir, columns=("doc_id", "text", "source", "n_chars"))
+    tbl = S.span_table(docs)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        col = batch["spans"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = np.asarray(pc.list_value_length(col), np.int64)
+        flat = col.flatten()
+        is_text = np.asarray(pc.equal(flat.field("kind"), "text"))
+        tlen = np.asarray(pc.utf8_length(flat.field("text")), np.int64)
+        off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        cs_text = np.concatenate(([0], np.cumsum(is_text)))
+        cs_tlen = np.concatenate(([0], np.cumsum(tlen * is_text)))
+        n_text = cs_text[off[1:]] - cs_text[off[:-1]]
+        text_len = cs_tlen[off[1:]] - cs_tlen[off[:-1]]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_spans": lens,
+            "n_text_spans": n_text.astype(np.int64),
+            "n_media_spans": (lens - n_text).astype(np.int64),
+            "text_len": text_len.astype(np.int64),
+        })
+
+    return tbl.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def sql_span_stats() -> str:
+    from .spans import MEDIA_MOD, TEXT_CHUNK
+    nt = f"GREATEST(1, CAST(ceil(n_chars / {TEXT_CHUNK}.0) AS BIGINT))"
+    return f"""
+SELECT doc_id,
+       {nt} + doc_id % {MEDIA_MOD} AS n_spans,
+       {nt} AS n_text_spans,
+       doc_id % {MEDIA_MOD} AS n_media_spans,
+       n_chars AS text_len
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------- flagship: doc enrich
+
+def q_doc_enrich(sf_dir: str):
+    """Flagship composition: span table + epsilon-graph degree, re-joined
+    by doc_id via the bucketed hash join (spans never transit the spatial
+    shuffle).  Output flat columns so the oracle can mirror it."""
+    from . import spans as S
+    import pyarrow.compute as pc
+    from .joins import hash_join_int_key
+
+    idx, points, _ = _index_for(sf_dir, EPS_RADIUS)
+    edges = epsilon_graph(idx, points, EPS_RADIUS)
+
+    def partial_deg(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["src_id"].to_numpy(), return_counts=True)
+        return pa.table({"doc_id": u, "c": c.astype(np.int64)})
+
+    deg = (edges.map_batches(partial_deg, batch_format="pyarrow")
+           .groupby("doc_id").sum("c"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "eps_degree": batch["sum(c)"]})
+
+    deg = deg.map_batches(rename, batch_format="pyarrow")
+
+    docs = _read_docs(sf_dir, columns=("doc_id", "text", "source", "n_chars"))
+    tbl = S.span_table(docs)
+
+    def nspans(batch: pa.Table) -> pa.Table:
+        col = batch["spans"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_spans": np.asarray(pc.list_value_length(col), np.int64),
+        })
+
+    stats = tbl.map_batches(nspans, batch_format="pyarrow")
+    return hash_join_int_key(stats, deg, "doc_id").sort("doc_id")
+
+
+def flagship(sf_dir: str):
+    """Full north-rule pipeline, nested output: documents -> interleaved
+    span table -> geometry/cell derivation -> partitioned cover-tree build
+    (checkpointed) -> epsilon radius self-join -> per-doc degree -> spans
+    re-joined by doc_id.  Output: (doc_id, spans, eps_degree) with the
+    span sequence byte-identical to the derived input (tested)."""
+    from . import spans as S
+    from .joins import hash_join_int_key
+
+    idx, points, _ = _index_for(sf_dir, EPS_RADIUS)
+    edges = epsilon_graph(idx, points, EPS_RADIUS)
+
+    def partial_deg(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["src_id"].to_numpy(), return_counts=True)
+        return pa.table({"doc_id": u, "c": c.astype(np.int64)})
+
+    deg = (edges.map_batches(partial_deg, batch_format="pyarrow")
+           .groupby("doc_id").sum("c")
+           .map_batches(lambda b: pa.table(
+               {"doc_id": b["doc_id"], "eps_degree": b["sum(c)"]}),
+               batch_format="pyarrow"))
+
+    docs = _read_docs(sf_dir, columns=("doc_id", "text", "source", "n_chars"))
+    tbl = S.span_table(docs)
+    return hash_join_int_key(tbl, deg, "doc_id", how="left")
+
+
+def sql_doc_enrich() -> str:
+    d = geometry.dist_sql("a.x", "a.y", "b.x", "b.y")
+    from .spans import MEDIA_MOD, TEXT_CHUNK
+    nt = f"GREATEST(1, CAST(ceil(d.n_chars / {TEXT_CHUNK}.0) AS BIGINT))"
+    return f"""
+WITH pts AS ({geometry.pts_cte()}),
+deg AS (
+  SELECT a.doc_id, count(*) AS eps_degree
+  FROM pts a, pts b WHERE {d} <= {EPS_RADIUS} GROUP BY a.doc_id
+)
+SELECT d.doc_id, {nt} + d.doc_id % {MEDIA_MOD} AS n_spans, deg.eps_degree
+FROM documents d JOIN deg ON d.doc_id = deg.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def sql_cell_stats() -> str:
+    from . import cells as C
+    cs = C.cell_side(CELL_STATS_RES)
+    return f"""
+WITH pts AS ({geometry.pts_cte()})
+SELECT CAST(floor((CAST(x AS DOUBLE) - {C.WORLD_MIN!r}) / {cs!r}) AS BIGINT) AS ix,
+       CAST(floor((CAST(y AS DOUBLE) - {C.WORLD_MIN!r}) / {cs!r}) AS BIGINT) AS iy,
+       count(*) AS n_docs
+FROM pts GROUP BY ix, iy ORDER BY ix, iy
+"""

@@ -1,0 +1,275 @@
+"""Query pipelines over a built index: epsilon graph, kNN join, PIP, tiles.
+
+Each is Dataset -> Dataset, composed from: halo routing (vectorized
+flat_map), ONE shuffle keyed by pid (sort — the routed rows are then
+consumed by the stateful actor pool in pid-contiguous batches), and a
+vectorized merge.  No stage materializes the full input on the driver.
+
+Replaces the reference's distributed query path — allgather all points to
+every rank + one collective per query point
+(/root/reference/src/DistCoverTree.cpp:679-724) — with shuffle-routed
+queries answered from per-partition trees (SURVEY.md §2.4 J1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import cells
+from .actors import KnnCandidateActor, RadiusQueryActor
+from .pipeline import Index
+
+KNN_RADIUS_CAP = 64.0  # > world-box diameter: "search everything" sentinel
+
+
+# ------------------------------------------------------------------ routing
+
+def _route_batch(batch: pa.Table, plan, with_home: bool) -> pa.Table:
+    """Expand each query row to one row per target partition.
+
+    Targets = partitions of every cell intersecting the query's closed disc
+    (own + halo); (query, pid) pairs deduped so each partition sees a query
+    at most once.
+    """
+    src = batch["src_id"].to_numpy()
+    x = batch["x"].to_numpy()
+    y = batch["y"].to_numpy()
+    radius = batch["radius"].to_numpy()
+    rep, halo = cells.halo_cells(x, y, radius, plan.resolution)
+    crep, pids = plan.pids_of_cells(halo)
+    rows = rep[crep]          # query-row index per (query, pid) candidate
+    # dedup (query row, pid)
+    key = rows * np.int64(plan.num_partitions + 1) + pids
+    _, first = np.unique(key, return_index=True)
+    rows, pids = rows[first], pids[first]
+    cols = {
+        "pid": pids,
+        "src_id": src[rows],
+        "x": x[rows],
+        "y": y[rows],
+        "radius": radius[rows],
+    }
+    if with_home:
+        own = plan.pid_of_points(
+            cells.cell_of(x, y, plan.resolution), src)
+        cols["home_pid"] = own[rows]
+    return pa.table(cols)
+
+
+def route_queries(queries_ds, plan, with_home: bool = False):
+    return queries_ds.map_batches(
+        lambda b: _route_batch(b, plan, with_home), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ epsilon graph
+
+def epsilon_graph(index: Index, points_ds, radius: float,
+                  concurrency: int | tuple = (2, 8),
+                  batch_size: int = 8192):
+    """All-pairs radius self-join: every (src, dst) with d <= radius,
+    self-loops included (closed ball, reference contract
+    src/CoverTree.cpp:363,374-384).  Output: (src_id, dst_id, dist).
+
+    Exactly-once by construction: each query targets each pid at most once
+    and each dst point is owned by exactly one pid — no dedup shuffle
+    (replaces allgather_distinct, src/DistCoverTree.cpp:657-677).
+    """
+    def add_radius(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "src_id": batch["doc_id"],
+            "x": batch["x"],
+            "y": batch["y"],
+            "radius": pa.array(np.full(n, radius), pa.float64()),
+        })
+
+    queries = points_ds.map_batches(add_radius, batch_format="pyarrow")
+    routed = route_queries(queries, index.plan).sort("pid")
+    return routed.map_batches(
+        RadiusQueryActor,
+        fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ----------------------------------------------------------------- kNN join
+
+def _knn_merge(group: pa.Table, k: int) -> pa.Table:
+    """Fully vectorized per-home-partition merge: top-k by (dist, id) per
+    query, or a widened pending row when fewer than k candidates were found
+    inside the search radius (sentinel rows dst=-1 keep empty queries
+    visible)."""
+    src = group["src_id"].to_numpy()
+    dst = group["dst_id"].to_numpy()
+    dist = group["dist"].to_numpy()
+    radius = group["radius"].to_numpy()
+    order = np.lexsort((dst, dist, src))  # sentinels (inf) sort last
+    src, dst, dist, radius = src[order], dst[order], dist[order], radius[order]
+    uniq, starts = np.unique(src, return_index=True)
+    ends = np.append(starts[1:], len(src))
+    real = dst >= 0
+    creal = np.cumsum(real)  # inclusive
+    real_before = creal[starts] - real[starts]
+    n_real = (creal[ends - 1] - real_before).astype(np.int64)
+    done_g = (n_real >= k) | (radius[starts] >= KNN_RADIUS_CAP)
+
+    # done queries: first k real rows per group
+    idx_real = np.flatnonzero(real)
+    grp = np.searchsorted(starts, idx_real, side="right") - 1
+    rank0 = (creal[idx_real] - 1) - real_before[grp]
+    take = (rank0 < k) & done_g[grp]
+    ti = idx_real[take]
+    res = pa.table({
+        "query_id": src[ti],
+        "rank": rank0[take] + 1,
+        "neighbor_id": dst[ti],
+        "dist": dist[ti],
+        "radius": radius[ti],
+        "done": np.ones(len(ti), bool),
+    })
+    pend_g = np.flatnonzero(~done_g)
+    if len(pend_g):
+        ps = starts[pend_g]
+        pend = pa.table({
+            "query_id": uniq[pend_g],
+            "rank": np.zeros(len(pend_g), np.int64),
+            "neighbor_id": np.full(len(pend_g), -1, np.int64),
+            "dist": np.full(len(pend_g), np.inf),
+            "radius": np.minimum(radius[ps] * 2.0, KNN_RADIUS_CAP),
+            "done": np.zeros(len(pend_g), bool),
+        })
+        res = pa.concat_tables([res, pend])
+    return res
+
+
+def knn_join(index: Index, points_ds, k: int,
+             concurrency: int | tuple = (2, 8),
+             batch_size: int = 8192,
+             init_radius: float | None = None,
+             n_points_hint: int | None = None):
+    """Exact k-nearest-neighbor self-join (self excluded by doc id).
+
+    North-rule extension (SURVEY.md J7, no reference implementation).
+    Round-based refinement: search all partitions intersecting
+    disc(q, radius); a query with >= k candidates inside `radius` is exact
+    (any closer point would lie in a searched partition), the rest double
+    their radius and re-route.  Round-2+ populations are tiny (boundary
+    queries), so later rounds are cheap driver-side iterations.
+
+    Output: (query_id, rank, neighbor_id, dist), rank 1..k by (dist, id).
+    """
+    from . import geometry
+
+    if init_radius is None:
+        n = n_points_hint or points_ds.count()
+        density = max(n, 1) / 400.0  # points span [-10, 10]^2
+        init_radius = max(1e-3, 1.5 * float(np.sqrt(k / (np.pi * density))))
+
+    def add_radius(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "src_id": batch["doc_id"],
+            "x": batch["x"],
+            "y": batch["y"],
+            "radius": pa.array(np.full(n, init_radius), pa.float64()),
+        })
+
+    pending = points_ds.map_batches(add_radius, batch_format="pyarrow")
+    results = []
+    rounds = 0
+    while True:
+        rounds += 1
+        routed = route_queries(pending, index.plan, with_home=True)
+        cands = routed.sort("pid").map_batches(
+            KnnCandidateActor,
+            fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        merged = cands.groupby("home_pid").map_groups(
+            lambda g: _knn_merge(g, k), batch_format="pyarrow").materialize()
+
+        def split(want_done):
+            def f(t: pa.Table) -> pa.Table:
+                mask = t["done"].combine_chunks()
+                if not want_done:
+                    import pyarrow.compute as pc
+                    mask = pc.invert(mask)
+                return t.filter(mask)
+            return f
+
+        results.append(
+            merged.map_batches(split(True), batch_format="pyarrow")
+            .select_columns(["query_id", "rank", "neighbor_id", "dist"]))
+        pending_rows = merged.map_batches(split(False), batch_format="pyarrow")
+        n_pending = pending_rows.count()
+        if n_pending == 0 or rounds > 12:
+            break
+
+        def rehydrate(batch: pa.Table) -> pa.Table:
+            ids = batch["query_id"].to_numpy()
+            x, y = geometry.derive_xy(ids)
+            return pa.table({
+                "src_id": ids, "x": x, "y": y,
+                "radius": batch["radius"],
+            })
+
+        pending = pending_rows.map_batches(rehydrate, batch_format="pyarrow")
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out
+
+
+# -------------------------------------------------------------- PIP + tiles
+
+def pip_join(points_ds, edges: np.ndarray, poly_offsets: np.ndarray,
+             poly_ids: np.ndarray):
+    """Point-in-polygon join via crossing-number test, broadcast small side.
+
+    edges: (E, 4) float64 [x1, y1, x2, y2], grouped by polygon;
+    poly_offsets: (P+1,) edge-range offsets per polygon; poly_ids: (P,).
+    Output: (doc_id, polygon_id) for every point strictly inside by the
+    crossing rule (identical float64 expression to the SQL oracle).
+    SURVEY.md J6 — north-rule extension.
+    """
+    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+
+    def pip_batch(batch: pa.Table) -> pa.Table:
+        px = batch["x"].to_numpy().astype(np.float64)[:, None]
+        py = batch["y"].to_numpy().astype(np.float64)[:, None]
+        ids = batch["doc_id"].to_numpy()
+        cond = (y1[None, :] > py) != (y2[None, :] > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (x2 - x1)[None, :] * (py - y1[None, :]) / (y2 - y1)[None, :] \
+                + x1[None, :]
+        cross = cond & (px < t)
+        # crossings per (point, polygon): sum over each polygon's edge range
+        counts = np.add.reduceat(cross, poly_offsets[:-1], axis=1)
+        inside = (counts % 2) == 1
+        qi, pj = np.nonzero(inside)
+        return pa.table({
+            "doc_id": ids[qi],
+            "polygon_id": poly_ids[pj].astype(np.int64),
+        })
+
+    return points_ds.map_batches(pip_batch, batch_format="pyarrow")
+
+
+def tile_assign(points_ds, x_min: float, y_min: float, tile: float, g: int):
+    """Uniform-grid raster-tile assignment: tile_id = iy*g + ix, half-open
+    [min, max) bins.  SURVEY.md J6 — north-rule extension."""
+    def assign(batch: pa.Table) -> pa.Table:
+        px = batch["x"].to_numpy().astype(np.float64)
+        py = batch["y"].to_numpy().astype(np.float64)
+        ix = np.floor((px - x_min) / tile).astype(np.int64)
+        iy = np.floor((py - y_min) / tile).astype(np.int64)
+        return pa.table({
+            "tile_id": iy * g + ix,
+            "doc_id": batch["doc_id"],
+        })
+    return points_ds.map_batches(assign, batch_format="pyarrow")
