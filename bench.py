@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Benchmark runner for the covertile Ray-Data engine.
+
+Default mode: run the headline pipeline (point derivation -> partitioned
+cover-tree index build -> epsilon-radius self-join -> kNN join -> PIP join ->
+tile assign+agg -> interleaved span pipeline) over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {stage: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+The sf documents table is small (5k rows at sf0.1), so the spatial stages run
+over an AMPLIFIED deterministic point cloud: doc ids 0..n-1 with geometry the
+same pure function of id the oracle-checked queries use (covertile/geometry.py)
+— n = $GRAFT_BENCH_AMPLIFY (default 100) x documents-row-count.  The span
+pipeline runs over the REAL documents table (interleaved payload axis).
+
+--scaling: run this same benchmark in fresh subprocesses at num_cpus=8 and
+num_cpus=32 on the same input and report throughput at both plus the scaling
+efficiency (the sandbox stand-in for the N vs 4N node cluster criterion);
+results are appended to BASELINE.md.
+
+Only the final JSON goes to stdout; progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("GRAFT_BENCH_AMPLIFY", "100"))
+KNN_K = 8
+TARGET_AVG_DEG = 30.0  # epsilon radius sized for ~30 neighbors/point
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def eps_radius_for(n: int) -> float:
+    # points are ~uniform on [-10, 10]^2 (area 400)
+    return float(np.sqrt(TARGET_AVG_DEG * 400.0 / (np.pi * max(n, 1))))
+
+
+def run_bench(sf_dir: str, num_cpus: int, amplify: int) -> dict:
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from covertile import shapes
+    from covertile.pipeline import (
+        auto_resolution, build_index, derive_points,
+    )
+    from covertile.queries import epsilon_graph, knn_join, pip_join, tile_assign
+    from covertile import spans as S
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n = n_docs * amplify
+    radius = eps_radius_for(n)
+    resolution = auto_resolution(n, radius,
+                                 target_cell_points=max(256, n // (8 * num_cpus)))
+    target_points = max(2048, n // (4 * num_cpus))
+    ckpt = f"/tmp/covertile-bench-{os.getpid()}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    n_blocks = max(num_cpus * 2, n // 100_000)
+    actor_conc = (2, num_cpus)
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def ids_ds():
+        ds = rd.range(n, override_num_blocks=n_blocks)
+        return ds.map_batches(
+            lambda b: pa.table({"doc_id": b["id"]}), batch_format="pyarrow")
+
+    def stage(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+                log(f"  {name}: {timings[name]:.2f}s")
+        return _T()
+
+    log(f"bench: sf={sf_dir} n={n} cpus={num_cpus} r={radius:.4f} "
+        f"res={resolution} target={target_points}")
+
+    # untimed warmup: spin up the Ray worker-process pool (one-time session
+    # cost, not pipeline throughput — a long-lived cluster pays this once)
+    t0 = time.perf_counter()
+    rd.range(n, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
+    log(f"  warmup: {time.perf_counter() - t0:.2f}s (untimed)")
+
+    with stage("build"):
+        points = derive_points(ids_ds(), resolution)
+        idx = build_index(points, ckpt, resolution,
+                          target_points=target_points,
+                          min_partitions=2 * num_cpus)
+    with stage("epsilon_graph"):
+        points = derive_points(ids_ds(), resolution)
+        counts["epsilon_graph_edges"] = epsilon_graph(
+            idx, points, radius, concurrency=actor_conc).count()
+    with stage("knn_join"):
+        points = derive_points(ids_ds(), resolution)
+        counts["knn_rows"] = knn_join(
+            idx, points, KNN_K, concurrency=actor_conc,
+            n_points_hint=n).count()
+    with stage("pip_join"):
+        points = derive_points(ids_ds(), resolution)
+        edges, offs, pids = shapes.make_polygons()
+        counts["pip_rows"] = pip_join(points, edges, offs, pids).count()
+    with stage("tile_assign_agg"):
+        points = derive_points(ids_ds(), resolution)
+        assigned = tile_assign(points, shapes.TILE_MIN, shapes.TILE_MIN,
+                               shapes.TILE_SIDE, shapes.TILE_G)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t, c = np.unique(batch["tile_id"].to_numpy(), return_counts=True)
+            return pa.table({"tile_id": t, "n": c.astype(np.int64)})
+
+        counts["tiles"] = (assigned
+                           .map_batches(partial, batch_format="pyarrow")
+                           .groupby("tile_id").sum("n").count())
+    with stage("span_pipeline"):
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source", "n_chars"])
+        tbl = S.span_table(docs)
+
+        def nspans(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            col = batch["spans"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "n_spans": np.asarray(pc.list_value_length(col), np.int64),
+            })
+
+        counts["span_docs"] = tbl.map_batches(
+            nspans, batch_format="pyarrow").count()
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    spatial = sum(v for k, v in timings.items() if k != "span_pipeline")
+    return {
+        "metric": "cover-tree build + epsilon/kNN/PIP/tile join wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_points": n,
+        "eps_radius": round(radius, 5),
+        "docs_per_sec": round(n / spatial, 1) if spatial else None,
+        "counts": counts,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int, amplify: int) -> dict:
+    env = dict(os.environ)
+    out = {}
+    for cpus in (lo, hi):
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = sf_dir
+        env["GRAFT_BENCH_AMPLIFY"] = str(amplify)
+        log(f"--- scaling run: num_cpus={cpus} ---")
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True)
+        if p.returncode != 0:
+            log(p.stderr[-4000:])
+            raise RuntimeError(f"scaling subprocess (cpus={cpus}) failed")
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    tp_lo = out[lo]["docs_per_sec"]
+    tp_hi = out[hi]["docs_per_sec"]
+    eff = tp_hi / (tp_lo * (hi / lo))
+    result = {
+        "metric": "scaling efficiency (same input, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": sf_dir,
+        "n_points": out[lo]["n_points"],
+        "runs": {str(c): {"docs_per_sec": out[c]["docs_per_sec"],
+                          "total_sec": out[c]["value"],
+                          "queries": out[c]["queries"]} for c in (lo, hi)},
+        "num_cpus": [lo, hi],
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.md"), "a") as f:
+            f.write(
+                f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M')})\n\n"
+                f"Same input ({result['n_points']} points from {sf_dir}), "
+                f"fresh `ray.init` sessions at num_cpus={lo} and {hi}:\n\n"
+                f"| num_cpus | docs/s (spatial stages) | total sec |\n"
+                f"|---|---|---|\n"
+                f"| {lo} | {tp_lo} | {out[lo]['value']} |\n"
+                f"| {hi} | {tp_hi} | {out[hi]['value']} |\n\n"
+                f"Scaling efficiency (throughput_{hi} / ({hi//lo} x "
+                f"throughput_{lo})): **{eff:.3f}** (target >= 0.8).\n")
+    except OSError:
+        pass
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run at two parallelism levels + report efficiency")
+    ap.add_argument("--cpus-lo", type=int, default=8)
+    ap.add_argument("--cpus-hi", type=int, default=32)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--amplify", type=int, default=AMPLIFY)
+    args = ap.parse_args()
+
+    if args.scaling:
+        result = run_scaling(args.sf_dir, args.cpus_lo, args.cpus_hi,
+                             args.amplify)
+    else:
+        result = run_bench(args.sf_dir, NUM_CPUS, args.amplify)
+        import ray
+        ray.shutdown()
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,8 @@ import pyarrow as pa
 
 from . import store
 
-__all__ = ["RadiusQueryActor", "KnnCandidateActor", "TreeCache"]
+__all__ = ["RadiusQueryActor", "KnnCandidateActor", "KnnHomeActor",
+           "TreeCache"]
 
 
 class TreeCache:
@@ -79,6 +80,98 @@ class RadiusQueryActor:
             "dst_id": np.concatenate(out_d),
             "dist": np.concatenate(out_dist),
         })
+
+
+class KnnHomeActor:
+    """map_batches callable class (actor pool): phase-1 of the two-phase
+    exact kNN join (SURVEY.md J7 — no reference implementation).
+
+    Input batch:  (pid, src_id, x, y) — each query routed ONLY to its home
+    partition, so every candidate for a query lands in this one batch.
+
+    Per query: exact (k+1)-NN within the home partition (self later excluded
+    by doc id), giving an upper bound d_k on the global kth-NN distance.  If
+    the closed disc (q, d_k) touches only home-partition cells, the local
+    top-k IS the global top-k (any closer point would live in this
+    partition) -> emit final rows (done=true).  Otherwise emit one pending
+    row (done=false) carrying radius=d_k for the phase-2 halo search.
+
+    Output: (query_id, rank, neighbor_id, dist, x, y, radius, done).
+    """
+
+    def __init__(self, ckpt_dir: str, k: int, plan, radius_cap: float,
+                 cache_capacity: int = 8):
+        self.cache = TreeCache(ckpt_dir, cache_capacity)
+        self.k = k
+        self.plan = plan
+        self.radius_cap = radius_cap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import cells
+
+        k = self.k
+        pids = batch["pid"].to_numpy()
+        src = batch["src_id"].to_numpy()
+        bx = batch["x"].to_numpy()
+        by = batch["y"].to_numpy()
+        outs = []
+        for pid in np.unique(pids):
+            tree, doc_ids = self.cache.get(int(pid))
+            m = pids == pid
+            s, x, y = src[m], bx[m], by[m]
+            nq = len(s)
+            qxy = np.stack([x, y], axis=1)
+            qk, pk, dk, _ = tree.knn_batch(qxy, k + 1)
+            keep = doc_ids[pk] != s[qk]
+            qk, pk, dk = qk[keep], pk[keep], dk[keep]
+            # rows are sorted by (query, dist, local id); local ids are in
+            # doc_id order within a partition, so this IS (dist, doc_id)
+            cnt = np.bincount(qk, minlength=nq)
+            off = np.zeros(nq + 1, np.int64)
+            np.cumsum(cnt, out=off[1:])
+            rank = np.arange(len(qk), dtype=np.int64) - off[qk]
+            topk = rank < k
+            qk, pk, dk, rank = qk[topk], pk[topk], dk[topk], rank[topk]
+            # per-query kth-distance bound (cap when home has < k neighbors);
+            # qk stays sorted, full queries kept exactly k rows, so query
+            # q's kth distance sits at first-occurrence(q) + k - 1
+            d_k = np.full(nq, self.radius_cap, np.float64)
+            full = cnt >= k
+            d_k[full] = dk[np.searchsorted(qk, np.flatnonzero(full)) + k - 1]
+            # home-fit test: does disc(q, d_k) stay inside this partition?
+            rep, halo = cells.halo_cells(x, y, d_k, self.plan.resolution)
+            crep, hp = self.plan.pids_of_cells(halo)
+            foreign = hp != pid
+            done = np.ones(nq, bool)
+            done[np.unique(rep[crep[foreign]])] = False
+            fin = done[qk]
+            pend = np.flatnonzero(~done)
+            n_f, n_p = int(fin.sum()), len(pend)
+            outs.append(pa.table({
+                "query_id": np.concatenate([s[qk[fin]], s[pend]]),
+                "rank": np.concatenate([rank[fin] + 1,
+                                        np.zeros(n_p, np.int64)]),
+                "neighbor_id": np.concatenate(
+                    [doc_ids[pk[fin]], np.full(n_p, -1, np.int64)]),
+                "dist": np.concatenate([dk[fin], np.full(n_p, np.inf)]),
+                "x": np.concatenate([np.zeros(n_f, np.float32), x[pend]]),
+                "y": np.concatenate([np.zeros(n_f, np.float32), y[pend]]),
+                "radius": np.concatenate([np.zeros(n_f), d_k[pend]]),
+                "done": np.concatenate([np.ones(n_f, bool),
+                                        np.zeros(n_p, bool)]),
+            }))
+        if not outs:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+                "x": pa.array([], pa.float32()),
+                "y": pa.array([], pa.float32()),
+                "radius": pa.array([], pa.float64()),
+                "done": pa.array([], pa.bool_()),
+            })
+        return pa.concat_tables(outs)
 
 
 class KnnCandidateActor:

@@ -333,9 +333,18 @@ class CoverTree:
             z = np.zeros(0, np.int64)
             return z, z, np.zeros(0, np.float64), np.zeros(0, np.float64)
         if init_radius is None:
-            # density guess: area * k / n, clipped
-            init_radius = max(1e-3, self.max_radius * np.sqrt(
-                min(1.0, 4.0 * k / max(1, self.n))))
+            # density-based guess: radius of a disc expected to hold ~2k
+            # points at this partition's bounding-box density (a max_radius-
+            # based guess overshoots badly for multi-cell partitions)
+            area = float(
+                (self.xy[:, 0].max() - self.xy[:, 0].min()) *
+                (self.xy[:, 1].max() - self.xy[:, 1].min()))
+            if area > 0 and self.n > k:
+                init_radius = float(
+                    np.sqrt(2.0 * k * area / (np.pi * self.n)))
+            else:
+                init_radius = max(1e-3, self.max_radius * np.sqrt(
+                    min(1.0, 4.0 * k / max(1, self.n))))
         radii = np.full(m, init_radius, np.float64)
         max_r = 2.0 * self.max_radius + 1e-9  # covers the whole partition
         pending = np.arange(m, dtype=np.int64)
@@ -366,10 +375,9 @@ class CoverTree:
         qi, pi, di = qi[order], pi[order], di[order]
         starts = np.searchsorted(qi, np.arange(m))
         ends = np.searchsorted(qi, np.arange(m), side="right")
-        take = np.concatenate(
-            [np.arange(s, min(e, s + k)) for s, e in zip(starts, ends)]
-        ).astype(np.int64) if m else np.zeros(0, np.int64)
-        qk, pk, dk = qi[take], pi[take], di[take]
+        pos = np.arange(len(qi), dtype=np.int64)
+        topk_m = (pos - starts[qi]) < k
+        qk, pk, dk = qi[topk_m], pi[topk_m], di[topk_m]
         kth = np.full(m, np.inf)
         have = ends - starts
         full_m = have >= k

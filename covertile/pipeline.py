@@ -66,22 +66,28 @@ def auto_resolution(n_points: int, radius: float | None = None,
 
 def compute_plan(points_ds, resolution: int, target_points: int,
                  min_partitions: int = 1) -> PartitionPlan:
-    """Cell-count aggregate (small) -> PartitionPlan.  The groupby is a
-    shuffle of pre-aggregated per-block partials: map_batches first reduces
-    each block to (cell, count) rows, so the exchange is tiny."""
+    """Cell-count aggregate (small) -> PartitionPlan.
+
+    Each block is reduced to (cell, count) partials inside map_batches, so
+    what reaches the driver is bounded by blocks x distinct-cells (<= 4^res
+    per block, resolution <= 16) — a final numpy combine on the driver
+    replaces an all-to-all groupby shuffle whose fixed cost would dwarf the
+    kilobytes being combined.  This is the A3 skew-detection aggregate
+    (reference per-hub counts, /root/reference/src/DistCoverTree.cpp:45-83)
+    as partial + driver-side final combine.
+    """
     def partial_counts(batch: pa.Table) -> pa.Table:
         c, n = np.unique(batch["cell"].to_numpy(), return_counts=True)
         return pa.table({"cell": c, "n": n.astype(np.int64)})
 
     partials = points_ds.map_batches(partial_counts, batch_format="pyarrow")
-    # final combine is small: collect to driver
-    agg = partials.groupby("cell").sum("n")
-    pdf = agg.to_pandas()
-    return make_plan(
-        pdf["cell"].to_numpy().astype(np.uint64),
-        pdf["sum(n)"].to_numpy().astype(np.int64),
-        resolution, target_points, min_partitions,
-    )
+    tbl = pa.concat_tables(
+        partials.iter_batches(batch_size=None, batch_format="pyarrow"))
+    cell = tbl["cell"].to_numpy().astype(np.uint64)
+    n = tbl["n"].to_numpy().astype(np.int64)
+    uniq, inv = np.unique(cell, return_inverse=True)
+    counts = np.bincount(inv, weights=n).astype(np.int64)
+    return make_plan(uniq, counts, resolution, target_points, min_partitions)
 
 
 # -------------------------------------------------------------------- index

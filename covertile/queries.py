@@ -153,76 +153,81 @@ def knn_join(index: Index, points_ds, k: int,
     """Exact k-nearest-neighbor self-join (self excluded by doc id).
 
     North-rule extension (SURVEY.md J7, no reference implementation).
-    Round-based refinement: search all partitions intersecting
-    disc(q, radius); a query with >= k candidates inside `radius` is exact
-    (any closer point would lie in a searched partition), the rest double
-    their radius and re-route.  Round-2+ populations are tiny (boundary
-    queries), so later rounds are cheap driver-side iterations.
+    Deterministic TWO-phase refinement (no data-dependent round loop):
+
+      Phase 1 — each query goes only to its HOME partition; the actor
+      computes the exact local top-k, giving a per-query upper bound d_k on
+      the global kth distance.  Queries whose closed disc (q, d_k) stays
+      inside home-partition cells are final (most interior queries).
+
+      Phase 2 — the remaining boundary queries re-route with radius d_k to
+      every partition intersecting their disc; all global top-k candidates
+      have dist <= d_k, so one halo sweep + per-home-partition merge is
+      exact.  Ties at the kth distance break by neighbor id, matching the
+      oracle's row_number() ORDER BY dist, neighbor_id.
 
     Output: (query_id, rank, neighbor_id, dist), rank 1..k by (dist, id).
     """
-    from . import geometry
+    from .actors import KnnHomeActor
 
-    if init_radius is None:
-        n = n_points_hint or points_ds.count()
-        density = max(n, 1) / 400.0  # points span [-10, 10]^2
-        init_radius = max(1e-3, 1.5 * float(np.sqrt(k / (np.pi * density))))
+    def add_home(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        src = batch["doc_id"].to_numpy()
+        pid = index.plan.pid_of_points(
+            cells.cell_of(x, y, index.plan.resolution), src)
+        return pa.table({"pid": pid, "src_id": src,
+                         "x": batch["x"], "y": batch["y"]})
 
-    def add_radius(batch: pa.Table) -> pa.Table:
-        n = len(batch)
+    home_routed = points_ds.map_batches(
+        add_home, batch_format="pyarrow").sort("pid")
+    phase1 = home_routed.map_batches(
+        KnnHomeActor,
+        fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k,
+                               "plan": index.plan,
+                               "radius_cap": KNN_RADIUS_CAP},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).materialize()
+
+    def split(want_done):
+        def f(t: pa.Table) -> pa.Table:
+            mask = t["done"].combine_chunks()
+            if not want_done:
+                import pyarrow.compute as pc
+                mask = pc.invert(mask)
+            return t.filter(mask)
+        return f
+
+    done = (phase1.map_batches(split(True), batch_format="pyarrow")
+            .select_columns(["query_id", "rank", "neighbor_id", "dist"]))
+    pending = phase1.map_batches(split(False), batch_format="pyarrow")
+    if pending.count() == 0:
+        return done
+
+    def rehydrate(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "src_id": batch["doc_id"],
+            "src_id": batch["query_id"],
             "x": batch["x"],
             "y": batch["y"],
-            "radius": pa.array(np.full(n, init_radius), pa.float64()),
+            "radius": batch["radius"],
         })
 
-    pending = points_ds.map_batches(add_radius, batch_format="pyarrow")
-    results = []
-    rounds = 0
-    while True:
-        rounds += 1
-        routed = route_queries(pending, index.plan, with_home=True)
-        cands = routed.sort("pid").map_batches(
-            KnnCandidateActor,
-            fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k},
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
-        merged = cands.groupby("home_pid").map_groups(
-            lambda g: _knn_merge(g, k), batch_format="pyarrow").materialize()
-
-        def split(want_done):
-            def f(t: pa.Table) -> pa.Table:
-                mask = t["done"].combine_chunks()
-                if not want_done:
-                    import pyarrow.compute as pc
-                    mask = pc.invert(mask)
-                return t.filter(mask)
-            return f
-
-        results.append(
-            merged.map_batches(split(True), batch_format="pyarrow")
-            .select_columns(["query_id", "rank", "neighbor_id", "dist"]))
-        pending_rows = merged.map_batches(split(False), batch_format="pyarrow")
-        n_pending = pending_rows.count()
-        if n_pending == 0 or rounds > 12:
-            break
-
-        def rehydrate(batch: pa.Table) -> pa.Table:
-            ids = batch["query_id"].to_numpy()
-            x, y = geometry.derive_xy(ids)
-            return pa.table({
-                "src_id": ids, "x": x, "y": y,
-                "radius": batch["radius"],
-            })
-
-        pending = pending_rows.map_batches(rehydrate, batch_format="pyarrow")
-    out = results[0]
-    for r in results[1:]:
-        out = out.union(r)
-    return out
+    queries = pending.map_batches(rehydrate, batch_format="pyarrow")
+    routed = route_queries(queries, index.plan, with_home=True).sort("pid")
+    cands = routed.map_batches(
+        KnnCandidateActor,
+        fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    phase2 = (cands.groupby("home_pid")
+              .map_groups(lambda g: _knn_merge(g, k), batch_format="pyarrow")
+              .map_batches(split(True), batch_format="pyarrow")
+              .select_columns(["query_id", "rank", "neighbor_id", "dist"]))
+    return done.union(phase2)
 
 
 # -------------------------------------------------------------- PIP + tiles
