@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from covertile import api
+from covertile import api, api_text
 
 
 def entry() -> Any:
@@ -25,7 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    out = {
         "epsilon_graph": api.q_epsilon_graph,
         "knn_join": api.q_knn_join,
         "pip_join": api.q_pip_join,
@@ -35,10 +35,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": api.q_span_stats,
         "doc_enrich": api.q_doc_enrich,
     }
+    out.update(api_text.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "epsilon_graph": api.sql_epsilon_graph(),
         "knn_join": api.sql_knn_join(),
         "pip_join": api.sql_pip_join(),
@@ -48,3 +50,5 @@ def oracle_sql() -> dict[str, str]:
         "span_stats": api.sql_span_stats(),
         "doc_enrich": api.sql_doc_enrich(),
     }
+    out.update({k: v() for k, v in api_text.ORACLES.items()})
+    return out

@@ -18,7 +18,7 @@ from collections import OrderedDict
 import numpy as np
 import pyarrow as pa
 
-from . import store
+from . import kernels, store
 
 __all__ = ["RadiusQueryActor", "KnnCandidateActor", "KnnHomeActor",
            "TreeCache"]
@@ -66,11 +66,11 @@ class RadiusQueryActor:
         for pid in np.unique(pids):
             tree, doc_ids = self.cache.get(int(pid))
             m = pids == pid
-            qxy = np.stack([qx[m], qy[m]], axis=1)
-            qi, pi, di = tree.radius_query_batch(qxy, radius[m])
-            out_s.append(src[m][qi])
-            out_d.append(doc_ids[pi])
-            out_dist.append(di)
+            s, d, dist = kernels.radius_kernel(
+                tree, doc_ids, src[m], qx[m], qy[m], radius[m])
+            out_s.append(s)
+            out_d.append(d)
+            out_dist.append(dist)
         if not out_s:
             return pa.table({"src_id": pa.array([], pa.int64()),
                              "dst_id": pa.array([], pa.int64()),
@@ -118,48 +118,9 @@ class KnnHomeActor:
         for pid in np.unique(pids):
             tree, doc_ids = self.cache.get(int(pid))
             m = pids == pid
-            s, x, y = src[m], bx[m], by[m]
-            nq = len(s)
-            qxy = np.stack([x, y], axis=1)
-            qk, pk, dk, _ = tree.knn_batch(qxy, k + 1)
-            keep = doc_ids[pk] != s[qk]
-            qk, pk, dk = qk[keep], pk[keep], dk[keep]
-            # rows are sorted by (query, dist, local id); local ids are in
-            # doc_id order within a partition, so this IS (dist, doc_id)
-            cnt = np.bincount(qk, minlength=nq)
-            off = np.zeros(nq + 1, np.int64)
-            np.cumsum(cnt, out=off[1:])
-            rank = np.arange(len(qk), dtype=np.int64) - off[qk]
-            topk = rank < k
-            qk, pk, dk, rank = qk[topk], pk[topk], dk[topk], rank[topk]
-            # per-query kth-distance bound (cap when home has < k neighbors);
-            # qk stays sorted, full queries kept exactly k rows, so query
-            # q's kth distance sits at first-occurrence(q) + k - 1
-            d_k = np.full(nq, self.radius_cap, np.float64)
-            full = cnt >= k
-            d_k[full] = dk[np.searchsorted(qk, np.flatnonzero(full)) + k - 1]
-            # home-fit test: does disc(q, d_k) stay inside this partition?
-            rep, halo = cells.halo_cells(x, y, d_k, self.plan.resolution)
-            crep, hp = self.plan.pids_of_cells(halo)
-            foreign = hp != pid
-            done = np.ones(nq, bool)
-            done[np.unique(rep[crep[foreign]])] = False
-            fin = done[qk]
-            pend = np.flatnonzero(~done)
-            n_f, n_p = int(fin.sum()), len(pend)
-            outs.append(pa.table({
-                "query_id": np.concatenate([s[qk[fin]], s[pend]]),
-                "rank": np.concatenate([rank[fin] + 1,
-                                        np.zeros(n_p, np.int64)]),
-                "neighbor_id": np.concatenate(
-                    [doc_ids[pk[fin]], np.full(n_p, -1, np.int64)]),
-                "dist": np.concatenate([dk[fin], np.full(n_p, np.inf)]),
-                "x": np.concatenate([np.zeros(n_f, np.float32), x[pend]]),
-                "y": np.concatenate([np.zeros(n_f, np.float32), y[pend]]),
-                "radius": np.concatenate([np.zeros(n_f), d_k[pend]]),
-                "done": np.concatenate([np.ones(n_f, bool),
-                                        np.zeros(n_p, bool)]),
-            }))
+            outs.append(pa.table(kernels.knn_home_kernel(
+                tree, doc_ids, pid, src[m], bx[m], by[m], k,
+                self.plan, self.radius_cap)))
         if not outs:
             return pa.table({
                 "query_id": pa.array([], pa.int64()),
@@ -196,28 +157,18 @@ class KnnCandidateActor:
         qy = batch["y"].to_numpy()
         radius = batch["radius"].to_numpy()
         home = batch["home_pid"].to_numpy()
-        out_h = [home]
-        out_s = [src]
-        out_d = [np.full(len(src), -1, np.int64)]   # sentinels
-        out_dist = [np.full(len(src), np.inf)]
-        out_r = [radius]
+        outs = []
         for pid in np.unique(pids):
             tree, doc_ids = self.cache.get(int(pid))
             m = pids == pid
-            qxy = np.stack([qx[m], qy[m]], axis=1)
-            qi, pi, di = tree.radius_query_batch(qxy, radius[m])
-            s = src[m][qi]
-            d = doc_ids[pi]
-            keep = d != s  # exclude self by doc id (duplicates still count)
-            out_h.append(home[m][qi][keep])
-            out_s.append(s[keep])
-            out_d.append(d[keep])
-            out_dist.append(di[keep])
-            out_r.append(radius[m][qi][keep])
-        return pa.table({
-            "home_pid": np.concatenate(out_h),
-            "src_id": np.concatenate(out_s),
-            "dst_id": np.concatenate(out_d),
-            "dist": np.concatenate(out_dist),
-            "radius": np.concatenate(out_r),
-        })
+            outs.append(pa.table(kernels.knn_candidate_kernel(
+                tree, doc_ids, src[m], qx[m], qy[m], radius[m], home[m])))
+        if not outs:
+            return pa.table({
+                "home_pid": pa.array([], pa.int64()),
+                "src_id": pa.array([], pa.int64()),
+                "dst_id": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+                "radius": pa.array([], pa.float64()),
+            })
+        return pa.concat_tables(outs)

@@ -1,0 +1,96 @@
+"""Driver-facing text-analysis / dedup queries (documents table).
+
+Same contract as api.py: each q_* takes sf_dir and returns a Dataset whose
+rows match the paired sql_* oracle bitwise (ints exact, floats are exact
+integer ratios).  minhash_lsh has no SQL oracle (LSH recall is
+probabilistic); its correctness is pinned by tests/test_textops.py
+(no-false-positives + recall vs the exact operator).
+"""
+
+from __future__ import annotations
+
+import os
+
+from . import textops as T
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=list(columns))
+
+
+def q_token_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        T.token_stats_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def sql_token_stats() -> str:
+    return T.token_stats_sql()
+
+
+def q_lang_id(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        T.lang_id_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def sql_lang_id() -> str:
+    return T.lang_id_sql()
+
+
+def q_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        T.fingerprint_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def sql_fingerprint() -> str:
+    return T.fingerprint_sql()
+
+
+def q_exact_dedup(sf_dir: str):
+    return T.exact_dedup(_docs(sf_dir)).sort("fingerprint")
+
+
+def sql_exact_dedup() -> str:
+    return T.exact_dedup_sql()
+
+
+def q_ngram_jaccard(sf_dir: str):
+    return T.ngram_jaccard_pairs(_docs(sf_dir)).sort(["a_id", "b_id"])
+
+
+def sql_ngram_jaccard() -> str:
+    return T.ngram_jaccard_sql()
+
+
+def q_simhash_dups(sf_dir: str):
+    return T.simhash_dup_pairs(_docs(sf_dir)).sort(["a_id", "b_id"])
+
+
+def sql_simhash_dups() -> str:
+    return T.simhash_dup_sql()
+
+
+def q_minhash_lsh(sf_dir: str):
+    # approximate (verified-exact precision, probabilistic recall): no oracle
+    return T.minhash_lsh_pairs(_docs(sf_dir)).sort(["a_id", "b_id"])
+
+
+QUERIES = {
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard_dedup": q_ngram_jaccard,
+    "simhash_dedup": q_simhash_dups,
+    "minhash_lsh_dedup": q_minhash_lsh,
+}
+
+ORACLES = {
+    "token_stats": sql_token_stats,
+    "lang_id": sql_lang_id,
+    "doc_fingerprint": sql_fingerprint,
+    "exact_dedup": sql_exact_dedup,
+    "ngram_jaccard_dedup": sql_ngram_jaccard,
+    "simhash_dedup": sql_simhash_dups,
+}

@@ -27,8 +27,17 @@ def hash_join_int_key(left_ds, right_ds, key: str, num_buckets: int = 32,
     Output columns: all left columns then right columns minus the key.
     """
     assert how in ("inner", "left")
-    left_cols = [c for c in left_ds.schema().names]
-    right_cols = [c for c in right_ds.schema().names if c != key]
+    lsch = left_ds.schema()
+    rsch = right_ds.schema()
+    left_cols = list(lsch.names)
+    right_cols = [c for c in rsch.names if c != key]
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    out_fields = [(c, ltypes[c]) for c in left_cols] + \
+                 [(c, rtypes[c]) for c in right_cols]
+
+    def empty_out() -> pa.Table:
+        return pa.table({c: pa.array([], t) for c, t in out_fields})
 
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -45,7 +54,18 @@ def hash_join_int_key(left_ds, right_ds, key: str, num_buckets: int = 32,
 
     def merge(group: pa.Table) -> pa.Table:
         side = group["__side"].to_numpy()
-        # union null-fills missing columns; select each side's real ones
+        have = set(group.column_names)
+        # a group may hold rows from only ONE side (then the union block
+        # never carried the other side's columns at all)
+        left_missing = any(c not in have for c in left_cols)
+        right_missing = any(c not in have for c in right_cols) or key not in have
+        if left_missing or (right_missing and how == "inner"):
+            return empty_out()
+        if right_missing:  # left join, no right rows in this bucket
+            out = group.filter(pa.array(side == 0)).select(left_cols)
+            for c in right_cols:
+                out = out.append_column(c, pa.nulls(len(out), rtypes[c]))
+            return out
         lt = group.filter(pa.array(side == 0)).select(left_cols)
         rt = group.filter(pa.array(side == 1)).select([key] + right_cols)
         lk = lt[key].to_numpy()

@@ -66,7 +66,8 @@ def route_queries(queries_ds, plan, with_home: bool = False):
 
 def epsilon_graph(index: Index, points_ds, radius: float,
                   concurrency: int | tuple = (2, 8),
-                  batch_size: int = 8192):
+                  batch_size: int = 8192,
+                  mode: str = "groups"):
     """All-pairs radius self-join: every (src, dst) with d <= radius,
     self-loops included (closed ball, reference contract
     src/CoverTree.cpp:363,374-384).  Output: (src_id, dst_id, dist).
@@ -74,6 +75,13 @@ def epsilon_graph(index: Index, points_ds, radius: float,
     Exactly-once by construction: each query targets each pid at most once
     and each dst point is owned by exactly one pid — no dedup shuffle
     (replaces allgather_distinct, src/DistCoverTree.cpp:657-677).
+
+    mode="groups" (default for bulk self-joins): ONE groupby(pid) shuffle;
+    each group task loads its partition tree from the checkpoint store and
+    answers the whole group vectorized — no actor pool, no extra sort.
+    mode="actors": route -> sort(pid) -> stateful actor pool with LRU tree
+    cache — the serving path for repeated query batches against a
+    long-lived index.
     """
     def add_radius(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -85,8 +93,23 @@ def epsilon_graph(index: Index, points_ds, radius: float,
         })
 
     queries = points_ds.map_batches(add_radius, batch_format="pyarrow")
-    routed = route_queries(queries, index.plan).sort("pid")
-    return routed.map_batches(
+    routed = route_queries(queries, index.plan)
+    if mode == "groups":
+        from . import kernels, store
+        ck = index.ckpt_dir
+
+        def radius_group(group: pa.Table) -> pa.Table:
+            pid = int(group["pid"][0].as_py())
+            tree, doc_ids = store.load_tree(ck, pid)
+            s, d, dist = kernels.radius_kernel(
+                tree, doc_ids, group["src_id"].to_numpy(),
+                group["x"].to_numpy(), group["y"].to_numpy(),
+                group["radius"].to_numpy())
+            return pa.table({"src_id": s, "dst_id": d, "dist": dist})
+
+        return routed.groupby("pid").map_groups(
+            radius_group, batch_format="pyarrow")
+    return routed.sort("pid").map_batches(
         RadiusQueryActor,
         fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir},
         batch_format="pyarrow",
@@ -149,7 +172,8 @@ def knn_join(index: Index, points_ds, k: int,
              concurrency: int | tuple = (2, 8),
              batch_size: int = 8192,
              init_radius: float | None = None,
-             n_points_hint: int | None = None):
+             n_points_hint: int | None = None,
+             mode: str = "groups"):
     """Exact k-nearest-neighbor self-join (self excluded by doc id).
 
     North-rule extension (SURVEY.md J7, no reference implementation).
@@ -167,6 +191,8 @@ def knn_join(index: Index, points_ds, k: int,
       oracle's row_number() ORDER BY dist, neighbor_id.
 
     Output: (query_id, rank, neighbor_id, dist), rank 1..k by (dist, id).
+
+    mode="groups"/"actors": see epsilon_graph.
     """
     from .actors import KnnHomeActor
 
@@ -179,17 +205,32 @@ def knn_join(index: Index, points_ds, k: int,
         return pa.table({"pid": pid, "src_id": src,
                          "x": batch["x"], "y": batch["y"]})
 
-    home_routed = points_ds.map_batches(
-        add_home, batch_format="pyarrow").sort("pid")
-    phase1 = home_routed.map_batches(
-        KnnHomeActor,
-        fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k,
-                               "plan": index.plan,
-                               "radius_cap": KNN_RADIUS_CAP},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    ).materialize()
+    home_routed = points_ds.map_batches(add_home, batch_format="pyarrow")
+    if mode == "groups":
+        from . import kernels, store
+        ck = index.ckpt_dir
+        plan = index.plan
+
+        def home_group(group: pa.Table) -> pa.Table:
+            pid = int(group["pid"][0].as_py())
+            tree, doc_ids = store.load_tree(ck, pid)
+            return pa.table(kernels.knn_home_kernel(
+                tree, doc_ids, pid, group["src_id"].to_numpy(),
+                group["x"].to_numpy(), group["y"].to_numpy(), k, plan,
+                KNN_RADIUS_CAP))
+
+        phase1 = home_routed.groupby("pid").map_groups(
+            home_group, batch_format="pyarrow").materialize()
+    else:
+        phase1 = home_routed.sort("pid").map_batches(
+            KnnHomeActor,
+            fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k,
+                                   "plan": index.plan,
+                                   "radius_cap": KNN_RADIUS_CAP},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        ).materialize()
 
     def split(want_done):
         def f(t: pa.Table) -> pa.Table:
@@ -215,14 +256,29 @@ def knn_join(index: Index, points_ds, k: int,
         })
 
     queries = pending.map_batches(rehydrate, batch_format="pyarrow")
-    routed = route_queries(queries, index.plan, with_home=True).sort("pid")
-    cands = routed.map_batches(
-        KnnCandidateActor,
-        fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    routed = route_queries(queries, index.plan, with_home=True)
+    if mode == "groups":
+        from . import kernels, store
+        ck2 = index.ckpt_dir
+
+        def cand_group(group: pa.Table) -> pa.Table:
+            pid = int(group["pid"][0].as_py())
+            tree, doc_ids = store.load_tree(ck2, pid)
+            return pa.table(kernels.knn_candidate_kernel(
+                tree, doc_ids, group["src_id"].to_numpy(),
+                group["x"].to_numpy(), group["y"].to_numpy(),
+                group["radius"].to_numpy(), group["home_pid"].to_numpy()))
+
+        cands = routed.groupby("pid").map_groups(
+            cand_group, batch_format="pyarrow")
+    else:
+        cands = routed.sort("pid").map_batches(
+            KnnCandidateActor,
+            fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     phase2 = (cands.groupby("home_pid")
               .map_groups(lambda g: _knn_merge(g, k), batch_format="pyarrow")
               .map_batches(split(True), batch_format="pyarrow")
@@ -243,18 +299,25 @@ def pip_join(points_ds, edges: np.ndarray, poly_offsets: np.ndarray,
     SURVEY.md J6 — north-rule extension.
     """
     x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    n_poly = len(poly_ids)
+    poly_of_edge = np.repeat(np.arange(n_poly),
+                             np.diff(poly_offsets)).astype(np.int64)
 
     def pip_batch(batch: pa.Table) -> pa.Table:
-        px = batch["x"].to_numpy().astype(np.float64)[:, None]
-        py = batch["y"].to_numpy().astype(np.float64)[:, None]
+        px = batch["x"].to_numpy().astype(np.float64)
+        py = batch["y"].to_numpy().astype(np.float64)
         ids = batch["doc_id"].to_numpy()
-        cond = (y1[None, :] > py) != (y2[None, :] > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = (x2 - x1)[None, :] * (py - y1[None, :]) / (y2 - y1)[None, :] \
-                + x1[None, :]
-        cross = cond & (px < t)
-        # crossings per (point, polygon): sum over each polygon's edge range
-        counts = np.add.reduceat(cross, poly_offsets[:-1], axis=1)
+        n = len(px)
+        # loop over EDGES (a few hundred), vectorized over points: keeps
+        # the working set O(batch) instead of O(batch x edges) — the
+        # (batch, edges) broadcast matrix anti-scales past ~8 concurrent
+        # tasks on shared cache/bandwidth
+        counts = np.zeros((n, n_poly), np.int64)
+        for e in range(len(x1)):
+            cond = (y1[e] > py) != (y2[e] > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (x2[e] - x1[e]) * (py - y1[e]) / (y2[e] - y1[e]) + x1[e]
+            counts[:, poly_of_edge[e]] += cond & (px < t)
         inside = (counts % 2) == 1
         qi, pj = np.nonzero(inside)
         return pa.table({
@@ -262,7 +325,8 @@ def pip_join(points_ds, edges: np.ndarray, poly_offsets: np.ndarray,
             "polygon_id": poly_ids[pj].astype(np.int64),
         })
 
-    return points_ds.map_batches(pip_batch, batch_format="pyarrow")
+    return points_ds.map_batches(pip_batch, batch_format="pyarrow",
+                                 batch_size=16384)
 
 
 def tile_assign(points_ds, x_min: float, y_min: float, tile: float, g: int):

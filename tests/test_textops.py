@@ -1,0 +1,131 @@
+"""Text-analysis / dedup operators: oracle equality + LSH recall bounds."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{SF}/documents.parquet')")
+    return c
+
+
+def fetch(ds):
+    return ds.to_pandas().reset_index(drop=True)
+
+
+def assert_matches(got, want, name):
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert list(got.columns) == list(want.columns), name
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.array_equal(a.view(np.int64), b.view(np.int64)), (name, c)
+        else:
+            assert np.array_equal(a, b), (name, c)
+
+
+@pytest.mark.parametrize("name", [
+    "token_stats", "lang_id", "doc_fingerprint", "exact_dedup",
+    "ngram_jaccard_dedup", "simhash_dedup",
+])
+def test_text_query_matches_oracle(ray_session, con, name):
+    from covertile import api_text
+    got = fetch(api_text.QUERIES[name](SF))
+    want = con.execute(api_text.ORACLES[name]()).df()
+    assert_matches(got, want, name)
+
+
+def test_minhash_no_false_positives_and_recall(ray_session):
+    """MinHash+LSH pairs must be a subset of the exact Jaccard pairs
+    (precision 1.0 by construction — exact verify) with high recall on the
+    planted near-duplicates."""
+    from covertile import api_text
+    exact = fetch(api_text.QUERIES["ngram_jaccard_dedup"](SF))
+    approx = fetch(api_text.QUERIES["minhash_lsh_dedup"](SF))
+    ek = set(zip(exact["a_id"], exact["b_id"]))
+    ak = set(zip(approx["a_id"], approx["b_id"]))
+    assert ak <= ek, "LSH produced a pair the exact operator rejects"
+    if ek:
+        recall = len(ak) / len(ek)
+        # J >= 0.5 with 16 bands x 4 rows: P(candidate) = 1-(1-J^4)^16
+        # >= 0.65 at J=0.5, ~1.0 at J>=0.7 (the planted dups); require 0.6
+        assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_exact_dedup_finds_planted_duplicates(ray_session):
+    """Append literal duplicate rows to a copy of the table; exact_dedup
+    must group them and keep the smallest doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    import tempfile, os
+    from covertile import textops as T
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    dup = pa.table({
+        "doc_id": pa.array([100001, 100002], pa.int64()),
+        "text": docs["text"].slice(0, 2).combine_chunks(),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "docs.parquet")
+        pq.write_table(pa.concat_tables([docs, dup]), path)
+        res = fetch(T.exact_dedup(rd.read_parquet(path))
+                    .sort("fingerprint"))
+    assert len(res) == docs.num_rows  # 2 dup groups collapse
+    assert res["n_dups"].sum() == docs.num_rows + 2
+    dups = res[res["n_dups"] > 1]
+    assert len(dups) == 2
+    # keeper is the original (smaller) id
+    assert set(dups["keep_id"]) == {docs["doc_id"][0].as_py(),
+                                    docs["doc_id"][1].as_py()}
+
+
+def test_prefix_filter_theorem_holds():
+    """Property check: for random sets, every pair with J >= tau shares a
+    shingle inside both hash-ordered prefixes (the exactness argument of
+    ngram_jaccard_pairs)."""
+    from covertile.textops import _prefix_len
+    rng = np.random.default_rng(7)
+    tau = 0.5
+    for _ in range(200):
+        n_univ = 40
+        a = np.unique(rng.choice(n_univ, rng.integers(5, 25)))
+        b = np.unique(rng.choice(n_univ, rng.integers(5, 25)))
+        inter = len(np.intersect1d(a, b))
+        j = inter / (len(a) + len(b) - inter)
+        if j < tau:
+            continue
+        # "hash order" = integer order here (any global total order works)
+        pa_ = a[: _prefix_len(np.array([len(a)]), tau)[0]]
+        pb_ = b[: _prefix_len(np.array([len(b)]), tau)[0]]
+        assert len(np.intersect1d(pa_, pb_)) > 0, (a, b, j)
+
+
+def test_simhash_blocks_exact_vs_bruteforce(ray_session):
+    """simhash_dup_pairs must equal the brute-force O(n^2) hamming filter."""
+    import pyarrow.parquet as pq
+    from covertile import api_text, textops as T
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    t = T.simhash_batch(docs)
+    sh = np.asarray(t["simhash"], np.uint64)
+    ids = t["doc_id"].to_numpy()
+    x = sh[:, None] ^ sh[None, :]
+    ham = np.zeros_like(x, dtype=np.int64)
+    v = x.copy()
+    for _ in range(64):
+        ham += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    ai, bi = np.triu_indices(len(ids), 1)
+    keep = ham[ai, bi] <= T.SIMHASH_HAM
+    want = sorted(zip(ids[ai[keep]], ids[bi[keep]]))
+    got = fetch(api_text.QUERIES["simhash_dedup"](SF))
+    assert sorted(zip(got["a_id"], got["b_id"])) == want
