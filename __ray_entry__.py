@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from covertile import api, api_text
+from covertile import api, api_events, api_text, api_vec
 
 
 def entry() -> Any:
@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_enrich": api.q_doc_enrich,
     }
     out.update(api_text.QUERIES)
+    out.update(api_vec.QUERIES)
+    out.update(api_events.QUERIES)
     return out
 
 
@@ -51,4 +53,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_enrich": api.sql_doc_enrich(),
     }
     out.update({k: v() for k, v in api_text.ORACLES.items()})
+    out.update({k: v() for k, v in api_vec.ORACLES.items()})
+    out.update({k: v() for k, v in api_events.ORACLES.items()})
     return out

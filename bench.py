@@ -62,7 +62,9 @@ def run_bench(sf_dir: str, num_cpus: int, amplify: int) -> dict:
     from covertile.pipeline import (
         auto_resolution, build_index, derive_points,
     )
-    from covertile.queries import epsilon_graph, knn_join, pip_join, tile_assign
+    from covertile.queries import (
+        epsilon_graph, knn_join, pip_join, tile_assign,
+    )
     from covertile import spans as S
 
     if not ray.is_initialized():
@@ -129,7 +131,7 @@ def run_bench(sf_dir: str, num_cpus: int, amplify: int) -> dict:
                           min_partitions=64)
     with stage("epsilon_graph"):
         counts["epsilon_graph_edges"] = epsilon_graph(
-            idx, points, radius, concurrency=actor_conc).count()
+            idx, points, radius).count()
     with stage("knn_join"):
         counts["knn_rows"] = knn_join(
             idx, points, KNN_K, concurrency=actor_conc,
@@ -251,11 +253,12 @@ def main() -> None:
     ap.add_argument("--cpus-hi", type=int, default=32)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--amplify", type=int, default=AMPLIFY)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     if args.scaling:
         result = run_scaling(args.sf_dir, args.cpus_lo, args.cpus_hi,
-                             args.amplify)
+                             args.amplify, repeats=args.repeats)
     else:
         result = run_bench(args.sf_dir, NUM_CPUS, args.amplify)
         import ray

@@ -1,0 +1,41 @@
+"""Driver-facing event-stream queries (events table)."""
+
+from __future__ import annotations
+
+import os
+
+from . import eventops
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_id", "ts", "user_id",
+                                    "event_type", "value"])
+
+
+def q_tumbling_window(sf_dir: str):
+    return eventops.tumbling_window(_events(sf_dir))
+
+
+def sql_tumbling_window() -> str:
+    return eventops.tumbling_window_sql()
+
+
+def q_sessionize(sf_dir: str):
+    return eventops.sessionize(_events(sf_dir))
+
+
+def sql_sessionize() -> str:
+    return eventops.sessionize_sql()
+
+
+QUERIES = {
+    "events_window": q_tumbling_window,
+    "sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "events_window": sql_tumbling_window,
+    "sessionize": sql_sessionize,
+}

@@ -1,0 +1,88 @@
+"""Driver-facing embedding-similarity + multimodal queries.
+
+q_* -> Dataset matching sql_* bitwise where an oracle exists; ivf_topk is
+approximate (recall asserted in tests/test_vecops.py, rows-only driver
+check).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import mediaops, vecops
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source", "n_chars"])
+
+
+def _queries_of(sf_dir: str):
+    return vecops._load_queries(
+        os.path.join(sf_dir, "embeddings.parquet"), vecops.ANN_NUM_QUERIES)
+
+
+def q_ann_topk(sf_dir: str):
+    qid, qm = _queries_of(sf_dir)
+    return vecops.ann_topk(_emb(sf_dir), qid, qm).sort(["query_id", "rank"])
+
+
+def sql_ann_topk() -> str:
+    return vecops.ann_topk_sql()
+
+
+def q_cosine_dedup(sf_dir: str):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids, m = vecops._emb_matrix(t)
+    return vecops.cosine_pairs(_emb(sf_dir), ids, m).sort(["a_id", "b_id"])
+
+
+def sql_cosine_dedup() -> str:
+    return vecops.cosine_pairs_sql()
+
+
+def q_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    # bounded deterministic sample for the centroid fit (driver-side)
+    ids, m = vecops._emb_matrix(t.slice(0, 4096))
+    cent = vecops.fit_centroids(m)
+    qid, qm = _queries_of(sf_dir)
+    return vecops.ivf_topk(_emb(sf_dir), qid, qm, cent).sort(
+        ["query_id", "rank"])
+
+
+def q_media_features(sf_dir: str):
+    return mediaops.media_features(_docs(sf_dir)).sort(["doc_id", "offset"])
+
+
+def sql_media_features() -> str:
+    return mediaops.media_features_sql()
+
+
+QUERIES = {
+    "ann_topk": q_ann_topk,
+    "embedding_cosine_dedup": q_cosine_dedup,
+    "ivf_topk": q_ivf_topk,
+    "media_features": q_media_features,
+}
+
+ORACLES = {
+    "ann_topk": sql_ann_topk,
+    "embedding_cosine_dedup": sql_cosine_dedup,
+    "media_features": sql_media_features,
+}

@@ -1,0 +1,142 @@
+"""Windowed / sessionized operators over the events stream table
+(event_id, ts, user_id, event_type, value, props).
+
+The reference has NO streaming operators (SURVEY.md §2.8); these are the
+training-data-pipeline extensions for event-shaped inputs:
+
+* tumbling_window — fixed windows over ts with per-batch PARTIAL
+  aggregation before the (tiny) groupby shuffle: each block reduces to one
+  row per (window, event_type) before anything moves.  `value` is summed in
+  integer CENTS (the table carries 2-decimal values) so the sum is
+  order-independent and the final float division is bitwise equal to the
+  SQL oracle — float accumulation order would otherwise differ between
+  Ray's partial/final combine tree and DuckDB.
+* sessionize — per-user session stats under a gap timeout: ONE
+  groupby(user_id) shuffle, vectorized diff inside each group.  The SQL
+  mirror is the classic lag()/cumsum window-function formulation.
+
+Partitioning note (100 TB): the window key is derivable per row, so the
+partial-aggregate rows are bounded by (#windows x #types) per block —
+the shuffle is metadata-sized regardless of input volume.  Sessionize
+shuffles by user_id (the natural key); hot users would be handled by
+splitting on (user_id, day) with boundary-session stitching — documented,
+not needed at this cardinality (users ~ O(100)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+WINDOW_MINUTES = 60
+SESSION_GAP_MINUTES = 30
+
+_US_PER_MIN = 60_000_000
+
+
+def tumbling_window(events_ds, window_minutes: int = WINDOW_MINUTES):
+    """-> (window_start ts, event_type, n_events, sum_value, avg_value),
+    sorted.  Exact-integer partial aggregation (see module doc)."""
+    win_us = np.int64(window_minutes * _US_PER_MIN)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        win = (ts // win_us) * win_us
+        et = np.asarray(batch["event_type"], dtype=object)
+        cents = np.round(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        tkey, tinv = np.unique(et, return_inverse=True)
+        key = win * np.int64(len(tkey)) + tinv
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv)
+        sc = np.bincount(inv, weights=cents).astype(np.int64)
+        return pa.table({
+            "window_start": (uk // len(tkey)) * 1,  # int64 epoch-us
+            "event_type": pa.array(tkey[(uk % len(tkey))], pa.string()),
+            "n": n.astype(np.int64),
+            "cents": sc,
+        })
+
+    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["window_start", "event_type"]).sum(["n", "cents"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["sum(n)"].to_numpy()
+        cents = batch["sum(cents)"].to_numpy()
+        return pa.table({
+            "window_start": pa.array(
+                batch["window_start"].to_numpy().astype("datetime64[us]")),
+            "event_type": batch["event_type"],
+            "n_events": n,
+            "sum_value": cents.astype(np.float64) / 100.0,
+            "avg_value": (cents.astype(np.float64) / 100.0)
+                         / n.astype(np.float64),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["window_start", "event_type"]))
+
+
+def tumbling_window_sql(window_minutes: int = WINDOW_MINUTES) -> str:
+    w = window_minutes
+    cents = "CAST(round(value * 100.0) AS BIGINT)"
+    return f"""
+SELECT time_bucket(INTERVAL {w} MINUTE, ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum({cents}) AS DOUBLE) / 100.0 AS sum_value,
+       (CAST(sum({cents}) AS DOUBLE) / 100.0) / count(*) AS avg_value
+FROM events GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MINUTES):
+    """-> per-user (user_id, n_events, n_sessions, max_session_events),
+    sessions split where the gap to the previous event exceeds the
+    timeout.  ONE groupby(user_id) shuffle; vectorized inside groups."""
+    gap_us = np.int64(gap_minutes * _US_PER_MIN)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        uid = int(group["user_id"][0].as_py())
+        ts = np.sort(group["ts"].to_numpy().astype("datetime64[us]")
+                     .view(np.int64))
+        new_sess = np.concatenate(([True], np.diff(ts) > gap_us))
+        sess_id = np.cumsum(new_sess)
+        sizes = np.bincount(sess_id)[1:]
+        return pa.table({
+            "user_id": pa.array([uid], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "n_sessions": pa.array([int(new_sess.sum())], pa.int64()),
+            "max_session_events": pa.array([int(sizes.max())], pa.int64()),
+        })
+
+    return (events_ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pyarrow").sort("user_id"))
+
+
+def sessionize_sql(gap_minutes: int = SESSION_GAP_MINUTES) -> str:
+    g = gap_minutes
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {g} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       count(*) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS max_session_events
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""

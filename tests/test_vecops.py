@@ -1,0 +1,94 @@
+"""Embedding similarity + multimodal operators: oracles, recall, stubs."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def fetch(ds):
+    return ds.to_pandas().reset_index(drop=True)
+
+
+def assert_matches(got, want, name):
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert list(got.columns) == list(want.columns), name
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.array_equal(a.view(np.int64), b.view(np.int64)), (name, c)
+        else:
+            assert np.array_equal(a, b), (name, c)
+
+
+@pytest.mark.parametrize("name", [
+    "ann_topk", "embedding_cosine_dedup", "media_features",
+])
+def test_vec_query_matches_oracle(ray_session, con, name):
+    from covertile import api_vec
+    got = fetch(api_vec.QUERIES[name](SF))
+    want = con.execute(api_vec.ORACLES[name]()).df()
+    assert_matches(got, want, name)
+
+
+def test_float_margins_are_safe(con):
+    """The no-float-output contract relies on comparisons never sitting
+    within summation-order noise (~1e-7) of a decision boundary: check the
+    tau gap and the rank-k tie gap on this dataset."""
+    from covertile.vecops import ANN_K, ANN_NUM_QUERIES, COS_TAU
+    df = con.execute("""
+SELECT a.vec_id i, b.vec_id j,
+       list_cosine_similarity(a.embedding, b.embedding) c
+FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id""").df()
+    c = df["c"].to_numpy()
+    assert np.abs(c - COS_TAU).min() > 1e-5
+    # per-query gap around rank K for the ann query set
+    for q in sorted(df["i"].unique())[:ANN_NUM_QUERIES]:
+        s = np.sort(df[df["i"] == q]["c"].to_numpy())[::-1]
+        assert s[ANN_K - 1] - s[ANN_K] > 1e-5
+
+
+def test_ivf_recall(ray_session):
+    """IVF with 4/16 probes must keep high top-k recall vs exact ANN."""
+    from covertile import api_vec
+    exact = fetch(api_vec.QUERIES["ann_topk"](SF))
+    approx = fetch(api_vec.QUERIES["ivf_topk"](SF))
+    ek = set(zip(exact["query_id"], exact["neighbor_id"]))
+    ak = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(ek & ak) / len(ek)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
+def test_media_decode_stub_gates_real_codec():
+    from covertile.mediaops import MediaDecodeActor
+    with pytest.raises(NotImplementedError):
+        MediaDecodeActor(use_real_codec=True)
+
+
+def test_media_actor_batch_contract():
+    """Actor-pool plumbing: schema in/out, vectorized fake decode."""
+    import pyarrow as pa
+    from covertile.mediaops import MediaDecodeActor, fake_decode
+    a = MediaDecodeActor()
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "media_ref": pa.array(["media://s/1/0", "media://s/2/0"]),
+        "offset": pa.array([1, 1], pa.int64()),
+    })
+    out = a(batch)
+    assert out.column_names == ["doc_id", "media_ref", "offset",
+                                "width", "height", "n_frames"]
+    f = fake_decode(batch["media_ref"].combine_chunks())
+    assert out["width"].to_pylist() == list(f["width"])
+    # deterministic: same refs -> same features
+    assert a(batch).equals(out)
