@@ -93,10 +93,11 @@ class KnnHomeActor:
     by doc id), giving an upper bound d_k on the global kth-NN distance.  If
     the closed disc (q, d_k) touches only home-partition cells, the local
     top-k IS the global top-k (any closer point would live in this
-    partition) -> emit final rows (done=true).  Otherwise emit one pending
-    row (done=false) carrying radius=d_k for the phase-2 halo search.
+    partition) -> emit final rows (rank 1..k).  Otherwise emit one pending
+    row (rank=0, neighbor_id=-1, dist=d_k) for the phase-2 halo search.
 
-    Output: (query_id, rank, neighbor_id, dist, x, y, radius, done).
+    Output: (query_id, rank, neighbor_id, dist) — compact on purpose, the
+    whole phase-1 result is materialized (see kernels.knn_home_kernel).
     """
 
     def __init__(self, ckpt_dir: str, k: int, plan, radius_cap: float,
@@ -127,10 +128,6 @@ class KnnHomeActor:
                 "rank": pa.array([], pa.int64()),
                 "neighbor_id": pa.array([], pa.int64()),
                 "dist": pa.array([], pa.float64()),
-                "x": pa.array([], pa.float32()),
-                "y": pa.array([], pa.float32()),
-                "radius": pa.array([], pa.float64()),
-                "done": pa.array([], pa.bool_()),
             })
         return pa.concat_tables(outs)
 

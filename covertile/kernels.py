@@ -36,13 +36,27 @@ def radius_kernel(tree, doc_ids, src, x, y, radius):
 
 def knn_home_kernel(tree, doc_ids, pid, src, x, y, k, plan, radius_cap):
     """Phase-1 kNN: exact local top-k + home-fit test (see
-    actors.KnnHomeActor docstring).  Returns a dict of output columns
-    (query_id, rank, neighbor_id, dist, x, y, radius, done)."""
+    actors.KnnHomeActor docstring).
+
+    Returns a COMPACT 4-column dict — the phase-1 output is materialized
+    in full (n*k rows), so every byte per row is paid twice (write+scan):
+      done rows:    (query_id, rank 1..k, neighbor_id, dist)
+      pending rows: (query_id, rank=0, neighbor_id=packed(x,y), dist=d_k)
+    A pending row's float32 coordinates are bit-packed into its otherwise
+    unused neighbor_id ((x_bits << 32) | y_bits, exact roundtrip) so the
+    pending sliver carries everything phase 2 needs without widening the
+    n*k done rows."""
     from . import cells
 
     nq = len(src)
     qxy = np.stack([x, y], axis=1)
-    qk, pk, dk, _ = tree.knn_batch(qxy, k + 1)
+    # density from OCCUPIED-cell area: a partition is a union of Morton
+    # cells that may be non-compact, so a bounding-box estimate overshoots
+    # the area (and hence the initial search radius) by up to ~10x
+    n_cells = len(np.unique(cells.cell_of(x, y, plan.resolution)))
+    area = n_cells * cells.cell_side(plan.resolution) ** 2
+    init_r = float(np.sqrt(2.0 * (k + 1) * area / (np.pi * max(1, len(x)))))
+    qk, pk, dk, _ = tree.knn_batch(qxy, k + 1, init_radius=init_r)
     keep = doc_ids[pk] != src[qk]
     qk, pk, dk = qk[keep], pk[keep], dk[keep]
     # rows are sorted by (query, dist, local id); local ids are in doc_id
@@ -67,18 +81,28 @@ def knn_home_kernel(tree, doc_ids, pid, src, x, y, k, plan, radius_cap):
     done[np.unique(rep[crep[foreign]])] = False
     fin = done[qk]
     pend = np.flatnonzero(~done)
-    n_f, n_p = int(fin.sum()), len(pend)
+    n_p = len(pend)
     return {
         "query_id": np.concatenate([src[qk[fin]], src[pend]]),
         "rank": np.concatenate([rank[fin] + 1, np.zeros(n_p, np.int64)]),
         "neighbor_id": np.concatenate(
-            [doc_ids[pk[fin]], np.full(n_p, -1, np.int64)]),
-        "dist": np.concatenate([dk[fin], np.full(n_p, np.inf)]),
-        "x": np.concatenate([np.zeros(n_f, np.float32), x[pend]]),
-        "y": np.concatenate([np.zeros(n_f, np.float32), y[pend]]),
-        "radius": np.concatenate([np.zeros(n_f), d_k[pend]]),
-        "done": np.concatenate([np.ones(n_f, bool), np.zeros(n_p, bool)]),
+            [doc_ids[pk[fin]], pack_xy(x[pend], y[pend])]),
+        "dist": np.concatenate([dk[fin], d_k[pend]]),
     }
+
+
+def pack_xy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """(float32, float32) -> int64, exact bit roundtrip with unpack_xy."""
+    xb = np.ascontiguousarray(x, np.float32).view(np.uint32).astype(np.uint64)
+    yb = np.ascontiguousarray(y, np.float32).view(np.uint32).astype(np.uint64)
+    return ((xb << np.uint64(32)) | yb).view(np.int64)
+
+
+def unpack_xy(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    p = np.asarray(packed, np.int64).view(np.uint64)
+    x = (p >> np.uint64(32)).astype(np.uint32).view(np.float32)
+    y = (p & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.float32)
+    return x, y
 
 
 def knn_candidate_kernel(tree, doc_ids, src, x, y, radius, home):

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from . import cells, kernels
+from . import cells, kernels, store
 from .actors import KnnCandidateActor, RadiusQueryActor
 from .pipeline import Index
 
@@ -91,14 +91,13 @@ def epsilon_graph_self(index: Index, radius: float):
     This is the 'reuse the partitioning across stages' discipline: the
     only all-to-all ever paid on the full table is the build shuffle.
     """
-    from . import store as _store
     ck = index.ckpt_dir
     plan = index.plan
 
     def local_edges(batch: pa.Table) -> pa.Table:
         outs = []
         for pid in batch["pid"].to_numpy():
-            tree, doc_ids = _store.load_tree(ck, int(pid))
+            tree, doc_ids = store.load_tree(ck, int(pid))
             r = np.full(len(doc_ids), radius)
             s, d, dist = kernels.radius_kernel(
                 tree, doc_ids, doc_ids, tree.xy[:, 0], tree.xy[:, 1], r)
@@ -111,7 +110,7 @@ def epsilon_graph_self(index: Index, radius: float):
     def boundary_rows(batch: pa.Table) -> pa.Table:
         outs = []
         for pid in batch["pid"].to_numpy():
-            tree, doc_ids = _store.load_tree(ck, int(pid))
+            tree, doc_ids = store.load_tree(ck, int(pid))
             x, y = tree.xy[:, 0], tree.xy[:, 1]
             r = np.full(len(doc_ids), radius)
             rep, halo = cells.halo_cells(x, y, r, plan.resolution)
@@ -138,7 +137,7 @@ def epsilon_graph_self(index: Index, radius: float):
 
     def halo_group(group: pa.Table) -> pa.Table:
         pid = int(group["pid"][0].as_py())
-        tree, doc_ids = _store.load_tree(ck, pid)
+        tree, doc_ids = store.load_tree(ck, pid)
         s, d, dist = kernels.radius_kernel(
             tree, doc_ids, group["src_id"].to_numpy(),
             group["x"].to_numpy(), group["y"].to_numpy(),
@@ -190,7 +189,6 @@ def epsilon_graph(index: Index, points_ds, radius: float,
     queries = points_ds.map_batches(add_radius, batch_format="pyarrow")
     routed = route_queries(queries, index.plan)
     if mode == "groups":
-        from . import kernels, store
         ck = index.ckpt_dir
 
         def radius_group(group: pa.Table) -> pa.Table:
@@ -304,16 +302,14 @@ def knn_join(index: Index, points_ds, k: int,
         # SELF-join fast path: each partition's phase-1 queries are its own
         # checkpointed points — no input shuffle at all (see
         # epsilon_graph_self).
-        from . import kernels as kernels_mod
-        from . import store as _store
         ck = index.ckpt_dir
         plan = index.plan
 
         def local_knn(batch: pa.Table) -> pa.Table:
             outs = []
             for pid in batch["pid"].to_numpy():
-                tree, doc_ids = _store.load_tree(ck, int(pid))
-                outs.append(pa.table(kernels_mod.knn_home_kernel(
+                tree, doc_ids = store.load_tree(ck, int(pid))
+                outs.append(pa.table(kernels.knn_home_kernel(
                     tree, doc_ids, int(pid), doc_ids,
                     tree.xy[:, 0], tree.xy[:, 1], k, plan,
                     KNN_RADIUS_CAP)))
@@ -322,7 +318,6 @@ def knn_join(index: Index, points_ds, k: int,
         phase1 = _pids_ds(index).map_batches(
             local_knn, batch_format="pyarrow").materialize()
     elif mode == "groups":
-        from . import kernels, store
         ck = index.ckpt_dir
         plan = index.plan
 
@@ -350,26 +345,27 @@ def knn_join(index: Index, points_ds, k: int,
         ).materialize()
 
     def split(want_done):
+        # done rows carry rank 1..k; the single pending row per undecided
+        # query has rank == 0 (dist = its d_k search bound)
         def f(t: pa.Table) -> pa.Table:
-            mask = t["done"].combine_chunks()
-            if not want_done:
-                import pyarrow.compute as pc
-                mask = pc.invert(mask)
+            import pyarrow.compute as pc
+            mask = pc.greater(t["rank"], 0) if want_done \
+                else pc.equal(t["rank"], 0)
             return t.filter(mask)
         return f
 
-    done = (phase1.map_batches(split(True), batch_format="pyarrow")
-            .select_columns(["query_id", "rank", "neighbor_id", "dist"]))
+    done = phase1.map_batches(split(True), batch_format="pyarrow")
     pending = phase1.map_batches(split(False), batch_format="pyarrow")
     if pending.count() == 0:
         return done
 
     def rehydrate(batch: pa.Table) -> pa.Table:
+        x, y = kernels.unpack_xy(batch["neighbor_id"].to_numpy())
         return pa.table({
             "src_id": batch["query_id"],
-            "x": batch["x"],
-            "y": batch["y"],
-            "radius": batch["radius"],
+            "x": x,
+            "y": y,
+            "radius": batch["dist"],  # the phase-1 d_k bound
         })
 
     # the pending set is a filtered sliver of phase-1's blocks; without an
@@ -379,7 +375,6 @@ def knn_join(index: Index, points_ds, k: int,
                .repartition(64))
     routed = route_queries(queries, index.plan, with_home=True)
     if mode == "groups":
-        from . import kernels, store
         ck2 = index.ckpt_dir
 
         def cand_group(group: pa.Table) -> pa.Table:
