@@ -1,0 +1,161 @@
+"""Command-line entry points mirroring the reference's programs.
+
+    python -m covertile.cli create-points -n 100000 -V 10 -s 5 -o pts.fvecs
+    python -m covertile.cli build-graph   -i pts.fvecs -r 0.15 -o graph.txt
+    python -m covertile.cli check-graph   -n 50000 -r 0.15 -V 10 -s 5
+
+* create-points ~ /root/reference/programs/create_points.cpp:50-69 (S1+S4):
+  seeded Gaussian cloud written in the reference's binary fvecs format.
+* build-graph ~ programs/build_graph.cpp (S3 -> T1 -> J1 -> S6): read a
+  point file, build the partitioned cover-tree index, run the epsilon
+  radius self-join, write the reference's 1-indexed sorted text format.
+* check-graph ~ programs/epsilon_graph.cpp:109-163 — the reference's own
+  conformance harness: build the epsilon graph twice (engine vs O(n^2)
+  brute force) and compare exactly; prints the reference's success line.
+
+These own the Ray session (the only places outside bench.py/tests that
+do); flags match the reference CLI where meaningful (-n -V -s -r -C -o -i).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import struct
+import sys
+
+import numpy as np
+
+
+def _ray_session():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
+    return ray
+
+
+def gaussian_points(n: int, var: float, seed: int) -> np.ndarray:
+    """Seeded 2-D Gaussian cloud (reference src/Point.cpp:45-60 uses
+    default_random_engine(17*seed); bit parity with libstdc++ is not a
+    contract — correctness is checked against brute force)."""
+    rng = np.random.default_rng(17 * seed)
+    return rng.normal(0.0, np.sqrt(var), (n, 2)).astype(np.float32)
+
+
+def cmd_create_points(args) -> int:
+    pts = gaussian_points(args.n, args.var, args.seed)
+    with open(args.output, "wb") as f:
+        dims = np.full((len(pts), 1), 2, np.int32).view(np.float32)
+        np.hstack([dims, pts]).astype(np.float32).tofile(f)
+    print(f"wrote {len(pts)} points (dim=2) to {args.output}")
+    return 0
+
+
+def _index_points(xy: np.ndarray, ckpt: str, base: float):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from covertile import cells
+    from covertile.pipeline import auto_resolution, build_index
+
+    n = len(xy)
+    # normalize into the engine's cell world-box if points fall outside
+    res = auto_resolution(n, None, target_cell_points=max(64, n // 256))
+    t = pa.table({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "x": xy[:, 0], "y": xy[:, 1],
+        "cell": cells.cell_of(xy[:, 0], xy[:, 1], res).astype(np.int64),
+    })
+    blocks = max(4, min(256, n // 10_000 + 1))
+    pts = rd.from_arrow(t).repartition(blocks)
+    idx = build_index(pts, ckpt, res,
+                      target_points=max(2000, min(32_000, n // 64)),
+                      min_partitions=4, base=base)
+    return idx, pts
+
+
+def cmd_build_graph(args) -> int:
+    import tempfile
+
+    _ray_session()
+    from covertile.queries import epsilon_graph
+    from covertile.sources import fvecs_dim_count, read_fvecs, \
+        write_graph_text_single
+
+    dim, n = fvecs_dim_count(args.input)
+    assert dim == 2, f"dim={dim}: the spatial engine indexes 2-D points"
+    tbl = read_fvecs(args.input).to_pandas().sort_values("point_id")
+    xy = np.stack(tbl["coords"].to_numpy()).astype(np.float32)
+    ckpt = args.ckpt or tempfile.mkdtemp(prefix="covertile-cli-")
+    idx, pts = _index_points(xy, ckpt, args.base)
+    edges = epsilon_graph(idx, pts, args.radius)
+    n_edges = write_graph_text_single(edges, args.output, n_verts=n)
+    print(f"n={n} radius={args.radius} -> {n_edges} edges "
+          f"(avg deg {n_edges / n:.2f}) -> {args.output}")
+    return 0
+
+
+def cmd_check_graph(args) -> int:
+    import tempfile
+
+    _ray_session()
+    from covertile.covertree import brute_force_radius
+    from covertile.queries import epsilon_graph
+
+    xy = gaussian_points(args.n, args.var, args.seed)
+    ckpt = tempfile.mkdtemp(prefix="covertile-check-")
+    idx, pts = _index_points(xy, ckpt, args.base)
+    got = (epsilon_graph(idx, pts, args.radius).to_pandas()
+           .sort_values(["src_id", "dst_id"]).reset_index(drop=True))
+    qi, pi, di = brute_force_radius(xy, xy, args.radius)
+    order = np.lexsort((pi, qi))
+    ok = (len(got) == len(qi)
+          and np.array_equal(got["src_id"].to_numpy(), qi[order])
+          and np.array_equal(got["dst_id"].to_numpy(), pi[order])
+          and np.array_equal(got["dist"].to_numpy().view(np.int64),
+                             di[order].view(np.int64)))
+    # the reference's own verdict line (programs/epsilon_graph.cpp:133-140)
+    print("Graph construction was successful" if ok
+          else "Graph construction was NOT successful")
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m covertile.cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("create-points")
+    p.add_argument("-n", type=int, required=True)
+    p.add_argument("-V", "--var", type=float, default=10.0)
+    p.add_argument("-s", "--seed", type=int, default=0)
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_create_points)
+
+    p = sub.add_parser("build-graph")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-r", "--radius", type=float, required=True)
+    p.add_argument("-C", "--base", type=float, default=2.0)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.set_defaults(fn=cmd_build_graph)
+
+    p = sub.add_parser("check-graph")
+    p.add_argument("-n", type=int, required=True)
+    p.add_argument("-r", "--radius", type=float, required=True)
+    p.add_argument("-V", "--var", type=float, default=10.0)
+    p.add_argument("-s", "--seed", type=int, default=0)
+    p.add_argument("-C", "--base", type=float, default=2.0)
+    p.set_defaults(fn=cmd_check_graph)
+
+    args = ap.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,43 @@
+"""Reference-workflow CLI: create-points -> build-graph -> conformance."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+ENV = dict(os.environ, RAY_GRAFT_CPUS="4")
+
+
+def run(args):
+    return subprocess.run([sys.executable, "-m", "covertile.cli", *args],
+                          capture_output=True, text=True, env=ENV,
+                          cwd="/root/repo")
+
+
+def test_cli_reference_workflow(tmp_path):
+    pts = str(tmp_path / "pts.fvecs")
+    graph = str(tmp_path / "graph.txt")
+    r = run(["create-points", "-n", "3000", "-V", "10", "-s", "7", "-o", pts])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.getsize(pts) == 3000 * 12  # int32 dim + 2 float32
+
+    r = run(["build-graph", "-i", pts, "-r", "0.5", "-o", graph])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = open(graph).read().splitlines()
+    n_verts, n_edges = map(int, lines[0].split())
+    assert n_verts == 3000
+    assert len(lines) == n_edges + 1
+
+    # exact equality with the brute-force oracle (1-indexed, sorted)
+    from covertile.cli import gaussian_points
+    from covertile.covertree import brute_force_radius
+    xy = gaussian_points(3000, 10.0, 7)
+    qi, pi, _ = brute_force_radius(xy, xy, 0.5)
+    order = np.lexsort((pi, qi))
+    want = [f"{u + 1} {v + 1}" for u, v in zip(qi[order], pi[order])]
+    assert lines[1:] == want
+
+    r = run(["check-graph", "-n", "2000", "-r", "0.5", "-V", "10", "-s", "3"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Graph construction was successful" in r.stdout

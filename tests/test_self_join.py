@@ -49,3 +49,35 @@ def test_knn_self_equals_routed(built):
         assert np.array_equal(a[c].to_numpy(), b[c].to_numpy())
     assert np.array_equal(a["dist"].to_numpy().view(np.int64),
                           b["dist"].to_numpy().view(np.int64))
+
+
+def test_epsilon_actors_equals_groups(built):
+    from covertile.queries import epsilon_graph
+
+    idx, pts = built
+    a = _sorted_df(epsilon_graph(idx, pts, 0.5, mode="groups"),
+                   ["src_id", "dst_id"])
+    b = _sorted_df(epsilon_graph(idx, pts, 0.5, mode="actors",
+                                 concurrency=(1, 2)),
+                   ["src_id", "dst_id"])
+    assert len(a) == len(b)
+    for c in ["src_id", "dst_id"]:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy())
+    assert np.array_equal(a["dist"].to_numpy().view(np.int64),
+                          b["dist"].to_numpy().view(np.int64))
+
+
+def test_knn_actors_equals_groups(built):
+    from covertile.queries import knn_join
+
+    idx, pts = built
+    a = _sorted_df(knn_join(idx, pts, 8, mode="groups"),
+                   ["query_id", "rank"])
+    b = _sorted_df(knn_join(idx, pts, 8, mode="actors",
+                            concurrency=(1, 2)),
+                   ["query_id", "rank"])
+    assert len(a) == len(b)
+    for c in ["query_id", "rank", "neighbor_id"]:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy())
+    assert np.array_equal(a["dist"].to_numpy().view(np.int64),
+                          b["dist"].to_numpy().view(np.int64))
