@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_stats": api.q_cell_stats,
         "span_stats": api.q_span_stats,
         "doc_enrich": api.q_doc_enrich,
+        "index_lineage": api.q_index_lineage,
     }
     out.update(api_text.QUERIES)
     out.update(api_vec.QUERIES)

@@ -352,3 +352,21 @@ SELECT CAST(floor((CAST(x AS DOUBLE) - {C.WORLD_MIN!r}) / {cs!r}) AS BIGINT) AS 
        count(*) AS n_docs
 FROM pts GROUP BY ix, iy ORDER BY ix, iy
 """
+
+
+# ------------------------------------------------------------------ lineage
+
+def q_index_lineage(sf_dir: str):
+    """Per-partition build lineage/metrics records (north rule) as a
+    Dataset: one row per completed partition with counts, tree stats and
+    wall time — the Ray-native analogue of the reference's timing report
+    and dump_info (src/CoverTree.cpp:344-352, src/DistCoverTree.cpp:975-
+    1047).  Rows-only driver check (values are runtime-dependent)."""
+    import ray.data as rd
+
+    idx, _, _ = _index_for(sf_dir, EPS_RADIUS)
+    rows = idx.lineage()
+    keep = ["pid", "n_points", "n_vertices", "n_levels", "niters"]
+    return rd.from_items(
+        [{k: int(r[k]) for k in keep} for r in
+         sorted(rows, key=lambda r: r["pid"])])

@@ -146,3 +146,29 @@ def write_graph_text_single(edges_ds, path: str, n_verts: int) -> int:
         f.write(f"{n_verts} {len(src)}\n".encode())
         f.write(_format_edges(src, dst))
     return len(src)
+
+
+def write_tree_gml(ckpt_dir: str, pid: int, path: str) -> int:
+    """GML dump of one partition's cover tree for inspection — the S8
+    debug sink (/root/reference/src/OldCoverTree.cpp:383-417): nodes carry
+    (id, pt, level, cover radius), edges carry the normalized
+    parent-child distance.  Driver-side, test-sized trees only."""
+    from . import store
+
+    tree, doc_ids = store.load_tree(ckpt_dir, pid)
+    vx = tree.xy[tree.pt].astype(np.float64)
+    lines = ["graph [", "  directed 1"]
+    for v in range(tree.num_vertices):
+        lines.append(
+            f"  node [ id {v} pt {int(doc_ids[tree.pt[v]])} "
+            f"level {int(tree.level[v])} cover {tree._ball[v]:.6f} ]")
+    for v in range(tree.num_vertices):
+        for c in tree.child_ids[tree.child_off[v]:tree.child_off[v + 1]]:
+            d = float(np.sqrt(((vx[v] - vx[c]) ** 2).sum()))
+            nd = d / tree.max_radius if tree.max_radius else 0.0
+            lines.append(f"  edge [ source {v} target {int(c)} "
+                         f"dist {nd:.6f} ]")
+    lines.append("]")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return tree.num_vertices

@@ -75,3 +75,22 @@ def test_graph_text_single_conformance(ray_session, tmp_path):
     lines = open(path).read().splitlines()
     assert lines[0] == "3 4"
     assert lines[1:] == ["1 1", "2 1", "2 2", "3 3"]
+
+
+def test_gml_dump(ray_session, tmp_path):
+    """S8 parity: GML tree dump with nesting-consistent structure."""
+    import ray.data as rd
+    from covertile.pipeline import build_index, derive_points
+    from covertile.sources import write_tree_gml
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id"])
+    ck = str(tmp_path / "ck")
+    idx = build_index(derive_points(docs, 3), ck, 3,
+                      target_points=64, min_partitions=4)
+    path = str(tmp_path / "tree.gml")
+    nv = write_tree_gml(ck, 0, path)
+    text = open(path).read()
+    assert text.count("node [") == nv
+    assert text.count("edge [") == nv - 1  # a tree: every vertex one parent
+    assert text.startswith("graph [")
