@@ -63,8 +63,10 @@ def tumbling_window(events_ds, window_minutes: int = WINDOW_MINUTES):
         n = batch["sum(n)"].to_numpy()
         cents = batch["sum(cents)"].to_numpy()
         return pa.table({
-            "window_start": pa.array(
-                batch["window_start"].to_numpy().astype("datetime64[us]")),
+            # int64 epoch-microseconds: immune to timestamp-unit (ns/us)
+            # representation differences between Ray->pandas and DuckDB->
+            # pandas in the driver's hash compare
+            "window_start_us": batch["window_start"],
             "event_type": batch["event_type"],
             "n_events": n,
             "sum_value": cents.astype(np.float64) / 100.0,
@@ -73,20 +75,21 @@ def tumbling_window(events_ds, window_minutes: int = WINDOW_MINUTES):
         })
 
     return (agg.map_batches(finalize, batch_format="pyarrow")
-            .sort(["window_start", "event_type"]))
+            .sort(["window_start_us", "event_type"]))
 
 
 def tumbling_window_sql(window_minutes: int = WINDOW_MINUTES) -> str:
     w = window_minutes
     cents = "CAST(round(value * 100.0) AS BIGINT)"
     return f"""
-SELECT time_bucket(INTERVAL {w} MINUTE, ts) AS window_start,
+SELECT CAST(epoch_us(time_bucket(INTERVAL {w} MINUTE, ts)) AS BIGINT)
+         AS window_start_us,
        event_type,
        count(*) AS n_events,
        CAST(sum({cents}) AS DOUBLE) / 100.0 AS sum_value,
        (CAST(sum({cents}) AS DOUBLE) / 100.0) / count(*) AS avg_value
-FROM events GROUP BY window_start, event_type
-ORDER BY window_start, event_type
+FROM events GROUP BY window_start_us, event_type
+ORDER BY window_start_us, event_type
 """
 
 

@@ -58,8 +58,8 @@ def auto_resolution(n_points: int, radius: float | None = None,
     r_density = max(1, int(np.ceil(np.log2(max(2.0, n_points / target_cell_points)) / 2)) + 1)
     if radius is not None and radius > 0:
         r_radius = int(np.floor(np.log2(cells.WORLD_SIDE / (2.0 * radius))))
-        return int(np.clip(min(r_density, r_radius), 1, 16))
-    return int(np.clip(r_density, 1, 16))
+        return int(np.clip(min(r_density, r_radius), 1, 14))
+    return int(np.clip(r_density, 1, 14))
 
 
 # --------------------------------------------------------------------- plan
@@ -76,6 +76,15 @@ def compute_plan(points_ds, resolution: int, target_points: int,
     (reference per-hub counts, /root/reference/src/DistCoverTree.cpp:45-83)
     as partial + driver-side final combine.
     """
+    # plan-size ceiling: the driver-side combine and the broadcast plan
+    # arrays hold one entry per OCCUPIED cell (<= 4^res).  res 14 bounds
+    # that at ~268M cells; beyond it the plan itself must go hierarchical
+    # (coarse cells -> per-coarse-cell sub-plans), which nothing at the
+    # tested scales needs yet.
+    assert resolution <= 14, (
+        f"resolution {resolution}: plan would exceed driver capacity; "
+        "use hierarchical planning (coarse prefix -> sub-plans)")
+
     def partial_counts(batch: pa.Table) -> pa.Table:
         c, n = np.unique(batch["cell"].to_numpy(), return_counts=True)
         return pa.table({"cell": c, "n": n.astype(np.int64)})
