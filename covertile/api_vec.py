@@ -74,15 +74,36 @@ def sql_media_features() -> str:
     return mediaops.media_features_sql()
 
 
+def q_media_resize(sf_dir: str):
+    return mediaops.media_resize(_docs(sf_dir)).sort(["doc_id", "offset"])
+
+
+def sql_media_resize() -> str:
+    return mediaops.media_resize_sql()
+
+
+def q_frame_sample(sf_dir: str):
+    return mediaops.frame_sample(_docs(sf_dir)).sort(
+        ["doc_id", "offset", "sample_idx"])
+
+
+def sql_frame_sample() -> str:
+    return mediaops.frame_sample_sql()
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_cosine_dedup": q_cosine_dedup,
     "ivf_topk": q_ivf_topk,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "frame_sample": q_frame_sample,
 }
 
 ORACLES = {
     "ann_topk": sql_ann_topk,
     "embedding_cosine_dedup": sql_cosine_dedup,
     "media_features": sql_media_features,
+    "media_resize": sql_media_resize,
+    "frame_sample": sql_frame_sample,
 }

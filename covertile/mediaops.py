@@ -137,3 +137,110 @@ SELECT doc_id,
        1 + {s} % 24 AS n_frames
 FROM m ORDER BY doc_id, "offset"
 """
+
+
+RESIZE_W, RESIZE_H = 224, 224
+FRAME_SAMPLE_N = 4
+
+
+class MediaResizeActor:
+    """Actor-pool resize stage: consumes decoded features and emits the
+    letterboxed target geometry (scale = min(W/w, H/h), centered) — pure
+    integer arithmetic on the fake-decoded dims so the SQL oracle is
+    exact.  A real implementation would transform the binary payload with
+    the codec handle loaded in __init__; the geometry contract is what
+    downstream stages consume either way."""
+
+    def __init__(self, target_w: int = RESIZE_W, target_h: int = RESIZE_H):
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy()
+        h = batch["height"].to_numpy()
+        # integer letterbox: scaled = floor(dim * t / max-side limiting)
+        out_w = np.where(w * self.th <= h * self.tw,
+                         (w * self.th) // h, self.tw).astype(np.int64)
+        out_h = np.where(w * self.th <= h * self.tw,
+                         self.th, (h * self.tw) // w).astype(np.int64)
+        out = batch.select(["doc_id", "media_ref", "offset"])
+        out = out.append_column("out_w", pa.array(out_w, pa.int64()))
+        out = out.append_column("out_h", pa.array(out_h, pa.int64()))
+        out = out.append_column(
+            "pad_x", pa.array((self.tw - out_w) // 2, pa.int64()))
+        out = out.append_column(
+            "pad_y", pa.array((self.th - out_h) // 2, pa.int64()))
+        return out
+
+
+class FrameSampleActor:
+    """Actor-pool frame-sampling stage: n_samples evenly spaced frame
+    indices per media span (frame i -> floor(i * n_frames / n_samples)),
+    exploded one row per sampled frame — the video-pipeline shape where a
+    later stage decodes exactly these frames."""
+
+    def __init__(self, n_samples: int = FRAME_SAMPLE_N):
+        self.n = n_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nf = batch["n_frames"].to_numpy()
+        take = np.minimum(nf, self.n)
+        rep = np.repeat(np.arange(len(nf)), take)
+        pos = np.arange(take.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(take)))[:-1], take)
+        frame = (pos * nf[rep]) // take[rep]
+        out = pa.table({
+            "doc_id": batch["doc_id"].take(pa.array(rep)),
+            "media_ref": batch["media_ref"].take(pa.array(rep)),
+            "offset": batch["offset"].take(pa.array(rep)),
+            "sample_idx": pos,
+            "frame_idx": frame.astype(np.int64),
+        })
+        return out
+
+
+def media_resize(docs_ds, concurrency=(1, 4)):
+    return media_features(docs_ds, concurrency).map_batches(
+        MediaResizeActor, batch_format="pyarrow",
+        batch_size=MEDIA_BATCH, concurrency=concurrency)
+
+
+def frame_sample(docs_ds, concurrency=(1, 4)):
+    return media_features(docs_ds, concurrency).map_batches(
+        FrameSampleActor, batch_format="pyarrow",
+        batch_size=MEDIA_BATCH, concurrency=concurrency)
+
+
+def media_resize_sql(tw: int = RESIZE_W, th: int = RESIZE_H) -> str:
+    base = media_features_sql().strip().rstrip()
+    base = base[: base.rindex("ORDER BY")]
+    return f"""
+WITH feat AS ({base})
+SELECT doc_id, media_ref, "offset",
+       CASE WHEN width * {th} <= height * {tw}
+            THEN (width * {th}) // height ELSE {tw} END AS out_w,
+       CASE WHEN width * {th} <= height * {tw}
+            THEN {th} ELSE (height * {tw}) // width END AS out_h,
+       ({tw} - CASE WHEN width * {th} <= height * {tw}
+               THEN (width * {th}) // height ELSE {tw} END) // 2 AS pad_x,
+       ({th} - CASE WHEN width * {th} <= height * {tw}
+               THEN {th} ELSE (height * {tw}) // width END) // 2 AS pad_y
+FROM feat ORDER BY doc_id, "offset"
+"""
+
+
+def frame_sample_sql(n: int = FRAME_SAMPLE_N) -> str:
+    base = media_features_sql().strip()
+    base = base[: base.rindex("ORDER BY")]
+    return f"""
+WITH feat AS ({base}),
+s AS (
+  SELECT doc_id, media_ref, "offset",
+         CAST(n_frames AS BIGINT) AS n_frames,
+         CAST(LEAST(n_frames, {n}) AS BIGINT) AS take,
+         unnest(range(CAST(LEAST(n_frames, {n}) AS BIGINT))) AS sample_idx
+  FROM feat
+)
+SELECT doc_id, media_ref, "offset", sample_idx,
+       (sample_idx * n_frames) // take AS frame_idx
+FROM s ORDER BY doc_id, "offset", sample_idx
+"""

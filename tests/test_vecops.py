@@ -33,6 +33,7 @@ def assert_matches(got, want, name):
 
 @pytest.mark.parametrize("name", [
     "ann_topk", "embedding_cosine_dedup", "media_features",
+    "media_resize", "frame_sample",
 ])
 def test_vec_query_matches_oracle(ray_session, con, name):
     from covertile import api_vec
