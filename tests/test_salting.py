@@ -84,3 +84,31 @@ def test_salted_knn_exact(hot_index):
     q0 = got[got["query_id"] == 0]
     assert q0["neighbor_id"].tolist() == [1, 2, 3, 4, 5]
     assert (q0["dist"] == 0).all()
+
+
+def test_salted_self_modes_exact(hot_index):
+    """The shuffle-free self-join paths must stay exact when duplicates
+    are split across salt partitions (each salt holds a share of the hot
+    cell; phase A answers locally, the cross-salt pairs ride the boundary
+    route)."""
+    from covertile.covertree import brute_force_knn, brute_force_radius
+    from covertile.queries import epsilon_graph_self, knn_join
+
+    idx, pts, xy, ids = hot_index
+    got = (epsilon_graph_self(idx, 0.75).to_pandas()
+           .sort_values(["src_id", "dst_id"]).reset_index(drop=True))
+    qi, pi, di = brute_force_radius(xy, xy, 0.75)
+    order = np.lexsort((pi, qi))
+    assert len(got) == len(qi)
+    assert np.array_equal(got["src_id"].to_numpy(), ids[qi[order]])
+    assert np.array_equal(got["dst_id"].to_numpy(), ids[pi[order]])
+
+    k = 5
+    got_k = (knn_join(idx, pts, k, mode="self").to_pandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    bq, bp, bd = brute_force_knn(xy, xy, k, exclude_pt=np.arange(len(xy)))
+    assert len(got_k) == len(bq)
+    assert np.array_equal(got_k["query_id"].to_numpy(), ids[bq])
+    assert np.array_equal(got_k["neighbor_id"].to_numpy(), ids[bp])
+    assert np.array_equal(got_k["dist"].to_numpy().view(np.int64),
+                          bd.view(np.int64))
