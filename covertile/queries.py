@@ -1,14 +1,22 @@
 """Query pipelines over a built index: epsilon graph, kNN join, PIP, tiles.
 
 Each is Dataset -> Dataset, composed from: halo routing (vectorized
-flat_map), ONE shuffle keyed by pid (sort — the routed rows are then
-consumed by the stateful actor pool in pid-contiguous batches), and a
-vectorized merge.  No stage materializes the full input on the driver.
+expansion to every partition whose cells intersect the query disc), ONE
+shuffle keyed by pid, and a vectorized per-partition kernel.  Three
+execution strategies share the kernels (covertile/kernels.py):
 
-Replaces the reference's distributed query path — allgather all points to
-every rank + one collective per query point
-(/root/reference/src/DistCoverTree.cpp:679-724) — with shuffle-routed
-queries answered from per-partition trees (SURVEY.md §2.4 J1).
+  mode="groups" (default) — groupby(pid).map_groups, tree loaded per task;
+  mode="actors"           — sort(pid) -> stateful actor pool (LRU cache),
+                            the serving path for repeated query batches;
+  mode="self" / *_self    — self-joins answered from each partition's own
+                            checkpointed points; only the boundary sliver
+                            shuffles (the multi-node scale path).
+
+No stage materializes the full input on the driver.  Replaces the
+reference's distributed query path — allgather all points to every rank +
+one collective per query point (/root/reference/src/DistCoverTree.cpp:
+679-724) — with shuffle-routed queries answered from per-partition trees
+(SURVEY.md §2.4 J1).
 """
 
 from __future__ import annotations
