@@ -245,6 +245,137 @@ def run_scaling(sf_dir: str, lo: int, hi: int, amplify: int,
     return result
 
 
+
+def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
+                  n_vecs: int = 500_000) -> dict:
+    """Training-data operator families at amplified synthetic scale:
+    text analysis + dedup over generated documents (real-table vocabulary,
+    ~1% planted exact duplicates) and ANN over generated unit vectors.
+    Separate from the default spatial bench; run with --aux."""
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from covertile import textops as T
+    from covertile import vecops as V
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data.context import DataContext, ShuffleStrategy
+    DataContext.get_current().shuffle_strategy = \
+        ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    # vocabulary from the real table (small, driver-side)
+    real = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    base_vocab = np.unique(np.concatenate(
+        [t.split(" ") for t in real["text"].to_pylist()[:2000]]))
+    # The real table's vocabulary is tiny (~31 words at sf0.01). Expand it to
+    # ~30k tokens that are diverse at the CHARACTER level too: dedup is
+    # 8-char-shingle Jaccard (textops.SHINGLE_K), so compounds built only from
+    # the 31 base words share most shingles and every doc pair becomes a
+    # genuine near-duplicate. A per-token 6-hex suffix keeps shingle sets
+    # nearly disjoint across tokens while preserving real-word prefixes.
+    idx = np.arange(30_000, dtype=np.int64)
+    sfx = (idx * np.int64(2654435761)) % np.int64(16**6)
+    vocab = np.char.add(
+        np.char.add(base_vocab[idx % len(base_vocab)], "-"),
+        np.array([format(int(s), "06x") for s in sfx]))
+    vocab_arr = pa.array(vocab)
+
+    n_blocks = max(num_cpus * 2, n_docs // 50_000)
+
+    def gen_docs(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        # ~1% exact duplicates: content id cid != doc_id reuses a neighbor
+        cid = np.where(ids % 97 == 0, ids + 1, ids)
+        lens = 30 + (cid % 50)
+        off = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        pos = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens)
+        c = np.repeat(cid, lens)
+        # Each doc draws from a private ~32-word pseudo-random pool keyed by
+        # cid. Sampling all docs from ONE shared vocabulary makes every
+        # simhash majority-vote converge to the same signature (one giant
+        # LSH bucket -> O(n^2) pairs); per-doc pools keep signatures diverse
+        # while planted duplicates (equal cid) stay byte-identical.
+        p = ((c * np.int64(2654435761) + pos * np.int64(40503))
+             % np.int64(2**31)) % np.int64(32)
+        # splitmix-style mix of (cid, p): a LINEAR map here makes every
+        # doc's 32-token pool an arithmetic progression with a shared
+        # stride, so doc pairs at resonant id deltas share most tokens and
+        # become genuine near-duplicates (measured: 16k J>=0.5 pairs at
+        # n=20k). Mixing gives pseudo-random pools (expected overlap ~0.03
+        # tokens) while planted duplicates (equal cid) stay byte-identical.
+        x = (c * np.int64(32) + p).astype(np.uint64)
+        x = x * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(29)
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(32)
+        widx = (x % np.uint64(len(vocab))).astype(np.int64)
+        words = pc.take(vocab_arr, pa.array(widx))
+        toks = pa.LargeListArray.from_arrays(off, words)
+        text = pc.binary_join(toks, " ")
+        return pa.table({"doc_id": ids, "text": text})
+
+    docs = (rd.range(n_docs, override_num_blocks=n_blocks)
+            .map_batches(gen_docs, batch_format="pyarrow").materialize())
+
+    def gen_vecs(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]) + 1)
+        m = rng.standard_normal((len(ids), V.EMBED_DIM)).astype(np.float32)
+        off = np.arange(0, (len(ids) + 1) * V.EMBED_DIM, V.EMBED_DIM,
+                        dtype=np.int64)
+        return pa.table({
+            "vec_id": ids,
+            "embedding": pa.LargeListArray.from_arrays(
+                off, pa.array(m.reshape(-1), pa.float32())),
+        })
+
+    vecs = (rd.range(n_vecs, override_num_blocks=n_blocks)
+            .map_batches(gen_vecs, batch_format="pyarrow").materialize())
+
+    timings, counts = {}, {}
+
+    def stage(name, f):
+        t0 = time.perf_counter()
+        counts[name] = f()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        log(f"  {name}: {timings[name]:.2f}s -> {counts[name]}")
+
+    stage("token_stats", lambda: docs.map_batches(
+        T.token_stats_batch, batch_format="pyarrow").count())
+    stage("exact_dedup", lambda: T.exact_dedup(docs).count())
+    stage("simhash_dedup", lambda: T.simhash_dup_pairs(docs).count())
+    stage("minhash_lsh_dedup", lambda: T.minhash_lsh_pairs(docs).count())
+    qid, qm = V._emb_matrix(
+        pa.concat_tables(vecs.limit(V.ANN_NUM_QUERIES).iter_batches(
+            batch_size=None, batch_format="pyarrow")))
+    stage("ann_topk", lambda: V.ann_topk(vecs, qid, qm).count())
+
+    total = round(sum(timings.values()), 3)
+    text_s = sum(timings[k] for k in
+                 ("token_stats", "exact_dedup", "simhash_dedup",
+                  "minhash_lsh_dedup"))
+    return {
+        "metric": "text/dedup + ANN operator wall time (synthetic scale)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_vecs": n_vecs,
+        "text_docs_per_sec": round(n_docs * 4 / text_s, 1),
+        "ann_vecs_per_sec": round(n_vecs / timings["ann_topk"], 1),
+        "counts": counts,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
@@ -259,9 +390,15 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--amplify", type=int, default=AMPLIFY)
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--aux", action="store_true",
+                    help="benchmark text/dedup/ANN operator families")
     args = ap.parse_args()
 
-    if args.scaling:
+    if args.aux:
+        result = run_aux_bench(args.sf_dir, NUM_CPUS)
+        import ray
+        ray.shutdown()
+    elif args.scaling:
         result = run_scaling(args.sf_dir, args.cpus_lo, args.cpus_hi,
                              args.amplify, repeats=args.repeats)
     else:

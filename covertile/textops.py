@@ -9,11 +9,14 @@ each a Dataset -> Dataset pipeline with a DuckDB-mirrorable contract:
   (tiny) groupby shuffle.
 * n-gram Jaccard near-dup pairs — EXACT (no false negatives) via
   prefix-filtering [Chaudhuri et al., ICDE'06 / Xiao et al. PPJoin]: order
-  each doc's shingle set by a global total order (the shingle's 64-bit md5
-  value); any pair with J >= tau must share a shingle within each side's
-  first |S| - ceil(tau*|S|) + 1 shingles, so only prefix shingles are
-  exploded into the inverted-index shuffle.  Candidates are verified with
-  exact set intersection (vectorized, no per-pair Python loop).
+  each doc's shingle set by a global total order (the shingle's uint64 id:
+  its k bytes packed big-endian, injective for k <= 8 — see
+  shingle_batch); any pair with J >= tau must share a shingle within each
+  side's first |S| - ceil(tau*|S|) + 1 shingles, so only prefix shingles
+  are exploded into the inverted-index shuffle.  Candidates are verified
+  with exact set intersection (vectorized, no per-pair Python loop).  The
+  SQL oracle hashes the same shingles with md5; any injective id scheme
+  yields the identical (a_id, b_id, jacc) rows.
 * MinHash+LSH near-dup pairs — banded signatures (64 perms, 16 bands x 4
   rows), candidates verified with the same exact-Jaccard verifier;
   approximate recall (no SQL oracle; recall asserted in tests).
@@ -234,32 +237,45 @@ FROM documents GROUP BY fingerprint ORDER BY fingerprint
 # -------------------------------------------------------- shingles (hashed)
 
 def shingle_batch(batch: pa.Table, k: int = SHINGLE_K):
-    """Per doc: sorted uint64 hashes of the DISTINCT k-char shingles.
-    Vectorized over shingle OFFSET (k..max_len slices), never over rows.
-    Returns (doc_ids, list-of-arrays)."""
+    """Per doc: sorted uint64 ids of the DISTINCT k-byte shingles.
+
+    Fully vectorized over the batch's flat UTF-8 buffer: the shingle id is
+    the k bytes packed big-endian into a uint64 — INJECTIVE for k <= 8
+    (the default), so Jaccard set sizes/intersections (and hence the jacc
+    values checked bitwise against the md5-based SQL oracle) are identical
+    for ASCII text, where byte k-grams == the oracle's char k-grams.  For
+    k > 8 the pack degrades to an FNV-style rolling hash (collisions
+    astronomically unlikely but possible).  Returns (doc_ids,
+    list-of-arrays)."""
     text = _text_col(batch)
     ids = batch["doc_id"].to_numpy()
-    nch = np.asarray(pc.utf8_length(text), np.int64)
-    n_sh = np.maximum(0, nch - k + 1)
-    max_sh = int(n_sh.max()) if len(n_sh) else 0
-    rows, shs = [], []
-    for i in range(max_sh):
-        sel = np.flatnonzero(n_sh > i)
-        if not len(sel):
-            break
-        chunk = pc.utf8_slice_codeunits(
-            pc.take(text, pa.array(sel)), start=i, stop=i + k)
-        rows.append(sel)
-        shs.append(np.asarray(chunk, dtype=object))
-    if not rows:
+    ta = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    if not pa.types.is_large_string(ta.type):
+        ta = ta.cast(pa.large_string())
+    off = np.frombuffer(ta.buffers()[1], np.int64)[
+        ta.offset: ta.offset + len(ta) + 1]
+    data = np.frombuffer(ta.buffers()[2], np.uint8)
+    blen = np.diff(off)
+    n_sh = np.maximum(0, blen - k + 1)
+    tot = int(n_sh.sum())
+    if tot == 0:
         return ids, [np.zeros(0, np.uint64) for _ in ids]
-    row = np.concatenate(rows)
-    h = md5_u64(np.concatenate(shs))
-    order = np.argsort(row, kind="stable")
-    row, h = row[order], h[order]
-    starts = np.searchsorted(row, np.arange(len(ids)))
-    ends = np.searchsorted(row, np.arange(len(ids)), side="right")
-    return ids, [np.unique(h[s:e]) for s, e in zip(starts, ends)]
+    rows = np.repeat(np.arange(len(ids)), n_sh)
+    excl = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+    starts = (np.repeat(off[:-1], n_sh)
+              + (np.arange(tot) - np.repeat(excl, n_sh)))
+    h = np.zeros(tot, np.uint64)
+    mult = np.uint64(256) if k <= 8 else np.uint64(0x100000001B3)
+    for j in range(k):
+        h = h * mult + data[starts + j]
+    order = np.lexsort((h, rows))
+    rs, hs = rows[order], h[order]
+    keep = np.empty(tot, bool)
+    keep[0] = True
+    keep[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+    rs, hs = rs[keep], hs[keep]
+    counts = np.bincount(rs, minlength=len(ids))
+    return ids, np.split(hs, np.cumsum(counts)[:-1])
 
 
 def shingle_sql_expr(k: int = SHINGLE_K) -> str:
@@ -284,40 +300,120 @@ def _prefix_len(n: np.ndarray, tau: float) -> np.ndarray:
 
 
 # --------------------------------------------- candidate pairs -> verified
+#
+# Buckets (inverted-index shingle / LSH band / simhash block keys) are tiny
+# and numerous — one map_groups UDF call per bucket costs ~1ms of Python and
+# dominated wall time (measured 220s/20k docs).  Instead we group by a COARSE
+# 256-way hash of the bucket key (equal keys stay together) and emit every
+# intra-run pair for ALL runs in the coarse group with one vectorized pass.
 
-def _pairs_from_groups(group: pa.Table) -> pa.Table:
-    """All (a < b) doc pairs within one inverted-index bucket."""
-    ids = np.unique(group["doc_id"].to_numpy())
-    m = len(ids)
-    if m < 2:
-        return pa.table({"pair": pa.array([], pa.int64())})
-    ai, bi = np.triu_indices(m, 1)
-    pair = ids[ai] * _PAIR_SHIFT + ids[bi]
-    return pa.table({"pair": pair})
+_COARSE_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _first_row(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
+def _coarse_bucket(v: np.ndarray, nbits: int = 8) -> np.ndarray:
+    return ((v.astype(np.uint64) * _COARSE_MIX)
+            >> np.uint64(64 - nbits)).astype(np.int64)
+
+
+def _run_pairs(keys: np.ndarray, ids: np.ndarray):
+    """Sort rows by (key, id), drop duplicate (key, id) rows, and return
+    (id_s, sel, a_idx, b_idx): the kept rows' ids, their indices into the
+    input arrays, and all index pairs a_idx < b_idx lying within a run of
+    equal key.  No per-run Python; ids within a run are ascending, so
+    id_s[a_idx] < id_s[b_idx] always."""
+    empty = np.zeros(0, np.int64)
+    n = len(keys)
+    if n < 2:
+        return ids, np.arange(n, dtype=np.int64), empty, empty
+    order = np.lexsort((ids, keys))
+    k_s, id_s = keys[order], ids[order]
+    first = np.empty(n, bool)
+    first[0] = True
+    first[1:] = k_s[1:] != k_s[:-1]
+    keep = first.copy()
+    keep[1:] |= id_s[1:] != id_s[:-1]
+    k_s, id_s, first, order = k_s[keep], id_s[keep], first[keep], order[keep]
+    n = len(k_s)
+    run_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+    pos = np.arange(n) - run_start
+    total = int(pos.sum())
+    if total == 0:
+        return id_s, order, empty, empty
+    b_idx = np.repeat(np.arange(n), pos)
+    excl = np.concatenate(([0], np.cumsum(pos)[:-1]))
+    a_idx = (np.repeat(run_start, pos)
+             + (np.arange(total) - np.repeat(excl, pos)))
+    return id_s, order, a_idx, b_idx
+
+
+def _candidate_pairs(rows_ds):
+    """rows (sh:int64 bucket key, doc_id) -> DISTINCT candidate pairs
+    (pair:int64).  Two coarse groupbys (256 groups each): one to emit
+    intra-bucket pairs, one to dedup pairs discovered in different
+    buckets."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        sh = batch["sh"].to_numpy()
+        return pa.table({"sh": sh, "doc_id": batch["doc_id"],
+                         "bk": _coarse_bucket(sh)})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        id_s, _, ai, bi = _run_pairs(g["sh"].to_numpy(),
+                                     g["doc_id"].to_numpy())
+        pair = (np.unique(id_s[ai] * _PAIR_SHIFT + id_s[bi])
+                if len(ai) else np.zeros(0, np.int64))
+        return pa.table({"pair": pa.array(pair, pa.int64())})
+
+    cand = (rows_ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bk").map_groups(bucket_pairs, batch_format="pyarrow"))
+
+    def pbucket(batch: pa.Table) -> pa.Table:
+        p = batch["pair"].to_numpy()
+        return pa.table({"pair": p, "bk": _coarse_bucket(p)})
+
+    def uniq(g: pa.Table) -> pa.Table:
+        return pa.table({"pair": pa.array(np.unique(g["pair"].to_numpy()),
+                                          pa.int64())})
+
+    return (cand.map_batches(pbucket, batch_format="pyarrow")
+            .groupby("bk").map_groups(uniq, batch_format="pyarrow"))
 
 
 def _verify_jaccard(pairs_ds, sets_ds, tau: float):
     """pairs (pair) x sets (doc_id, n_sh, shingles) -> exact Jaccard rows
     (a_id, b_id, jacc) with J >= tau.  Intersection sizes are computed for
     a whole batch at once by sorting the concatenated (pair_row, hash)
-    keys — no per-pair Python loop."""
+    keys — no per-pair Python loop.
+
+    Semi-join pruning: the candidate pair list is small by construction
+    (LSH buckets / prefix filter already ran), so it is materialized, its
+    distinct doc ids broadcast via ray.put, and both join sides filtered
+    to candidate docs BEFORE the bucketed hash join — the join shuffles
+    only candidates' shingle sets, not the whole corpus's."""
+    import ray as _ray
+
     from .joins import hash_join_int_key
 
     def split_pair(batch: pa.Table) -> pa.Table:
         p = batch["pair"].to_numpy()
         return pa.table({"a_id": p // _PAIR_SHIFT, "b_id": p % _PAIR_SHIFT})
 
-    pairs = pairs_ds.map_batches(split_pair, batch_format="pyarrow")
+    pairs = pairs_ds.map_batches(
+        split_pair, batch_format="pyarrow").materialize()
+    cand_ids = np.unique(np.concatenate(
+        [np.concatenate([b["a_id"].to_numpy(), b["b_id"].to_numpy()])
+         for b in pairs.iter_batches(batch_size=None,
+                                     batch_format="pyarrow")]
+        or [np.zeros(0, np.int64)]))
+    ids_ref = _ray.put(cand_ids)
 
     def rename(to_key, n_name, s_name):
         def f(batch: pa.Table) -> pa.Table:
-            return pa.table({to_key: batch["doc_id"],
-                             n_name: batch["n_sh"],
-                             s_name: batch["shingles"]})
+            m = np.isin(batch["doc_id"].to_numpy(), _ray.get(ids_ref))
+            t = batch.filter(pa.array(m))
+            return pa.table({to_key: t["doc_id"],
+                             n_name: t["n_sh"],
+                             s_name: t["shingles"]})
         return f
 
     a_sets = sets_ds.map_batches(rename("a_id", "n_a", "s_a"),
@@ -391,10 +487,7 @@ def ngram_jaccard_pairs(docs_ds, tau: float = JACCARD_TAU,
         })
 
     prefix = sets_ds.map_batches(prefix_rows, batch_format="pyarrow")
-    cand = (prefix.groupby("sh")
-            .map_groups(_pairs_from_groups, batch_format="pyarrow")
-            .groupby("pair").map_groups(_first_row, batch_format="pyarrow"))
-    return _verify_jaccard(cand, sets_ds, tau)
+    return _verify_jaccard(_candidate_pairs(prefix), sets_ds, tau)
 
 
 def ngram_jaccard_sql(tau: float = JACCARD_TAU, k: int = SHINGLE_K) -> str:
@@ -464,10 +557,7 @@ def minhash_lsh_pairs(docs_ds, tau: float = JACCARD_TAU,
                          "doc_id": np.concatenate(out_d)})
 
     banded = sets_ds.map_batches(band_rows, batch_format="pyarrow")
-    cand = (banded.groupby("sh")
-            .map_groups(_pairs_from_groups, batch_format="pyarrow")
-            .groupby("pair").map_groups(_first_row, batch_format="pyarrow"))
-    return _verify_jaccard(cand, sets_ds, tau)
+    return _verify_jaccard(_candidate_pairs(banded), sets_ds, tau)
 
 
 # ----------------------------------------------------------------- SimHash
@@ -527,36 +617,48 @@ def simhash_dup_pairs(docs_ds, max_ham: int = SIMHASH_HAM,
                          "doc_id": np.concatenate(ds),
                          "simhash": pa.array(np.concatenate(ss), pa.uint64())})
 
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bk", pa.array(_coarse_bucket(batch["bkey"].to_numpy())))
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        sh = np.asarray(group["simhash"], np.uint64)
-        _, first = np.unique(ids, return_index=True)
-        ids, sh = ids[first], sh[first]
-        m = len(ids)
-        if m < 2:
-            return pa.table({"pair": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        ai, bi = np.triu_indices(m, 1)
-        x = sh[ai] ^ sh[bi]
+        # one coarse group holds MANY bkey runs; pairs come only from
+        # within a run (equal 16-bit block ⇒ candidate by pigeonhole)
+        id_s, sel, ai, bi = _run_pairs(group["bkey"].to_numpy(),
+                                       group["doc_id"].to_numpy())
+        empty = pa.table({"pair": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if not len(ai):
+            return empty
+        sh_s = np.asarray(group["simhash"], np.uint64)[sel]
+        x = sh_s[ai] ^ sh_s[bi]
         ham = np.zeros(len(x), np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
         keep = ham <= max_ham
-        return pa.table({"pair": ids[ai[keep]] * _PAIR_SHIFT + ids[bi[keep]],
-                         "hamming": ham[keep]})
+        pair, ui = np.unique(id_s[ai[keep]] * _PAIR_SHIFT + id_s[bi[keep]],
+                             return_index=True)
+        return pa.table({"pair": pa.array(pair, pa.int64()),
+                         "hamming": pa.array(ham[keep][ui], pa.int64())})
+
+    def pbucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bk2", pa.array(_coarse_bucket(batch["pair"].to_numpy())))
 
     def emit(group: pa.Table) -> pa.Table:
-        p = int(group["pair"][0].as_py())
+        p, ui = np.unique(group["pair"].to_numpy(), return_index=True)
         return pa.table({
-            "a_id": pa.array([p // int(_PAIR_SHIFT)], pa.int64()),
-            "b_id": pa.array([p % int(_PAIR_SHIFT)], pa.int64()),
-            "hamming": group["hamming"][:1],
+            "a_id": pa.array(p // _PAIR_SHIFT, pa.int64()),
+            "b_id": pa.array(p % _PAIR_SHIFT, pa.int64()),
+            "hamming": pa.array(group["hamming"].to_numpy()[ui], pa.int64()),
         })
 
     return (docs_ds.map_batches(block_rows, batch_format="pyarrow")
-            .groupby("bkey").map_groups(bucket_pairs, batch_format="pyarrow")
-            .groupby("pair").map_groups(emit, batch_format="pyarrow"))
+            .map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("bk").map_groups(bucket_pairs, batch_format="pyarrow")
+            .map_batches(pbucket, batch_format="pyarrow")
+            .groupby("bk2").map_groups(emit, batch_format="pyarrow"))
 
 
 def simhash_dup_sql(max_ham: int = SIMHASH_HAM) -> str:
