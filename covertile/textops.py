@@ -564,15 +564,30 @@ def minhash_lsh_pairs(docs_ds, tau: float = JACCARD_TAU,
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, simhash uint64): majority vote per bit over the doc's token
-    hash multiset; strict majority sets the bit (ties -> 0)."""
+    hash multiset; strict majority sets the bit (ties -> 0).
+
+    Tokens are deduped with Arrow dictionary_encode (C++), md5 is computed
+    once per distinct token, and per-doc bit counts use np.add.reduceat
+    per bit column — no token x 64 prefix-sum matrix."""
     toks = _token_lists(_text_col(batch))
     lens = np.asarray(pc.list_value_length(toks), np.int64)
     off = _segment_offsets(lens)
-    th = md5_u64(np.asarray(toks.flatten(), dtype=object))
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)
-    cs = np.concatenate([np.zeros((1, 64), np.int64), np.cumsum(bits, 0)])
-    ones = cs[off[1:]] - cs[off[:-1]]
+    flat = toks.flatten()
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    d = flat.dictionary_encode()
+    hd = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+         for s in d.dictionary.to_pylist()),
+        dtype=np.uint64, count=len(d.dictionary))
+    th = hd[np.asarray(d.indices, np.int64)] if len(hd) else \
+        np.zeros(0, np.uint64)
+    nonempty = lens > 0
+    starts = off[:-1][nonempty]
+    ones = np.zeros((len(lens), 64), np.int64)
+    for j in range(64):
+        col = ((th >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        if len(starts):
+            ones[nonempty, j] = np.add.reduceat(col, starts)
     bit = (2 * ones > lens[:, None]).astype(np.uint64)
     sh = (bit << np.arange(64, dtype=np.uint64)[None, :]).sum(
         1, dtype=np.uint64)
