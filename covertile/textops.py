@@ -249,6 +249,8 @@ def shingle_batch(batch: pa.Table, k: int = SHINGLE_K):
     list-of-arrays)."""
     text = _text_col(batch)
     ids = batch["doc_id"].to_numpy()
+    if len(ids) == 0:
+        return ids, []
     ta = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
     if not pa.types.is_large_string(ta.type):
         ta = ta.cast(pa.large_string())
@@ -379,17 +381,21 @@ def _candidate_pairs(rows_ds):
             .groupby("bk").map_groups(uniq, batch_format="pyarrow"))
 
 
-def _verify_jaccard(pairs_ds, sets_ds, tau: float):
-    """pairs (pair) x sets (doc_id, n_sh, shingles) -> exact Jaccard rows
-    (a_id, b_id, jacc) with J >= tau.  Intersection sizes are computed for
-    a whole batch at once by sorting the concatenated (pair_row, hash)
-    keys — no per-pair Python loop.
+def _verify_jaccard(pairs_ds, docs_ds, tau: float, k: int):
+    """pairs (pair) x docs -> exact Jaccard rows (a_id, b_id, jacc) with
+    J >= tau.  Intersection sizes are computed for a whole batch at once by
+    sorting the concatenated (pair_row, hash) keys — no per-pair Python
+    loop.
 
     Semi-join pruning: the candidate pair list is small by construction
-    (LSH buckets / prefix filter already ran), so it is materialized, its
-    distinct doc ids broadcast via ray.put, and both join sides filtered
-    to candidate docs BEFORE the bucketed hash join — the join shuffles
-    only candidates' shingle sets, not the whole corpus's."""
+    (LSH buckets / prefix filter already ran), so it is materialized and
+    its distinct doc ids broadcast via ray.put.  Shingle sets for the
+    verify join are then RE-DERIVED from a filtered docs scan — only
+    candidate docs are shingled, and the join shuffles only their sets.
+    This keeps the whole pipeline at ONE full-corpus shingle pass (fused
+    into the candidate-generation scan); Ray Data cannot share a lazy
+    subplan across consumers, so handing the full sets dataset to the
+    join would re-shingle the corpus once per join side."""
     import ray as _ray
 
     from .joins import hash_join_int_key
@@ -407,19 +413,24 @@ def _verify_jaccard(pairs_ds, sets_ds, tau: float):
         or [np.zeros(0, np.int64)]))
     ids_ref = _ray.put(cand_ids)
 
+    def cand_sets_fn(batch: pa.Table) -> pa.Table:
+        m = np.isin(batch["doc_id"].to_numpy(), _ray.get(ids_ref))
+        return _shingle_table(batch.filter(pa.array(m)), k)
+
+    cand_sets = docs_ds.map_batches(
+        cand_sets_fn, batch_format="pyarrow").materialize()
+
     def rename(to_key, n_name, s_name):
         def f(batch: pa.Table) -> pa.Table:
-            m = np.isin(batch["doc_id"].to_numpy(), _ray.get(ids_ref))
-            t = batch.filter(pa.array(m))
-            return pa.table({to_key: t["doc_id"],
-                             n_name: t["n_sh"],
-                             s_name: t["shingles"]})
+            return pa.table({to_key: batch["doc_id"],
+                             n_name: batch["n_sh"],
+                             s_name: batch["shingles"]})
         return f
 
-    a_sets = sets_ds.map_batches(rename("a_id", "n_a", "s_a"),
-                                 batch_format="pyarrow")
-    b_sets = sets_ds.map_batches(rename("b_id", "n_b", "s_b"),
-                                 batch_format="pyarrow")
+    a_sets = cand_sets.map_batches(rename("a_id", "n_a", "s_a"),
+                                   batch_format="pyarrow")
+    b_sets = cand_sets.map_batches(rename("b_id", "n_b", "s_b"),
+                                   batch_format="pyarrow")
     joined = hash_join_int_key(
         hash_join_int_key(pairs, a_sets, "a_id"), b_sets, "b_id")
 
@@ -487,7 +498,7 @@ def ngram_jaccard_pairs(docs_ds, tau: float = JACCARD_TAU,
         })
 
     prefix = sets_ds.map_batches(prefix_rows, batch_format="pyarrow")
-    return _verify_jaccard(_candidate_pairs(prefix), sets_ds, tau)
+    return _verify_jaccard(_candidate_pairs(prefix), docs_ds, tau, k)
 
 
 def ngram_jaccard_sql(tau: float = JACCARD_TAU, k: int = SHINGLE_K) -> str:
@@ -557,7 +568,7 @@ def minhash_lsh_pairs(docs_ds, tau: float = JACCARD_TAU,
                          "doc_id": np.concatenate(out_d)})
 
     banded = sets_ds.map_batches(band_rows, batch_format="pyarrow")
-    return _verify_jaccard(_candidate_pairs(banded), sets_ds, tau)
+    return _verify_jaccard(_candidate_pairs(banded), docs_ds, tau, k)
 
 
 # ----------------------------------------------------------------- SimHash
