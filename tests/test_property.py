@@ -97,3 +97,77 @@ def test_zero_and_tiny_radius(n, seed, r):
     qi, pi, di = canon(*tree.radius_query_batch(xy, np.full(n, r)))
     bq, bp, bd = canon(*brute_force_radius(xy, xy, r))
     assert np.array_equal(qi, bq) and np.array_equal(pi, bp)
+
+
+# ---------------------------------------------------------------- textops
+# Pure-numpy internals of the dedup rewrite (coarse-bucket pair generation
+# and byte-packed shingle ids) vs brute-force references.
+
+from itertools import combinations
+
+import pyarrow as pa
+
+from covertile.textops import SHINGLE_K, _run_pairs, shingle_batch
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(0, 300),
+    nkeys=st.integers(1, 20),
+    nids=st.integers(1, 30),
+    seed=st.integers(0, 2**31),
+)
+def test_run_pairs_matches_bruteforce(n, nkeys, nids, seed):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, nkeys, n)
+    ids = rng.integers(0, nids, n)
+    id_s, sel, ai, bi = _run_pairs(keys, ids)
+    got = set(zip(id_s[ai].tolist(), id_s[bi].tolist()))
+    want = set()
+    for k in np.unique(keys):
+        for a, b in combinations(sorted(set(ids[keys == k].tolist())), 2):
+            want.add((a, b))
+    assert got == want
+    # ordering contract relied on by callers: a < b always
+    assert np.all(id_s[ai] < id_s[bi])
+    # sel indexes the input arrays consistently (payload gather contract)
+    assert np.array_equal(ids[sel], id_s)
+
+
+def ref_shingle_sets(texts, k):
+    return [
+        {t[i:i + k].encode() for i in range(max(0, len(t) - k + 1))}
+        for t in texts
+    ]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(0, 40),
+    seed=st.integers(0, 2**31),
+    k=st.sampled_from([2, SHINGLE_K]),
+    maxlen=st.integers(0, 60),
+)
+def test_shingle_batch_matches_char_reference(n, seed, k, maxlen):
+    """Byte-packed shingle ids: same per-doc set SIZES and the same
+    pairwise intersection sizes as literal k-gram substring sets (the
+    quantities Jaccard is computed from), on ASCII text."""
+    rng = np.random.default_rng(seed)
+    alphabet = np.array(list("abcXYZ 019-"))
+    texts = ["".join(rng.choice(alphabet, rng.integers(0, maxlen + 1)))
+             for _ in range(n)]
+    batch = pa.table({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": pa.array(texts, pa.string()),
+    })
+    ids, sets = shingle_batch(batch, k)
+    ref = ref_shingle_sets(texts, k)
+    assert len(sets) == n
+    for i in range(n):
+        assert len(sets[i]) == len(ref[i])
+        # uniqueness of the packed id within a doc
+        assert len(np.unique(sets[i])) == len(sets[i])
+    for i in range(min(n, 10)):
+        for j in range(i + 1, min(n, 10)):
+            inter_got = len(np.intersect1d(sets[i], sets[j]))
+            assert inter_got == len(ref[i] & ref[j])
