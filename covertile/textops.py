@@ -9,14 +9,16 @@ each a Dataset -> Dataset pipeline with a DuckDB-mirrorable contract:
   (tiny) groupby shuffle.
 * n-gram Jaccard near-dup pairs — EXACT (no false negatives) via
   prefix-filtering [Chaudhuri et al., ICDE'06 / Xiao et al. PPJoin]: order
-  each doc's shingle set by a global total order (the shingle's uint64 id:
-  its k bytes packed big-endian, injective for k <= 8 — see
-  shingle_batch); any pair with J >= tau must share a shingle within each
-  side's first |S| - ceil(tau*|S|) + 1 shingles, so only prefix shingles
-  are exploded into the inverted-index shuffle.  Candidates are verified
-  with exact set intersection (vectorized, no per-pair Python loop).  The
-  SQL oracle hashes the same shingles with md5; any injective id scheme
-  yields the identical (a_id, b_id, jacc) rows.
+  each doc's shingle set by a global total order — (sampled document
+  frequency ASC, shingle value), so prefix shingles are the rarest and
+  inverted-index buckets stay small; any pair with J >= tau must share a
+  shingle within each side's first |S| - ceil(tau*|S|) + 1 shingles, so
+  only prefix shingles are exploded into the inverted-index shuffle.
+  Candidates are verified with exact set intersection (vectorized, no
+  per-pair Python loop).  Shingle ids are the k bytes packed big-endian
+  into a uint64 (injective for k <= 8, see shingle_batch); the SQL oracle
+  hashes the same shingles with md5 — any injective id scheme yields the
+  identical (a_id, b_id, jacc) rows.
 * MinHash+LSH near-dup pairs — banded signatures (64 perms, 16 bands x 4
   rows), candidates verified with the same exact-Jaccard verifier;
   approximate recall (no SQL oracle; recall asserted in tests).
@@ -29,10 +31,11 @@ them: CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT).  All float
 outputs are exact integer ratios (int/int in float64), bitwise equal
 between numpy and DuckDB.
 
-Scale notes: every shuffle key is declared; bucket-size skew for the
-inverted index is bounded by hash-ordered prefixes (production variant:
-df-ascending shingle order, one extra count pass, strictly smaller
-buckets).  Nothing materializes the corpus on the driver.
+Scale notes: every shuffle key is declared; inverted-index bucket skew is
+bounded by df-ascending prefixes (sampled-df order, broadcast via
+ray.put — see _sampled_df).  Nothing materializes the corpus on the
+driver; only small derived tables (candidate pairs, sampled df, candidate
+shingle sets) are collected or broadcast.
 """
 
 from __future__ import annotations
@@ -302,6 +305,27 @@ def _prefix_len(n: np.ndarray, tau: float) -> np.ndarray:
 
 
 # --------------------------------------------- candidate pairs -> verified
+
+VERIFY_BROADCAST_MAX = 64_000_000  # hashes (512MB); past this, hash join
+
+
+def _jacc_core(la: np.ndarray, lb: np.ndarray,
+               flat_a: np.ndarray, flat_b: np.ndarray) -> np.ndarray:
+    """Per-pair exact Jaccard from concatenated per-row set segments.
+    Hashes within a row-set are unique, so a (row, hash) key appearing on
+    both sides marks one intersection element; one lexsort over the whole
+    batch — no per-pair Python loop."""
+    row = np.concatenate([np.repeat(np.arange(len(la)), la),
+                          np.repeat(np.arange(len(lb)), lb)])
+    h = np.concatenate([flat_a, flat_b])
+    order = np.lexsort((h, row))
+    row_s, h_s = row[order], h[order]
+    dup = (row_s[1:] == row_s[:-1]) & (h_s[1:] == h_s[:-1])
+    inter = np.bincount(row_s[1:][dup], minlength=len(la))
+    union = la + lb - inter
+    with np.errstate(invalid="ignore"):
+        return inter.astype(np.float64) / union.astype(np.float64)
+
 #
 # Buckets (inverted-index shingle / LSH band / simhash block keys) are tiny
 # and numerous — one map_groups UDF call per bucket costs ~1ms of Python and
@@ -390,12 +414,21 @@ def _verify_jaccard(pairs_ds, docs_ds, tau: float, k: int):
     Semi-join pruning: the candidate pair list is small by construction
     (LSH buckets / prefix filter already ran), so it is materialized and
     its distinct doc ids broadcast via ray.put.  Shingle sets for the
-    verify join are then RE-DERIVED from a filtered docs scan — only
-    candidate docs are shingled, and the join shuffles only their sets.
-    This keeps the whole pipeline at ONE full-corpus shingle pass (fused
-    into the candidate-generation scan); Ray Data cannot share a lazy
-    subplan across consumers, so handing the full sets dataset to the
-    join would re-shingle the corpus once per join side."""
+    verify are then RE-DERIVED from a filtered docs scan — only candidate
+    docs are shingled.  This keeps the whole pipeline at ONE full-corpus
+    shingle pass (fused into the candidate-generation scan); Ray Data
+    cannot share a lazy subplan across consumers, so handing the full
+    sets dataset to the join would re-shingle the corpus once per side.
+
+    Two verify executions:
+    * broadcast (default): candidate sets up to VERIFY_BROADCAST_MAX
+      total hashes are collected into one (ids, offsets, flat) bundle and
+      ray.put once — plasma shares it zero-copy per node — and pairs are
+      verified in map_batches with NO join.  The join path attaches a
+      full set COPY to every pair row, so a doc in p pairs ships p copies
+      (measured 345s for 815k pairs / 5k docs vs seconds broadcast).
+    * bucketed hash join (fallback past the cap): shuffles candidate
+      sets instead of replicating them per pair."""
     import ray as _ray
 
     from .joins import hash_join_int_key
@@ -420,6 +453,61 @@ def _verify_jaccard(pairs_ds, docs_ds, tau: float, k: int):
     cand_sets = docs_ds.map_batches(
         cand_sets_fn, batch_format="pyarrow").materialize()
 
+    n_hashes = cand_sets.sum("n_sh") or 0
+    if n_hashes <= VERIFY_BROADCAST_MAX:
+        ids_l, lens_l, flat_l = [], [], []
+        for b in cand_sets.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"):
+            s = b["shingles"]
+            s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+            ids_l.append(b["doc_id"].to_numpy())
+            lens_l.append(b["n_sh"].to_numpy())
+            flat_l.append(np.asarray(s.flatten(), np.uint64))
+        ids_all = (np.concatenate(ids_l) if ids_l
+                   else np.zeros(0, np.int64))
+        lens_all = (np.concatenate(lens_l) if lens_l
+                    else np.zeros(0, np.int64))
+        # reorder docs ascending so lookups are one searchsorted
+        doc_order = np.argsort(ids_all)
+        seg_off = _segment_offsets(lens_all)
+        flat_all = (np.concatenate(flat_l) if flat_l
+                    else np.zeros(0, np.uint64))
+        take = np.concatenate(
+            [np.arange(seg_off[i], seg_off[i + 1]) for i in doc_order]
+            or [np.zeros(0, np.int64)]).astype(np.int64)
+        ids_all, lens_all = ids_all[doc_order], lens_all[doc_order]
+        flat_all = flat_all[take]
+        off_all = _segment_offsets(lens_all)
+        sets_ref = _ray.put((ids_all, lens_all, off_all, flat_all))
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"a_id": pa.array([], pa.int64()),
+                              "b_id": pa.array([], pa.int64()),
+                              "jacc": pa.array([], pa.float64())})
+            if len(batch) == 0:
+                return empty
+            sid, slen, soff, sflat = _ray.get(sets_ref)
+            a = batch["a_id"].to_numpy()
+            b = batch["b_id"].to_numpy()
+            ia = np.searchsorted(sid, a)
+            ib = np.searchsorted(sid, b)
+            la, lb = slen[ia], slen[ib]
+
+            def gather(idx, ln):
+                tot = int(ln.sum())
+                excl = np.concatenate(([0], np.cumsum(ln)[:-1]))
+                pos = (np.repeat(soff[idx], ln)
+                       + (np.arange(tot) - np.repeat(excl, ln)))
+                return sflat[pos]
+
+            jacc = _jacc_core(la, lb, gather(ia, la), gather(ib, lb))
+            keep = jacc >= tau
+            return pa.table({"a_id": a[keep], "b_id": b[keep],
+                             "jacc": jacc[keep]})
+
+        return pairs.map_batches(verify_broadcast, batch_format="pyarrow",
+                                 batch_size=4096)
+
     def rename(to_key, n_name, s_name):
         def f(batch: pa.Table) -> pa.Table:
             return pa.table({to_key: batch["doc_id"],
@@ -443,20 +531,8 @@ def _verify_jaccard(pairs_ds, docs_ds, tau: float, k: int):
         sb = batch["s_b"].combine_chunks() if isinstance(batch["s_b"], pa.ChunkedArray) else batch["s_b"]
         la = np.asarray(pc.list_value_length(sa), np.int64)
         lb = np.asarray(pc.list_value_length(sb), np.int64)
-        row_a = np.repeat(np.arange(len(la)), la)
-        row_b = np.repeat(np.arange(len(lb)), lb)
-        ha = np.asarray(sa.flatten(), np.uint64)
-        hb = np.asarray(sb.flatten(), np.uint64)
-        # hashes within a row-set are unique; a (row, hash) key appearing
-        # on both sides marks one intersection element
-        row = np.concatenate([row_a, row_b])
-        h = np.concatenate([ha, hb])
-        order = np.lexsort((h, row))
-        row_s, h_s = row[order], h[order]
-        dup = (row_s[1:] == row_s[:-1]) & (h_s[1:] == h_s[:-1])
-        inter = np.bincount(row_s[1:][dup], minlength=len(la))
-        union = la + lb - inter
-        jacc = inter.astype(np.float64) / union.astype(np.float64)
+        jacc = _jacc_core(la, lb, np.asarray(sa.flatten(), np.uint64),
+                          np.asarray(sb.flatten(), np.uint64))
         keep = jacc >= tau
         return pa.table({
             "a_id": batch["a_id"].to_numpy()[keep],
@@ -469,17 +545,70 @@ def _verify_jaccard(pairs_ds, docs_ds, tau: float, k: int):
 
 # ------------------------------------------------- n-gram Jaccard (exact)
 
+DF_SAMPLE_MOD = 16  # ~1/16 of docs sampled for the df prefix order
+
+
+def _sampled_df(docs_ds, k: int, sample_mod: int):
+    """(sorted shingle values, df counts) from a deterministic ~1/sample_mod
+    doc sample.  Used only to ORDER shingles for the prefix filter: the
+    filter stays exact under ANY globally consistent total order, so
+    sampled (not exact) df is fine — shingles absent from the sample rank
+    as df=0 (rarest), which is the right guess for genuinely rare
+    shingles.  Driver-side combine (the per-block partials are
+    distinct-shingle counts, small); scale path: count-min sketch."""
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        m = (ids * np.int64(2654435761)) % np.int64(sample_mod) == 0
+        t = _shingle_table(batch.filter(pa.array(m)), k)
+        s = t["shingles"]
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        flat = np.asarray(s.flatten(), np.uint64)
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"sh": u.view(np.int64), "c": c.astype(np.int64)})
+
+    us, cs = [], []
+    for b in (docs_ds.map_batches(part, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        us.append(np.asarray(b["sh"], np.int64).view(np.uint64))
+        cs.append(b["c"].to_numpy())
+    if not us or not sum(len(u) for u in us):
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    u, c = np.concatenate(us), np.concatenate(cs)
+    order = np.argsort(u)
+    u, c = u[order], c[order]
+    first = np.empty(len(u), bool)
+    first[0] = True
+    first[1:] = u[1:] != u[:-1]
+    return u[first], np.add.reduceat(c, np.flatnonzero(first))
+
+
 def ngram_jaccard_pairs(docs_ds, tau: float = JACCARD_TAU,
-                        k: int = SHINGLE_K):
+                        k: int = SHINGLE_K,
+                        df_sample_mod: int = DF_SAMPLE_MOD):
     """EXACT near-duplicate pairs with shingle-Jaccard >= tau.
 
-    Prefix filtering: shingles are ordered by their (uniform) 64-bit hash —
-    a global total order — and only each doc's first
+    Prefix filtering: shingles are ordered by (sampled document frequency
+    ASC, value) — a global total order — and only each doc's first
     |S| - ceil(tau*|S|) + 1 shingles enter the inverted index, which
-    provably preserves all pairs with J >= tau.  ONE groupby(shingle)
-    shuffle builds candidates; a bucketed hash join attaches both shingle
-    sets; the verifier computes exact J.  Output: (a_id, b_id, jacc).
+    provably preserves all pairs with J >= tau under any consistent
+    order.  df-ascending (PPJoin practice) matters for scale: with a
+    value order, shingles shared corpus-wide (e.g. interiors of common
+    whole tokens) land in prefixes and each contributes O(df^2)
+    candidate pairs (>10min at 50k synthetic docs); df order keeps only
+    the rarest shingles in prefixes (~10x fewer candidates there).  ONE
+    groupby(shingle) shuffle builds candidates; the verifier computes
+    exact J on candidate docs only.  Output: (a_id, b_id, jacc).
+
+    Scale honesty: candidate volume is Theta(sum_sh df(sh)^2) over prefix
+    shingles — on corpora whose k-byte windows are low-entropy (every
+    rare shingle still shared by ~5 docs) that is super-linear in n, and
+    the EXACT operator degrades (measured 815k candidates / 52 true
+    pairs at 5k synthetic docs, ~50s).  minhash_lsh_pairs is the scale
+    path; its banded signatures bound candidates by true similarity.
     """
+    import ray as _ray
+
+    df_ref = _ray.put(_sampled_df(docs_ds, k, df_sample_mod))
     sets_ds = docs_ds.map_batches(
         lambda b: _shingle_table(b, k), batch_format="pyarrow")
 
@@ -490,10 +619,20 @@ def ngram_jaccard_pairs(docs_ds, tau: float = JACCARD_TAU,
         plen = _prefix_len(lens, tau)
         flat = np.asarray(s.flatten(), np.uint64)
         off = _segment_offsets(lens)
+        rows = np.repeat(np.arange(len(lens)), lens)
+        shu, dfc = _ray.get(df_ref)
+        if len(shu):
+            i = np.searchsorted(shu, flat)
+            i[i == len(shu)] = 0
+            dfv = np.where(shu[i] == flat, dfc[i], 0)
+        else:
+            dfv = np.zeros(len(flat), np.int64)
+        order = np.lexsort((flat, dfv, rows))  # per doc: (df asc, value)
+        flat_s = flat[order]
         pos = np.arange(len(flat), dtype=np.int64) - np.repeat(off[:-1], lens)
         keep = pos < np.repeat(plen, lens)
         return pa.table({
-            "sh": flat[keep].astype(np.int64),  # groupby key (int64 view)
+            "sh": flat_s[keep].astype(np.int64),  # groupby key (int64 view)
             "doc_id": np.repeat(batch["doc_id"].to_numpy(), lens)[keep],
         })
 
