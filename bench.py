@@ -247,17 +247,19 @@ def run_scaling(sf_dir: str, lo: int, hi: int, amplify: int,
 
 
 def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
-                  n_vecs: int = 500_000) -> dict:
+                  n_vecs: int = 500_000, n_events: int = 5_000_000) -> dict:
     """Training-data operator families at amplified synthetic scale:
     text analysis + dedup over generated documents (real-table vocabulary,
-    ~1% planted exact duplicates) and ANN over generated unit vectors.
-    Separate from the default spatial bench; run with --aux."""
+    ~1% planted exact duplicates), ANN over generated unit vectors, and
+    windowed/session aggregates over a generated event stream (100k
+    users).  Separate from the default spatial bench; run with --aux."""
     import ray
     import ray.data as rd
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    from covertile import eventops as E
     from covertile import textops as T
     from covertile import vecops as V
 
@@ -339,6 +341,29 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     vecs = (rd.range(n_vecs, override_num_blocks=n_blocks)
             .map_batches(gen_vecs, batch_format="pyarrow").materialize())
 
+    n_users = 100_000
+    etypes = pa.array(np.array(["view", "click", "buy", "share"]))
+
+    def gen_events(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        x = ids.astype(np.uint64)
+        x = x * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(31)
+        base = np.datetime64("2024-01-01", "us").astype(np.int64)
+        # ~30 days spread; bursts per user come from id-ordered locality
+        ts = base + (x % np.uint64(30 * 86_400_000_000)).astype(np.int64)
+        return pa.table({
+            "event_id": ids,
+            "ts": pa.array(ts.view("datetime64[us]")),
+            "user_id": (ids % n_users).astype(np.int64),
+            "event_type": pc.take(etypes, pa.array(
+                (x % np.uint64(4)).astype(np.int64))),
+            "value": ((x % np.uint64(100_000)).astype(np.float64)) / 100.0,
+        })
+
+    events = (rd.range(n_events, override_num_blocks=n_blocks)
+              .map_batches(gen_events, batch_format="pyarrow").materialize())
+
     timings, counts = {}, {}
 
     def stage(name, f):
@@ -356,13 +381,17 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
         pa.concat_tables(vecs.limit(V.ANN_NUM_QUERIES).iter_batches(
             batch_size=None, batch_format="pyarrow")))
     stage("ann_topk", lambda: V.ann_topk(vecs, qid, qm).count())
+    stage("events_window", lambda: E.tumbling_window(events).count())
+    stage("sessionize", lambda: E.sessionize(events).count())
 
     total = round(sum(timings.values()), 3)
     text_s = sum(timings[k] for k in
                  ("token_stats", "exact_dedup", "simhash_dedup",
                   "minhash_lsh_dedup"))
+    ev_s = timings["events_window"] + timings["sessionize"]
     return {
-        "metric": "text/dedup + ANN operator wall time (synthetic scale)",
+        "metric": "text/dedup + ANN + events operator wall time "
+                  "(synthetic scale)",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -370,8 +399,10 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
         "num_cpus": num_cpus,
         "n_docs": n_docs,
         "n_vecs": n_vecs,
+        "n_events": n_events,
         "text_docs_per_sec": round(n_docs * 4 / text_s, 1),
         "ann_vecs_per_sec": round(n_vecs / timings["ann_topk"], 1),
+        "events_per_sec": round(n_events * 2 / ev_s, 1),
         "counts": counts,
     }
 

@@ -96,25 +96,58 @@ ORDER BY window_start_us, event_type
 def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MINUTES):
     """-> per-user (user_id, n_events, n_sessions, max_session_events),
     sessions split where the gap to the previous event exceeds the
-    timeout.  ONE groupby(user_id) shuffle; vectorized inside groups."""
+    timeout.
+
+    ONE groupby shuffle on a 256-way hash of user_id (equal users stay
+    together); inside a coarse group ALL users are sessionized in one
+    vectorized pass (lexsort + run detection + reduceat) — one map_groups
+    UDF call per user costs ~1ms of Python each and dominates wall time
+    once users number in the tens of thousands (same lesson as the dedup
+    bucket rewrite, textops._candidate_pairs)."""
     gap_us = np.int64(gap_minutes * _US_PER_MIN)
 
-    def per_user(group: pa.Table) -> pa.Table:
-        uid = int(group["user_id"][0].as_py())
-        ts = np.sort(group["ts"].to_numpy().astype("datetime64[us]")
-                     .view(np.int64))
-        new_sess = np.concatenate(([True], np.diff(ts) > gap_us))
-        sess_id = np.cumsum(new_sess)
-        sizes = np.bincount(sess_id)[1:]
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        bk = ((uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              >> np.uint64(56)).astype(np.int64)
+        return pa.table({"bk": bk, "user_id": uid, "ts": batch["ts"]})
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "max_session_events": pa.array([], pa.int64()),
+            })
+        ts = group["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        new_user[1:] = uid_s[1:] != uid_s[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= np.diff(ts_s) > gap_us
+        user_starts = np.flatnonzero(new_user)
+        sess_starts = np.flatnonzero(new_sess)
+        # sessions are contiguous runs; user_starts is a subset of
+        # sess_starts, so a user's first session index is its position
+        sess_sizes = np.diff(np.append(sess_starts, n))
+        u_first_sess = np.searchsorted(sess_starts, user_starts)
         return pa.table({
-            "user_id": pa.array([uid], pa.int64()),
-            "n_events": pa.array([len(ts)], pa.int64()),
-            "n_sessions": pa.array([int(new_sess.sum())], pa.int64()),
-            "max_session_events": pa.array([int(sizes.max())], pa.int64()),
+            "user_id": uid_s[user_starts],
+            "n_events": np.diff(np.append(user_starts, n)),
+            "n_sessions": np.diff(np.append(u_first_sess,
+                                            len(sess_starts))),
+            "max_session_events": np.maximum.reduceat(
+                sess_sizes, u_first_sess),
         })
 
-    return (events_ds.groupby("user_id")
-            .map_groups(per_user, batch_format="pyarrow").sort("user_id"))
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bk").map_groups(per_bucket, batch_format="pyarrow")
+            .sort("user_id"))
 
 
 def sessionize_sql(gap_minutes: int = SESSION_GAP_MINUTES) -> str:
