@@ -216,17 +216,19 @@ def exact_dedup(docs_ds):
         return pa.table({"fingerprint": pa.array(uniq, pa.string()),
                          "keep_id": mn, "n_dups": cnt.astype(np.int64)})
 
-    def combine(group: pa.Table) -> pa.Table:
-        return pa.table({
-            "fingerprint": group["fingerprint"][:1],
-            "keep_id": pa.array([int(pc.min(group["keep_id"]).as_py())],
-                                pa.int64()),
-            "n_dups": pa.array([int(pc.sum(group["n_dups"]).as_py())],
-                               pa.int64()),
-        })
+    from ray.data.aggregate import Min, Sum
 
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"fingerprint": batch["fingerprint"],
+                         "keep_id": batch["min(keep_id)"],
+                         "n_dups": batch["sum(n_dups)"]})
+
+    # native Arrow aggregate: no per-group Python UDF (one distinct
+    # fingerprint per doc in the common case — map_groups would pay ~1ms
+    # of Python per group)
     return (docs_ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("fingerprint").map_groups(combine, batch_format="pyarrow"))
+            .groupby("fingerprint").aggregate(Min("keep_id"), Sum("n_dups"))
+            .map_batches(rename, batch_format="pyarrow"))
 
 
 def exact_dedup_sql() -> str:
