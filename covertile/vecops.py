@@ -101,18 +101,46 @@ def ann_topk(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
             "cos": np.concatenate(out_c),
         })
 
-    def merge(group: pa.Table) -> pa.Table:
+    return _topk_merge_bucketed(
+        emb_ds.map_batches(partial, batch_format="pyarrow"), k)
+
+
+def _topk_merge_bucketed(scored_ds, k: int):
+    """(query_id, neighbor_id, cos) partials -> exact top-k per query,
+    rank 1..k by (cos desc, neighbor_id asc).  ONE groupby on a 256-way
+    hash of query_id; ALL queries in a coarse group are merged in a
+    single lexsort pass — a map_groups UDF per query costs ~1ms of
+    Python each and dominates once queries number in the thousands
+    (same lesson as textops._candidate_pairs)."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy()
+        bk = ((q.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              >> np.uint64(56)).astype(np.int64)
+        return batch.append_column("bk", pa.array(bk))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        q = group["query_id"].to_numpy()
+        if len(q) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64())})
         nid = group["neighbor_id"].to_numpy()
         cos = group["cos"].to_numpy()
-        order = np.lexsort((nid, -cos))[:k]
-        return pa.table({
-            "query_id": group["query_id"].to_numpy()[order],
-            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-            "neighbor_id": nid[order],
-        })
+        order = np.lexsort((nid, -cos, q))
+        q_s, nid_s = q[order], nid[order]
+        first = np.empty(len(q_s), bool)
+        first[0] = True
+        first[1:] = q_s[1:] != q_s[:-1]
+        start = np.maximum.accumulate(
+            np.where(first, np.arange(len(q_s)), 0))
+        rank = np.arange(len(q_s)) - start + 1
+        keep = rank <= k
+        return pa.table({"query_id": q_s[keep], "rank": rank[keep],
+                         "neighbor_id": nid_s[keep]})
 
-    return (emb_ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("query_id").map_groups(merge, batch_format="pyarrow"))
+    return (scored_ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bk").map_groups(merge_bucket, batch_format="pyarrow"))
 
 
 def ann_topk_sql(nq: int = ANN_NUM_QUERIES, k: int = ANN_K) -> str:
@@ -224,15 +252,5 @@ def ivf_topk(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
             "cos": np.concatenate(out_c),
         })
 
-    def merge(group: pa.Table) -> pa.Table:
-        nid = group["neighbor_id"].to_numpy()
-        cos = group["cos"].to_numpy()
-        order = np.lexsort((nid, -cos))[:k]
-        return pa.table({
-            "query_id": group["query_id"].to_numpy()[order],
-            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-            "neighbor_id": nid[order],
-        })
-
-    return (emb_ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("query_id").map_groups(merge, batch_format="pyarrow"))
+    return _topk_merge_bucketed(
+        emb_ds.map_batches(partial, batch_format="pyarrow"), k)
