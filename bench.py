@@ -246,6 +246,62 @@ def run_scaling(sf_dir: str, lo: int, hi: int, amplify: int,
 
 
 
+def run_aux_scaling(sf_dir: str, lo: int, hi: int,
+                    repeats: int = 1) -> dict:
+    """Scaling evidence for the aux (text/dedup/ANN/events) families:
+    the identical --aux workload in fresh processes at num_cpus=lo and
+    hi; efficiency = (T_lo / T_hi) / (hi / lo)."""
+    env = dict(os.environ)
+    out = {}
+    for cpus in (lo, hi):
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = sf_dir
+        best = None
+        for r in range(repeats):
+            log(f"--- aux scaling run: num_cpus={cpus} (repeat {r + 1}) ---")
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--aux"],
+                env=env, capture_output=True, text=True)
+            if p.returncode != 0:
+                log(p.stderr[-4000:])
+                raise RuntimeError(f"aux scaling subprocess (cpus={cpus}) "
+                                   f"failed")
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            res = json.loads(line)
+            if best is None or res["value"] < best["value"]:
+                best = res
+            time.sleep(5)
+        out[cpus] = best
+    eff = (out[lo]["value"] / out[hi]["value"]) / (hi / lo)
+    result = {
+        "metric": "aux-family scaling efficiency (same workload, "
+                  "fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": sf_dir,
+        "runs": {str(c): {"total_sec": out[c]["value"],
+                          "queries": out[c]["queries"]} for c in (lo, hi)},
+        "num_cpus": [lo, hi],
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.md"), "a") as f:
+            f.write(
+                f"\n## Aux-family scaling run "
+                f"({time.strftime('%Y-%m-%d %H:%M')})\n\n"
+                f"Identical `--aux` workload (200k docs / 500k vecs / 5M "
+                f"events), fresh sessions at num_cpus={lo} and {hi}:\n\n"
+                f"| num_cpus | total sec |\n|---|---|\n"
+                f"| {lo} | {out[lo]['value']} |\n"
+                f"| {hi} | {out[hi]['value']} |\n\n"
+                f"Scaling efficiency ((T_{lo}/T_{hi}) / {hi // lo}): "
+                f"**{eff:.3f}**.\n")
+    except OSError:
+        pass
+    return result
+
+
 def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
                   n_vecs: int = 500_000, n_events: int = 5_000_000) -> dict:
     """Training-data operator families at amplified synthetic scale:
@@ -266,9 +322,12 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
-    from ray.data.context import DataContext, ShuffleStrategy
-    DataContext.get_current().shuffle_strategy = \
-        ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    # NOTE: deliberately the DEFAULT shuffle strategy here. The push-based
+    # sort shuffle (fastest for the spatial bench's big partition shuffle)
+    # is pathological for this suite's small groupbys at low CPU counts:
+    # a 32k-row Sort took 314s of a 350s minhash run at num_cpus=4
+    # (ds.stats()); default strategy runs the same leg in 158s and is
+    # also slightly faster at 16 CPUs (30s vs 35s).
 
     # vocabulary from the real table (small, driver-side)
     real = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
@@ -423,9 +482,14 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--aux", action="store_true",
                     help="benchmark text/dedup/ANN operator families")
+    ap.add_argument("--aux-scaling", action="store_true",
+                    help="aux families at --cpus-lo vs --cpus-hi")
     args = ap.parse_args()
 
-    if args.aux:
+    if args.aux_scaling:
+        result = run_aux_scaling(args.sf_dir, args.cpus_lo, args.cpus_hi,
+                                 repeats=args.repeats)
+    elif args.aux:
         result = run_aux_bench(args.sf_dir, NUM_CPUS)
         import ray
         ray.shutdown()
