@@ -26,16 +26,17 @@ MEDIA_BATCH = 1024  # binary payloads need small batches (brief: memory-aware)
 
 
 def _ascii_sum(refs: pa.Array) -> np.ndarray:
-    """Vectorized sum of ascii codes per string (the fake-decode seed)."""
-    # utf8 here is pure ascii; sum bytes via the flattened binary buffer
-    b = pc.cast(refs, pa.binary())
-    lens = np.asarray(pc.binary_length(b), np.int64)
-    joined = b.cast(pa.large_binary())
-    buf = np.frombuffer(
-        b"".join(joined.to_pylist()), dtype=np.uint8).astype(np.int64)
-    off = np.zeros(len(lens) + 1, np.int64)
-    np.cumsum(lens, out=off[1:])
-    cs = np.concatenate(([0], np.cumsum(buf)))
+    """Vectorized sum of ascii codes per string (the fake-decode seed).
+
+    Reads the flat Arrow string buffer directly (offsets + data), same
+    discipline as textops.shingle_batch — no Python-object round trip."""
+    ta = refs.combine_chunks() if isinstance(refs, pa.ChunkedArray) else refs
+    if not pa.types.is_large_string(ta.type):
+        ta = ta.cast(pa.large_string())
+    off = np.frombuffer(ta.buffers()[1], np.int64)[
+        ta.offset: ta.offset + len(ta) + 1]
+    data = np.frombuffer(ta.buffers()[2], np.uint8)
+    cs = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
     return cs[off[1:]] - cs[off[:-1]]
 
 
@@ -132,9 +133,9 @@ WITH m AS (
 SELECT doc_id,
        {ref} AS media_ref,
        LEAST(j + 1, {nt}) + j AS "offset",
-       160 + 16 * ({s} % 28) AS width,
-       90 + 9 * ({s} % 33) AS height,
-       1 + {s} % 24 AS n_frames
+       CAST(160 + 16 * ({s} % 28) AS BIGINT) AS width,
+       CAST(90 + 9 * ({s} % 33) AS BIGINT) AS height,
+       CAST(1 + {s} % 24 AS BIGINT) AS n_frames
 FROM m ORDER BY doc_id, "offset"
 """
 

@@ -89,9 +89,20 @@ def write_fvecs_shards(points_ds, out_dir: str,
             np.full(n, 2, np.int32).tobytes(), np.float32)
         m[:, 1] = x
         m[:, 2] = y
-        first = int(batch["point_id"][0].as_py()) if "point_id" in \
-            batch.column_names and n else 0
-        shard = os.path.join(out_dir, f"part-{first:012d}.fvecs")
+        if "point_id" not in batch.column_names:
+            raise ValueError(
+                "write_fvecs_shards requires a point_id column: shard "
+                "names derive from it; without it every block would "
+                "write the same file and silently clobber the others")
+        if n == 0:
+            return pa.table({"shard": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ids = batch["point_id"].to_numpy()
+        first, last = int(ids[0]), int(ids[-1])
+        # (first, last, n) is unique per block for any sorted-by-id input
+        # (blocks are disjoint contiguous runs); n disambiguates the rest.
+        shard = os.path.join(
+            out_dir, f"part-{first:012d}-{last:012d}-{n}.fvecs")
         tmp = shard + ".tmp"
         with open(tmp, "wb") as f:
             f.write(m.tobytes())
@@ -120,8 +131,16 @@ def write_graph_text_shards(edges_ds, out_dir: str) -> list[str]:
     def write_block(batch: pa.Table) -> pa.Table:
         src = batch["src_id"].to_numpy()
         dst = batch["dst_id"].to_numpy()
-        first = int(src[0]) if len(src) else 0
-        shard = os.path.join(out_dir, f"part-{first:012d}-{len(src)}.txt")
+        # Blocks are disjoint contiguous runs of the globally (src, dst)-
+        # sorted DISTINCT edge list, so the first (src, dst) pair is unique
+        # per block — unlike (first_src, n_rows), which collides when a
+        # high-degree src spans several equal-sized blocks.
+        if len(src) == 0:  # nothing to write; avoids a shared empty name
+            return pa.table({"shard": pa.array([], pa.string()),
+                             "n_edges": pa.array([], pa.int64())})
+        f_src, f_dst = int(src[0]), int(dst[0])
+        shard = os.path.join(
+            out_dir, f"part-{f_src:012d}-{f_dst:012d}.txt")
         tmp = shard + ".tmp"
         with open(tmp, "wb") as f:
             f.write(_format_edges(src, dst))

@@ -81,28 +81,37 @@ def ann_topk(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
     def partial(batch: pa.Table) -> pa.Table:
         qids, qm = ray.get(q_ref)
         ids, m = _emb_matrix(batch)
-        cos = qm @ m.T                       # (nq, batch)
-        nq = len(qids)
-        out_q, out_n, out_c = [], [], []
-        for i in range(nq):
-            c = cos[i]
-            mask = ids != qids[i]
-            cand = np.flatnonzero(mask)
-            if len(cand) > k:
-                top = cand[np.argpartition(-c[cand], k)[:k + 1]]
-            else:
-                top = cand
-            out_q.append(np.full(len(top), qids[i], np.int64))
-            out_n.append(ids[top])
-            out_c.append(c[top])
-        return pa.table({
-            "query_id": np.concatenate(out_q),
-            "neighbor_id": np.concatenate(out_n),
-            "cos": np.concatenate(out_c),
-        })
+        cos = qm @ m.T                       # (nq, batch) — one BLAS call
+        # self-exclusion without a per-query loop
+        cos[qids[:, None] == ids[None, :]] = -np.inf
+        return _tie_safe_block_topk(qids, ids, cos, k)
 
     return _topk_merge_bucketed(
         emb_ds.map_batches(partial, batch_format="pyarrow"), k)
+
+
+def _tie_safe_block_topk(qids: np.ndarray, ids: np.ndarray,
+                         cos: np.ndarray, k: int) -> pa.Table:
+    """Per-block partial top-k that keeps EVERY candidate whose cosine
+    equals the block's k-th value (per query), so tie survivors under the
+    (cos desc, neighbor_id asc) contract always reach the global merge —
+    truncating k+1 by cosine alone can drop the smaller-id tie the oracle
+    requires.  Fully vectorized over queries (no per-query Python loop).
+    Excluded candidates must already be -inf in `cos`."""
+    nq, nb = cos.shape
+    if nb > k:
+        part = np.argpartition(-cos, k - 1, axis=1)[:, :k]
+        kth = cos[np.arange(nq), part[:, k - 1]]
+        keep = cos >= kth[:, None]
+    else:
+        keep = np.ones_like(cos, bool)
+    keep &= np.isfinite(cos)
+    qi, cj = np.nonzero(keep)
+    return pa.table({
+        "query_id": qids[qi],
+        "neighbor_id": ids[cj],
+        "cos": cos[qi, cj],
+    })
 
 
 def _topk_merge_bucketed(scored_ds, k: int):
@@ -236,20 +245,24 @@ def ivf_topk(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
         ids, m = _emb_matrix(batch)
         bucket = (m @ cent.T).argmax(1)
         out_q, out_n, out_c = [], [], []
-        for i in range(len(qids)):
+        for i in range(len(qids)):  # probe pruning keeps this per-query
             mask = np.isin(bucket, prb[i]) & (ids != qids[i])
             cand = np.flatnonzero(mask)
             c = m[cand] @ qm[i]
             if len(cand) > k:
-                top = np.argpartition(-c, k)[:k + 1]
+                part = np.argpartition(-c, k - 1)[:k]
+                kth = c[part[k - 1]]
+                top = np.flatnonzero(c >= kth)  # tie-safe (see ann_topk)
                 cand, c = cand[top], c[top]
             out_q.append(np.full(len(cand), qids[i], np.int64))
             out_n.append(ids[cand])
             out_c.append(c)
         return pa.table({
-            "query_id": np.concatenate(out_q),
-            "neighbor_id": np.concatenate(out_n),
-            "cos": np.concatenate(out_c),
+            "query_id": np.concatenate(out_q) if out_q else
+            np.zeros(0, np.int64),
+            "neighbor_id": np.concatenate(out_n) if out_n else
+            np.zeros(0, np.int64),
+            "cos": np.concatenate(out_c) if out_c else np.zeros(0),
         })
 
     return _topk_merge_bucketed(

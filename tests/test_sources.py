@@ -94,3 +94,21 @@ def test_gml_dump(ray_session, tmp_path):
     assert text.count("node [") == nv
     assert text.count("edge [") == nv - 1  # a tree: every vertex one parent
     assert text.startswith("graph [")
+
+
+def test_graph_shards_unique_names_high_degree_src(ray_session, tmp_path):
+    """A src whose edge run spans multiple equal-size blocks must not
+    clobber shards (regression: name was (first_src, n_rows))."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import sources
+
+    n = 9000  # one src, many dsts -> several uniform blocks, equal sizes
+    tbl = pa.table({"src_id": np.zeros(n, np.int64),
+                    "dst_id": np.arange(n, dtype=np.int64)})
+    ds = rd.from_arrow(tbl).repartition(6)
+    out = tmp_path / "shards"
+    shards = sources.write_graph_text_shards(ds, str(out))
+    assert len(shards) == len(set(shards))
+    total = sum(len(open(s).read().splitlines()) for s in shards)
+    assert total == n

@@ -93,3 +93,32 @@ def test_media_actor_batch_contract():
     assert out["width"].to_pylist() == list(f["width"])
     # deterministic: same refs -> same features
     assert a(batch).equals(out)
+
+
+def test_ann_topk_tie_safe_across_blocks(ray_session):
+    """Duplicate embeddings tie exactly at the per-block k-th boundary:
+    the partial must keep every tied candidate so the global merge can
+    pick the smaller-id survivors the (cos desc, id asc) contract needs."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import vecops
+
+    d, k = 8, 3
+    base = np.zeros(d, np.float32)
+    base[0] = 1.0
+    # 20 identical corpus vectors (all cosine 1.0 to the query) split
+    # across many blocks, ids shuffled so small ids land in late blocks
+    ids = np.array([13, 7, 19, 2, 11, 5, 17, 3, 23, 1,
+                    29, 31, 37, 41, 43, 47, 53, 59, 61, 67], np.int64)
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([base.tolist()] * len(ids),
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(7)
+    qid = np.array([1000], np.int64)
+    out = vecops.ann_topk(ds, qid, base[None, :].astype(np.float64), k=k)
+    got = out.to_pandas().sort_values("rank")
+    # smallest ids win the all-ties contest
+    assert list(got["neighbor_id"]) == sorted(ids.tolist())[:k]
+    assert list(got["rank"]) == [1, 2, 3]
