@@ -303,7 +303,8 @@ def run_aux_scaling(sf_dir: str, lo: int, hi: int,
 
 
 def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
-                  n_vecs: int = 500_000, n_events: int = 5_000_000) -> dict:
+                  n_vecs: int = 500_000, n_events: int = 5_000_000,
+                  n_dedup_vecs: int = 5_000_000) -> dict:
     """Training-data operator families at amplified synthetic scale:
     text analysis + dedup over generated documents (real-table vocabulary,
     ~1% planted exact duplicates), ANN over generated unit vectors, and
@@ -400,6 +401,54 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     vecs = (rd.range(n_vecs, override_num_blocks=n_blocks)
             .map_batches(gen_vecs, batch_format="pyarrow").materialize())
 
+    # Clustered corpus for the PARTITIONED cosine dedup (real near-dup
+    # workloads are clustered; uniform directions have no structure for
+    # any partitioner to exploit).  256 deterministic cluster directions;
+    # each vector = dir + fixed-norm orthogonal noise (intra-cluster cos
+    # 0.83 +- 0.02, far below tau) + per-id jitter; ~1% planted near-dup
+    # pairs at cos ~0.9996.  Counter-based splitmix noise makes every row
+    # a pure function of its id — batching-independent and resumable.
+    DEDUP_TAU, DEDUP_K, DEDUP_RHO, DEDUP_JIT = 0.95, 256, 0.45, 0.02
+    _dd = np.random.default_rng(123).standard_normal((DEDUP_K, V.EMBED_DIM))
+    dedup_dirs = _dd / np.linalg.norm(_dd, axis=1, keepdims=True)
+
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64).copy()
+        x *= np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(29)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(32)
+        return x
+
+    def _unoise(key: np.ndarray, d: int) -> np.ndarray:
+        j = np.arange(d, dtype=np.uint64)
+        x = _mix64(key[:, None] * np.uint64(d + 1) + j)
+        return ((x >> np.uint64(11)).astype(np.float64) * 2.0**-53) * 2 - 1
+
+    def gen_dedup_vecs(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        d = V.EMBED_DIM
+        cid = np.where(ids % 101 == 0,
+                       np.minimum(ids + 1, n_dedup_vecs - 1), ids)
+        cl = (_mix64(cid) % np.uint64(DEDUP_K)).astype(np.int64)
+        c = dedup_dirs[cl]
+        nz = _unoise(cid.astype(np.uint64) * np.uint64(2), d)
+        nz -= (nz * c).sum(1, keepdims=True) * c
+        nz /= np.linalg.norm(nz, axis=1, keepdims=True)
+        jz = _unoise(ids.astype(np.uint64) * np.uint64(2) + np.uint64(1), d)
+        jz /= np.linalg.norm(jz, axis=1, keepdims=True)
+        m = (c + DEDUP_RHO * nz + DEDUP_JIT * jz).astype(np.float32)
+        off = np.arange(0, (len(ids) + 1) * d, d, dtype=np.int64)
+        return pa.table({
+            "vec_id": ids,
+            "embedding": pa.LargeListArray.from_arrays(
+                off, pa.array(m.reshape(-1), pa.float32())),
+        })
+
+    dvecs = (rd.range(n_dedup_vecs, override_num_blocks=n_blocks)
+             .map_batches(gen_dedup_vecs, batch_format="pyarrow")
+             .materialize())
+
     n_users = 100_000
     etypes = pa.array(np.array(["view", "click", "buy", "share"]))
 
@@ -440,6 +489,16 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
         pa.concat_tables(vecs.limit(V.ANN_NUM_QUERIES).iter_batches(
             batch_size=None, batch_format="pyarrow")))
     stage("ann_topk", lambda: V.ann_topk(vecs, qid, qm).count())
+
+    def run_cosine_dedup():
+        head = pa.concat_tables(dvecs.limit(16384).iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+        _, sm = V._emb_matrix(head)
+        cent = V.fit_centroids(sm, n_clusters=DEDUP_K)
+        return V.cosine_pairs_partitioned(
+            dvecs, cent, tau=DEDUP_TAU).count()
+
+    stage("cosine_dedup", run_cosine_dedup)
     stage("events_window", lambda: E.tumbling_window(events).count())
     stage("sessionize", lambda: E.sessionize(events).count())
 
@@ -459,8 +518,11 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
         "n_docs": n_docs,
         "n_vecs": n_vecs,
         "n_events": n_events,
+        "n_dedup_vecs": n_dedup_vecs,
         "text_docs_per_sec": round(n_docs * 4 / text_s, 1),
         "ann_vecs_per_sec": round(n_vecs / timings["ann_topk"], 1),
+        "dedup_vecs_per_sec": round(
+            n_dedup_vecs / timings["cosine_dedup"], 1),
         "events_per_sec": round(n_events * 2 / ev_s, 1),
         "counts": counts,
     }

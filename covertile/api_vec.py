@@ -41,13 +41,20 @@ def sql_ann_topk() -> str:
     return vecops.ann_topk_sql()
 
 
+def _centroids_of(sf_dir: str) -> "np.ndarray":
+    """Deterministic centroids from a bounded head sample (O(4096) driver
+    memory regardless of corpus size)."""
+    t = vecops.sample_head(os.path.join(sf_dir, "embeddings.parquet"))
+    _, m = vecops._emb_matrix(t)
+    return vecops.fit_centroids(m)
+
+
 def q_cosine_dedup(sf_dir: str):
-    import pyarrow.parquet as pq
-    import pyarrow as pa
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    ids, m = vecops._emb_matrix(t)
-    return vecops.cosine_pairs(_emb(sf_dir), ids, m).sort(["a_id", "b_id"])
+    """Partitioned exact dedup: centroid-bucket routing + angular halo —
+    no driver-side corpus read, no whole-corpus broadcast (the round-1
+    scale-killer)."""
+    return vecops.cosine_pairs_partitioned(
+        _emb(sf_dir), _centroids_of(sf_dir)).sort(["a_id", "b_id"])
 
 
 def sql_cosine_dedup() -> str:
@@ -55,12 +62,7 @@ def sql_cosine_dedup() -> str:
 
 
 def q_ivf_topk(sf_dir: str):
-    import pyarrow.parquet as pq
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    # bounded deterministic sample for the centroid fit (driver-side)
-    ids, m = vecops._emb_matrix(t.slice(0, 4096))
-    cent = vecops.fit_centroids(m)
+    cent = _centroids_of(sf_dir)
     qid, qm = _queries_of(sf_dir)
     return vecops.ivf_topk(_emb(sf_dir), qid, qm, cent).sort(
         ["query_id", "rank"])

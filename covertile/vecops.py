@@ -11,9 +11,10 @@ Brief requirements (similarity search / dedup at training-data scale):
                   (cos desc, id asc) ORDER is the contract, which is stable
                   because adjacent-neighbor cosine gaps are ~1e-2 versus
                   ~1e-7 worst-case summation-order noise.
-* cosine_pairs  — exact near-duplicate pairs with cosine >= tau, same
-                  broadcast pattern (corpus fits the object store at bench
-                  scale; the documented scale path is ivf_topk's routing).
+* cosine_pairs_partitioned — exact near-duplicate pairs with cosine >= tau:
+                  centroid-bucket routing with a provably exact angular
+                  halo (no whole-corpus broadcast, no driver read; see the
+                  function docstring for the routing proof).
 * ivf_topk      — IVF approximate variant: deterministic k-means (fixed
                   seed, driver-side fit on a bounded sample) partitions the
                   corpus; queries probe the P nearest centroids only.  The
@@ -55,14 +56,43 @@ def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _load_queries(sf_dir_path: str, nq: int):
-    """Deterministic query set: the nq lowest vec_ids (read driver-side,
-    tiny)."""
+    """Deterministic query set: the nq lowest vec_ids.
+
+    Distributed min-k: each block keeps its nq smallest ids (tiny
+    partial), the driver merges partials streamed via iter_batches —
+    never a whole-corpus driver read."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy()
+        if len(v) > nq:
+            sel = np.argpartition(v, nq - 1)[:nq]
+            batch = batch.take(pa.array(sel, pa.int64()))
+        return batch
+
+    ds = rd.read_parquet(sf_dir_path, columns=["vec_id", "embedding"])
+    parts = pa.concat_tables(ds.map_batches(
+        partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+    order = np.argsort(parts["vec_id"].to_numpy())[:nq]
+    return _emb_matrix(parts.take(pa.array(order, pa.int64())))
+
+
+def sample_head(sf_dir_path: str, n: int = 4096,
+                columns=("vec_id", "embedding")) -> pa.Table:
+    """Bounded deterministic sample: the first n records, read row-group
+    by row-group — driver memory stays O(n) however large the file is."""
     import pyarrow.parquet as pq
-    t = pq.read_table(sf_dir_path, columns=["vec_id", "embedding"])
-    order = np.argsort(t["vec_id"].to_numpy())[:nq]
-    sub = t.take(pa.array(order))
-    qid, qm = _emb_matrix(sub)
-    return qid, qm
+    f = pq.ParquetFile(sf_dir_path)
+    got, tot = [], 0
+    for rg in range(f.metadata.num_row_groups):
+        t = f.read_row_group(rg, columns=list(columns))
+        got.append(t)
+        tot += len(t)
+        if tot >= n:
+            break
+    tbl = pa.concat_tables(got)
+    return tbl.slice(0, n)
 
 
 # ----------------------------------------------------------------- ann_topk
@@ -175,26 +205,104 @@ ORDER BY query_id, rank
 
 # ------------------------------------------------------------- cosine pairs
 
-def cosine_pairs(emb_ds, corpus_ids: np.ndarray, corpus_mat: np.ndarray,
-                 tau: float = COS_TAU):
-    """Exact embedding near-dup pairs: (a_id, b_id) with cosine >= tau,
-    a_id < b_id.  One side broadcast (bench-scale corpus; see module doc
-    for the partitioned scale path)."""
+def cosine_pairs_partitioned(emb_ds, centroids: np.ndarray,
+                             tau: float = COS_TAU,
+                             home_chunk: int = 4096):
+    """EXACT embedding near-dup pairs with NO driver-side corpus read and
+    no whole-corpus broadcast: centroid-bucket routing with an exact
+    angular halo — the embedding-space analogue of the spatial
+    partition-plus-halo discipline (queries.py epsilon routing).
+
+    Routing rule (provably exact).  Home(v) = argmax_c v·c (unit vectors;
+    the Voronoi cell of cosine space — halfspaces v·(c−h) ≤ 0).  A copy of
+    v is ALSO routed to bucket c ≠ h iff a partner u with home c and
+    cos(u,v) ≥ τ can exist:
+        max {u·(c−h) : |u|=1, u·v ≥ τ} = |c−h|·cos(max(0, θ(v, c−h) − θ_τ))
+    which is ≥ 0 iff  θ(v, c−h) ≤ 90° + θ_τ  iff
+        v·(c−h) ≥ −sin(θ_τ)·|c−h|,   sin(θ_τ) = sqrt(1 − τ²).
+    Both sides come free from the single (batch × K) centroid matmul:
+    v·(c−h) = cos_c[:,c] − cos_c[:,home].
+
+    Exactly-once emission: a pair (a, b), a = smaller vec_id, is emitted
+    only in home(a), where b is guaranteed present (home or halo copy, by
+    the rule above applied to the actual partner), with the predicate
+    (x is home here) ∧ (x.id < y.id).
+
+    Pruning strength is data/τ-dependent: separated clusters + high τ
+    (real near-dup corpora) halo only boundary vectors; in the worst case
+    (uniform directions, low τ) every bucket sees most vectors and the
+    job degrades gracefully to a K-way-distributed block all-pairs — the
+    exact-join lower bound — while each group's matmul stays chunked
+    (home_chunk × |copies|) so no task ever holds an n×n matrix."""
     import ray
 
-    ref = ray.put((np.asarray(corpus_ids, np.int64), corpus_mat))
+    cent = np.asarray(centroids, np.float64)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cdist = np.linalg.norm(cent[:, None, :] - cent[None, :, :], axis=2)
+    sin_tau = float(np.sqrt(max(0.0, 1.0 - tau * tau)))
+    ref = ray.put((cent, cdist))
 
-    def partial(batch: pa.Table) -> pa.Table:
-        cids, cm = ray.get(ref)
+    def route(batch: pa.Table) -> pa.Table:
+        cent_, cd = ray.get(ref)
         ids, m = _emb_matrix(batch)
-        cos = m @ cm.T
-        qi, cj = np.nonzero(cos >= tau)
-        a = ids[qi]
-        b = cids[cj]
-        keep = a < b
-        return pa.table({"a_id": a[keep], "b_id": b[keep]})
+        if len(ids) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "is_home": pa.array([], pa.bool_()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))})
+        cos_c = m @ cent_.T                       # (nb, K)
+        home = cos_c.argmax(1)
+        rows = np.arange(len(ids))
+        # v·(c−h) ≥ −sinθτ·|c−h| per (row, bucket); home col handled apart
+        cond = (cos_c - cos_c[rows, home][:, None]
+                >= -sin_tau * cd[home])
+        cond[rows, home] = False
+        hrow, hcol = np.nonzero(cond)
+        out_rows = np.concatenate([rows, hrow])
+        out_bkt = np.concatenate([home.astype(np.int64),
+                                  hcol.astype(np.int64)])
+        out_home = np.zeros(len(out_rows), bool)
+        out_home[: len(rows)] = True
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        take = pa.array(out_rows, pa.int64())
+        return pa.table({
+            "bucket": pa.array(out_bkt),
+            "vec_id": pa.array(ids[out_rows]),
+            "is_home": pa.array(out_home),
+            "embedding": emb.take(take),
+        })
 
-    return emb_ds.map_batches(partial, batch_format="pyarrow")
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if len(group) == 0:
+            return empty
+        ids, m = _emb_matrix(group)
+        is_home = group["is_home"].to_numpy(zero_copy_only=False)
+        hsel = np.flatnonzero(is_home)
+        if len(hsel) == 0:
+            return empty
+        out_a, out_b = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
+        copy_chunk = 4 * home_chunk
+        for lo in range(0, len(hsel), home_chunk):
+            hs = hsel[lo: lo + home_chunk]
+            hm = m[hs]
+            for co in range(0, len(ids), copy_chunk):
+                # both sides chunked: the cos block stays
+                # home_chunk × copy_chunk however large the bucket is
+                cos = hm @ m[co: co + copy_chunk].T
+                qi, cj = np.nonzero(cos >= tau)
+                a, b = ids[hs[qi]], ids[co + cj]
+                keep = a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+        return pa.table({"a_id": np.concatenate(out_a),
+                         "b_id": np.concatenate(out_b)})
+
+    return (emb_ds.map_batches(route, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
 
 
 def cosine_pairs_sql(tau: float = COS_TAU) -> str:

@@ -122,3 +122,49 @@ def test_ann_topk_tie_safe_across_blocks(ray_session):
     # smallest ids win the all-ties contest
     assert list(got["neighbor_id"]) == sorted(ids.tolist())[:k]
     assert list(got["rank"]) == [1, 2, 3]
+
+
+def test_cosine_pairs_partitioned_cross_bucket_exact(ray_session):
+    """Adversarial: clustered corpus with deliberate boundary pairs that
+    cross centroid buckets.  The halo routing must find every pair
+    exactly once (brute-force numpy oracle)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import vecops
+
+    rng = np.random.default_rng(7)
+    d, tau = 16, 0.85
+    # three separated cluster directions + vectors interpolated BETWEEN
+    # clusters so near-dup pairs straddle Voronoi boundaries
+    cent_dirs = rng.normal(size=(3, d))
+    cent_dirs /= np.linalg.norm(cent_dirs, axis=1, keepdims=True)
+    vecs = []
+    for i in range(300):
+        c = cent_dirs[i % 3]
+        v = c + 0.12 * rng.normal(size=d)
+        vecs.append(v)
+    for i in range(60):  # boundary straddlers: mix two clusters
+        a, b = cent_dirs[i % 3], cent_dirs[(i + 1) % 3]
+        w = 0.5 + 0.02 * rng.normal()
+        v = w * a + (1 - w) * b + 0.05 * rng.normal(size=d)
+        vecs.append(v)
+    m = np.asarray(vecs, np.float32)
+    ids = rng.permutation(len(m)).astype(np.int64)  # ids not cluster-sorted
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+    })
+    # brute-force oracle with the engine's own normalization arithmetic
+    _, u = vecops._emb_matrix(tbl)
+    cos = u @ u.T
+    qi, cj = np.nonzero(cos >= tau)
+    keep = ids[qi] < ids[cj]
+    want = set(zip(ids[qi][keep].tolist(), ids[cj][keep].tolist()))
+    assert len(want) > 50  # the fixture really produces cross-bucket pairs
+
+    ds = rd.from_arrow(tbl).repartition(9)
+    cent = vecops.fit_centroids(u[:128], n_clusters=3)
+    out = vecops.cosine_pairs_partitioned(ds, cent, tau=tau).to_pandas()
+    got_list = list(zip(out["a_id"].tolist(), out["b_id"].tolist()))
+    assert len(got_list) == len(set(got_list))  # exactly-once emission
+    assert set(got_list) == want
