@@ -274,7 +274,8 @@ def knn_join(index: Index, points_ds, k: int,
              batch_size: int = 8192,
              init_radius: float | None = None,
              n_points_hint: int | None = None,
-             mode: str = "groups"):
+             mode: str = "groups",
+             spill_dir: str | None = None):
     """Exact k-nearest-neighbor self-join (self excluded by doc id).
 
     North-rule extension (SURVEY.md J7, no reference implementation).
@@ -293,9 +294,43 @@ def knn_join(index: Index, points_ds, k: int,
 
     Output: (query_id, rank, neighbor_id, dist), rank 1..k by (dist, id).
 
+    Phase-1 DONE rows — the n*k bulk of the job — are spilled to
+    partitioned parquet (spill_dir, one zstd file per producing task)
+    INSIDE the phase-1 tasks; only the boundary-sliver pending rows are
+    materialized in the object store.  The returned Dataset unions a
+    parquet read of the spill with the phase-2 merge, so the job's
+    largest intermediate never sits in memory end-to-end (scale fix for
+    the round-1 full-phase-1 Materialize).  spill_dir defaults to a
+    fresh directory under /tmp (a per-run scratch intermediate, not a
+    resume unit — outputs.knn_self_to_store is the resumable sink); on
+    a cluster it must be shared storage, like Index.ckpt_dir.
+
     mode="groups"/"actors": see epsilon_graph.
     """
+    import os
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
     from .actors import KnnHomeActor
+
+    if spill_dir is None:
+        spill_dir = f"/tmp/covertile-knn-spill-{uuid.uuid4().hex}"
+    os.makedirs(spill_dir, exist_ok=True)
+
+    def spill_done(t: pa.Table) -> pa.Table:
+        """Write this task's done rows (rank>0) to the spill, return only
+        the pending sliver (rank==0).  Fused into the phase-1 task."""
+        done_t = t.filter(pc.greater(t["rank"], 0))
+        if len(done_t):
+            path = os.path.join(spill_dir,
+                                f"part-{uuid.uuid4().hex}.parquet")
+            tmp = f"{path}.tmp"
+            pq.write_table(done_t, tmp, compression="zstd")
+            os.replace(tmp, path)
+        return t.filter(pc.equal(t["rank"], 0))
 
     def add_home(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy()
@@ -324,7 +359,7 @@ def knn_join(index: Index, points_ds, k: int,
             return pa.concat_tables(outs)
 
         phase1 = _pids_ds(index).map_batches(
-            local_knn, batch_format="pyarrow").materialize()
+            local_knn, batch_format="pyarrow")
     elif mode == "groups":
         ck = index.ckpt_dir
         plan = index.plan
@@ -339,7 +374,7 @@ def knn_join(index: Index, points_ds, k: int,
 
         home_routed = points_ds.map_batches(add_home, batch_format="pyarrow")
         phase1 = home_routed.groupby("pid").map_groups(
-            home_group, batch_format="pyarrow").materialize()
+            home_group, batch_format="pyarrow")
     else:
         home_routed = points_ds.map_batches(add_home, batch_format="pyarrow")
         phase1 = home_routed.sort("pid").map_batches(
@@ -350,22 +385,25 @@ def knn_join(index: Index, points_ds, k: int,
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
-        ).materialize()
+        )
 
-    def split(want_done):
-        # done rows carry rank 1..k; the single pending row per undecided
-        # query has rank == 0 (dist = its d_k search bound)
-        def f(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            mask = pc.greater(t["rank"], 0) if want_done \
-                else pc.equal(t["rank"], 0)
-            return t.filter(mask)
-        return f
+    # done rows carry rank 1..k; the single pending row per undecided query
+    # has rank == 0 (dist = its d_k search bound).  The materialize here
+    # pins ONLY the pending sliver (and runs the spill side effect exactly
+    # once — the sliver must not be lazily re-executed per consumer).
+    pending = phase1.map_batches(
+        spill_done, batch_format="pyarrow").materialize()
 
-    done = phase1.map_batches(split(True), batch_format="pyarrow")
-    pending = phase1.map_batches(split(False), batch_format="pyarrow")
+    def read_spill():
+        files = [os.path.join(spill_dir, f) for f in os.listdir(spill_dir)
+                 if f.endswith(".parquet")]
+        return rd.read_parquet(files) if files else None
+
+    done = read_spill()
+    # count on the tiny materialized sliver is free (block metadata)
     if pending.count() == 0:
-        return done
+        return done if done is not None else pending.select_columns(
+            ["query_id", "rank", "neighbor_id", "dist"])
 
     def rehydrate(batch: pa.Table) -> pa.Table:
         x, y = kernels.unpack_xy(batch["neighbor_id"].to_numpy())
@@ -405,9 +443,10 @@ def knn_join(index: Index, points_ds, k: int,
         )
     phase2 = (cands.groupby("home_pid")
               .map_groups(lambda g: _knn_merge(g, k), batch_format="pyarrow")
-              .map_batches(split(True), batch_format="pyarrow")
+              .map_batches(lambda t: t.filter(pc.greater(t["rank"], 0)),
+                           batch_format="pyarrow")
               .select_columns(["query_id", "rank", "neighbor_id", "dist"]))
-    return done.union(phase2)
+    return done.union(phase2) if done is not None else phase2
 
 
 # -------------------------------------------------------------- PIP + tiles
