@@ -548,16 +548,24 @@ def _verify_jaccard(pairs_ds, docs_ds, tau: float, k: int):
 # ------------------------------------------------- n-gram Jaccard (exact)
 
 DF_SAMPLE_MOD = 16  # ~1/16 of docs sampled for the df prefix order
+DF_TOP_K = 1 << 20  # heavy-hitter table cap: <=16 MB broadcast, any corpus
 
 
-def _sampled_df(docs_ds, k: int, sample_mod: int):
-    """(sorted shingle values, df counts) from a deterministic ~1/sample_mod
-    doc sample.  Used only to ORDER shingles for the prefix filter: the
-    filter stays exact under ANY globally consistent total order, so
-    sampled (not exact) df is fine — shingles absent from the sample rank
-    as df=0 (rarest), which is the right guess for genuinely rare
-    shingles.  Driver-side combine (the per-block partials are
-    distinct-shingle counts, small); scale path: count-min sketch."""
+def _sampled_df(docs_ds, k: int, sample_mod: int, top_k: int = DF_TOP_K):
+    """(sorted shingle values, df counts) — the top_k most frequent
+    shingles of a deterministic ~1/sample_mod doc sample, computed fully
+    distributed with a BOUNDED driver footprint.
+
+    Used only to ORDER shingles for the prefix filter, which stays exact
+    under ANY globally consistent total order: df is a pure function of
+    the shingle value, so truncating to heavy hitters (absent => df=0,
+    i.e. ranked rarest-first) keeps the order consistent for any top_k —
+    only frequent shingles matter for prefix pruning anyway.  Plan:
+    per-block distinct-shingle partials -> ONE native groupby(sh).sum
+    (no per-group Python) -> distributed (count desc, sh asc) sort ->
+    limit(top_k) -> driver take of at most top_k rows.  Replaces the
+    round-1 driver-side combine whose memory grew with corpus-distinct
+    shingles."""
     def part(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         m = (ids * np.int64(2654435761)) % np.int64(sample_mod) == 0
@@ -568,20 +576,19 @@ def _sampled_df(docs_ds, k: int, sample_mod: int):
         u, c = np.unique(flat, return_counts=True)
         return pa.table({"sh": u.view(np.int64), "c": c.astype(np.int64)})
 
-    us, cs = [], []
-    for b in (docs_ds.map_batches(part, batch_format="pyarrow")
-              .iter_batches(batch_size=None, batch_format="pyarrow")):
-        us.append(np.asarray(b["sh"], np.int64).view(np.uint64))
-        cs.append(b["c"].to_numpy())
-    if not us or not sum(len(u) for u in us):
+    top = (docs_ds.map_batches(part, batch_format="pyarrow")
+           .groupby("sh").sum("c")
+           .sort(["sum(c)", "sh"], descending=[True, False])
+           .limit(top_k))
+    bs = list(top.iter_batches(batch_size=None, batch_format="pyarrow"))
+    bs = [b for b in bs if len(b)]
+    if not bs:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
-    u, c = np.concatenate(us), np.concatenate(cs)
+    t = pa.concat_tables(bs)
+    u = t["sh"].to_numpy().view(np.uint64)
+    c = t["sum(c)"].to_numpy().astype(np.int64)
     order = np.argsort(u)
-    u, c = u[order], c[order]
-    first = np.empty(len(u), bool)
-    first[0] = True
-    first[1:] = u[1:] != u[:-1]
-    return u[first], np.add.reduceat(c, np.flatnonzero(first))
+    return u[order], c[order]
 
 
 def ngram_jaccard_pairs(docs_ds, tau: float = JACCARD_TAU,

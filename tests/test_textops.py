@@ -129,3 +129,31 @@ def test_simhash_blocks_exact_vs_bruteforce(ray_session):
     want = sorted(zip(ids[ai[keep]], ids[bi[keep]]))
     got = fetch(api_text.QUERIES["simhash_dedup"](SF))
     assert sorted(zip(got["a_id"], got["b_id"])) == want
+
+def test_jaccard_exact_under_truncated_df(ray_session):
+    """The prefix filter must stay EXACT for any heavy-hitter table size:
+    a tiny top_k degrades pruning, never correctness (absent shingles
+    rank df=0, still a globally consistent order)."""
+    import ray.data as rd
+
+    from covertile import textops
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    full = fetch(textops.ngram_jaccard_pairs(docs).sort(["a_id", "b_id"]))
+
+    docs2 = rd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"])
+    ref = textops._sampled_df
+
+    def tiny(ds, k, sample_mod, top_k=textops.DF_TOP_K):
+        return ref(ds, k, sample_mod, top_k=4)
+
+    textops._sampled_df = tiny
+    try:
+        trunc = fetch(
+            textops.ngram_jaccard_pairs(docs2).sort(["a_id", "b_id"]))
+    finally:
+        textops._sampled_df = ref
+    assert len(full) > 0
+    assert full.equals(trunc)
