@@ -36,26 +36,42 @@ __all__ = ["CoverTree", "brute_force_radius", "brute_force_knn"]
 
 
 def _dists_to(xy: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """float64 distances from each row of xy (n,2 f32) to q (2, f32)."""
-    dx = xy[:, 0].astype(np.float64) - np.float64(q[0])
-    dy = xy[:, 1].astype(np.float64) - np.float64(q[1])
-    return np.sqrt(dx * dx + dy * dy)
+    """float64 distances from each row of xy (n,d f32) to q (d, f32).
+
+    Accumulated SEQUENTIALLY in column order — bit parity with a SQL
+    oracle's left-to-right (a1-b1)^2 + ... + (ad-bd)^2, and identical to
+    the historical dx*dx + dy*dy at d=2 (numpy's axis-sum switches to
+    pairwise accumulation above 8 terms, which would break parity)."""
+    acc = None
+    for j in range(xy.shape[1]):
+        dj = xy[:, j].astype(np.float64) - np.float64(q[j])
+        acc = dj * dj if acc is None else acc + dj * dj
+    return np.sqrt(acc)
 
 
 def _pair_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """float64 rowwise distances between a (m,2 f32) and b (m,2 f32)."""
-    dx = a[:, 0].astype(np.float64) - b[:, 0].astype(np.float64)
-    dy = a[:, 1].astype(np.float64) - b[:, 1].astype(np.float64)
-    return np.sqrt(dx * dx + dy * dy)
+    """float64 rowwise distances between a (m,d f32) and b (m,d f32),
+    sequential column-order accumulation (see _dists_to)."""
+    acc = None
+    for j in range(a.shape[1]):
+        dj = a[:, j].astype(np.float64) - b[:, j].astype(np.float64)
+        acc = dj * dj if acc is None else acc + dj * dj
+    return np.sqrt(acc)
 
 
 class CoverTree:
-    """Cover tree over a (n, 2) float32 point array under Euclidean L2."""
+    """Cover tree over a (n, d) float32 point array under Euclidean L2.
+
+    Dimension-general (the reference's VectorIO reads arbitrary-dim
+    vectors, /root/reference/src/VectorIO.cpp:25-67, and its cover tree
+    is a generic metric index); d=2 is the spatial pipeline's case and
+    keeps bit-identical behavior."""
 
     def __init__(self, xy: np.ndarray, base: float = 2.0):
         xy = np.ascontiguousarray(xy, dtype=np.float32)
-        assert xy.ndim == 2 and xy.shape[1] == 2
+        assert xy.ndim == 2 and xy.shape[1] >= 1
         self.xy = xy
+        self.dim = xy.shape[1]
         self.base = float(base)
         self.n = xy.shape[0]
         # tree SoA, filled by build()
@@ -218,8 +234,7 @@ class CoverTree:
         self._ball = self.max_radius * np.power(
             self.base, -self.level.astype(np.float64))
         # float64 vertex coords, pre-cast once for the query hot path
-        self._vx = self.xy[self.pt, 0].astype(np.float64)
-        self._vy = self.xy[self.pt, 1].astype(np.float64)
+        self._v = self.xy[self.pt].astype(np.float64)
         self._vxy = self.xy[self.pt]  # float32 view kept for invariant tests
 
     @property
@@ -276,13 +291,15 @@ class CoverTree:
 
     def _radius_chunk(self, qxy, radii, qoff, out_q, out_p, out_d):
         mq = len(qxy)
-        qx = qxy[:, 0].astype(np.float64)
-        qy = qxy[:, 1].astype(np.float64)
+        ndim = qxy.shape[1]
+        qf = qxy.astype(np.float64)  # (mq, d) per-column gathers below
         qi = np.arange(mq, dtype=np.int64)
         v = np.zeros(mq, np.int64)  # root vertex
-        dx = qx - self._vx[0]
-        dy = qy - self._vy[0]
-        d = np.sqrt(dx * dx + dy * dy)
+        acc = None
+        for j in range(ndim):
+            dj = qf[:, j] - self._v[0, j]
+            acc = dj * dj if acc is None else acc + dj * dj
+        d = np.sqrt(acc)
         coff, cids = self.child_off, self.child_ids
         term, ball, pt = self.terminal, self._ball, self.pt
         while len(qi):
@@ -305,9 +322,11 @@ class CoverTree:
             pos = np.arange(offs[-1], dtype=np.int64) - offs[rep]
             cv = cids[starts_e[rep] + pos]
             cq = qi_e[rep]
-            dx = qx[cq] - self._vx[cv]
-            dy = qy[cq] - self._vy[cv]
-            cd = np.sqrt(dx * dx + dy * dy)
+            acc = None
+            for j in range(ndim):
+                dj = qf[cq, j] - self._v[cv, j]
+                acc = dj * dj if acc is None else acc + dj * dj
+            cd = np.sqrt(acc)
             keep = cd <= radii[cq] + ball[cv]
             qi, v, d = cq[keep], cv[keep], cd[keep]
 
@@ -333,15 +352,20 @@ class CoverTree:
             z = np.zeros(0, np.int64)
             return z, z, np.zeros(0, np.float64), np.zeros(0, np.float64)
         if init_radius is None:
-            # density-based guess: radius of a disc expected to hold ~2k
+            # density-based guess: radius of a ball expected to hold ~2k
             # points at this partition's bounding-box density (a max_radius-
-            # based guess overshoots badly for multi-cell partitions)
-            area = float(
-                (self.xy[:, 0].max() - self.xy[:, 0].min()) *
-                (self.xy[:, 1].max() - self.xy[:, 1].min()))
-            if area > 0 and self.n > k:
+            # based guess overshoots badly for multi-cell partitions).
+            # General-d: r = (2k * vol / (n * unit_ball_vol(d)))^(1/d);
+            # at d=2 this is the historical sqrt(2k*area/(pi*n)).
+            import math
+            ext = (self.xy.max(0).astype(np.float64)
+                   - self.xy.min(0).astype(np.float64))
+            vol = float(np.prod(ext))
+            if vol > 0 and self.n > k:
+                ubv = math.pi ** (self.dim / 2.0) / math.gamma(
+                    self.dim / 2.0 + 1.0)
                 init_radius = float(
-                    np.sqrt(2.0 * k * area / (np.pi * self.n)))
+                    (2.0 * k * vol / (ubv * self.n)) ** (1.0 / self.dim))
             else:
                 init_radius = max(1e-3, self.max_radius * np.sqrt(
                     min(1.0, 4.0 * k / max(1, self.n))))
@@ -405,6 +429,7 @@ class CoverTree:
         t = cls.__new__(cls)
         t.xy = np.ascontiguousarray(st["xy"], np.float32)
         t.n = t.xy.shape[0]
+        t.dim = t.xy.shape[1]
         t.base = float(st["base"])
         t.max_radius = float(st["max_radius"])
         t.niters = int(st["niters"])
@@ -414,13 +439,23 @@ class CoverTree:
         t.child_off = np.asarray(st["child_off"], np.int64)
         t.child_ids = np.asarray(st["child_ids"], np.int64)
         t._ball = t.max_radius * np.power(t.base, -t.level.astype(np.float64))
-        t._vx = t.xy[t.pt, 0].astype(np.float64)
-        t._vy = t.xy[t.pt, 1].astype(np.float64)
+        t._v = t.xy[t.pt].astype(np.float64)
         t._vxy = t.xy[t.pt]
         return t
 
 
 # ------------------------------------------------------------------ oracles
+
+def _cross_dists(qxy: np.ndarray, xy: np.ndarray) -> np.ndarray:
+    """(m, n) float64 all-pairs distances, sequential column-order
+    accumulation (see _dists_to)."""
+    acc = None
+    for j in range(xy.shape[1]):
+        dj = (qxy[:, None, j].astype(np.float64)
+              - xy[None, :, j].astype(np.float64))
+        acc = dj * dj if acc is None else acc + dj * dj
+    return np.sqrt(acc)
+
 
 def brute_force_radius(xy: np.ndarray, qxy: np.ndarray, radii) -> tuple:
     """O(n*m) oracle, same metric — the reference's own correctness contract
@@ -428,9 +463,7 @@ def brute_force_radius(xy: np.ndarray, qxy: np.ndarray, radii) -> tuple:
     xy = np.asarray(xy, np.float32)
     qxy = np.asarray(qxy, np.float32)
     radii = np.broadcast_to(np.asarray(radii, np.float64), (len(qxy),))
-    dx = qxy[:, None, 0].astype(np.float64) - xy[None, :, 0].astype(np.float64)
-    dy = qxy[:, None, 1].astype(np.float64) - xy[None, :, 1].astype(np.float64)
-    d = np.sqrt(dx * dx + dy * dy)
+    d = _cross_dists(qxy, xy)
     qi, pi = np.nonzero(d <= radii[:, None])
     return qi.astype(np.int64), pi.astype(np.int64), d[qi, pi]
 
@@ -438,9 +471,7 @@ def brute_force_radius(xy: np.ndarray, qxy: np.ndarray, radii) -> tuple:
 def brute_force_knn(xy, qxy, k, exclude_pt=None):
     xy = np.asarray(xy, np.float32)
     qxy = np.asarray(qxy, np.float32)
-    dx = qxy[:, None, 0].astype(np.float64) - xy[None, :, 0].astype(np.float64)
-    dy = qxy[:, None, 1].astype(np.float64) - xy[None, :, 1].astype(np.float64)
-    d = np.sqrt(dx * dx + dy * dy)
+    d = _cross_dists(qxy, xy)
     if exclude_pt is not None:
         d[np.arange(len(qxy)), np.asarray(exclude_pt, np.int64)] = np.inf
     out_q, out_p, out_d = [], [], []

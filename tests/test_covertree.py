@@ -133,3 +133,60 @@ def test_serialization_roundtrip():
     qj, pj, dj = canon(*t2.radius_query_batch(xy[:50], np.full(50, 0.4)))
     assert np.array_equal(qi, qj) and np.array_equal(pi, pj)
     assert np.array_equal(di, dj)
+
+
+# ------------------------------------------------------------- general-d
+
+def make_points_d(n, d, seed=5, clusters=8):
+    """Clustered d-dim float32 points (embedding-like: cover trees in
+    high d only pay off when data has structure)."""
+    rng = np.random.default_rng(seed)
+    cent = rng.normal(0.0, 4.0, size=(clusters, d))
+    asg = rng.integers(0, clusters, n)
+    return (cent[asg] + rng.normal(0.0, 0.5, size=(n, d))).astype(np.float32)
+
+
+@pytest.mark.parametrize("d,n,r", [
+    (1, 2000, 0.4), (3, 2000, 0.9), (8, 2000, 1.8), (16, 1000, 2.6),
+])
+def test_epsilon_graph_matches_brute_force_ddim(d, n, r):
+    xy = make_points_d(n, d)
+    tree = CoverTree(xy).build()
+    qi, pi, di = canon(*tree.radius_query_batch(xy, np.full(n, r)))
+    bq, bp, bd = canon(*brute_force_radius(xy, xy, r))
+    assert np.array_equal(qi, bq)
+    assert np.array_equal(pi, bp)
+    # bitwise distance parity: both paths accumulate float64 in column order
+    assert np.array_equal(di.view(np.int64), bd.view(np.int64))
+    assert len(qi) >= n  # at least the self-loops
+
+
+@pytest.mark.parametrize("d,k", [(3, 4), (8, 8), (16, 5)])
+def test_knn_matches_brute_force_ddim(d, k):
+    n = 1500
+    xy = make_points_d(n, d, seed=11)
+    tree = CoverTree(xy).build()
+    excl = np.arange(n, dtype=np.int64)
+    qk, pk, dk, kth = tree.knn_batch(xy, k, exclude_pt=excl)
+    bq, bp, bd = brute_force_knn(xy, xy, k, exclude_pt=excl)
+    a = np.lexsort((pk, dk, qk))
+    b = np.lexsort((bp, bd, bq))
+    assert np.array_equal(qk[a], bq[b])
+    assert np.array_equal(pk[a], bp[b])
+    assert np.array_equal(dk[a].view(np.int64), bd[b].view(np.int64))
+    assert np.all(np.isfinite(kth))
+
+
+def test_ddim_duplicates_and_roundtrip():
+    d = 8
+    xy = make_points_d(400, d, seed=3)
+    xy[50:100] = xy[0]  # heavy duplicates exercise leaf chains at d=8
+    tree = CoverTree(xy).build()
+    st = tree.to_state()
+    tree2 = CoverTree.from_state(st)
+    assert tree2.dim == d
+    r = np.full(len(xy), 0.7)
+    a = canon(*tree.radius_query_batch(xy, r))
+    b = canon(*tree2.radius_query_batch(xy, r))
+    for u, v in zip(a, b):
+        assert np.array_equal(u, v)
