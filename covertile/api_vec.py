@@ -61,6 +61,19 @@ def sql_cosine_dedup() -> str:
     return vecops.cosine_pairs_sql()
 
 
+def q_emb_knn(sf_dir: str):
+    """Exact L2 kNN via the d-dimensional CoverTree (the reference's
+    general-vector contract, VectorIO.cpp:25-67 / snn_test.py)."""
+    qt = vecops._load_query_table(
+        os.path.join(sf_dir, "embeddings.parquet"), vecops.ANN_NUM_QUERIES)
+    qid, qraw = vecops._raw_matrix(qt)
+    return vecops.emb_knn(_emb(sf_dir), qid, qraw).sort(["query_id", "rank"])
+
+
+def sql_emb_knn() -> str:
+    return vecops.emb_knn_sql()
+
+
 def q_ivf_topk(sf_dir: str):
     cent = _centroids_of(sf_dir)
     qid, qm = _queries_of(sf_dir)
@@ -96,6 +109,7 @@ def sql_frame_sample() -> str:
 QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_cosine_dedup": q_cosine_dedup,
+    "emb_knn": q_emb_knn,
     "ivf_topk": q_ivf_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
@@ -105,6 +119,7 @@ QUERIES = {
 ORACLES = {
     "ann_topk": sql_ann_topk,
     "embedding_cosine_dedup": sql_cosine_dedup,
+    "emb_knn": sql_emb_knn,
     "media_features": sql_media_features,
     "media_resize": sql_media_resize,
     "frame_sample": sql_frame_sample,

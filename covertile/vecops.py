@@ -55,8 +55,8 @@ def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return batch["vec_id"].to_numpy(), m / nrm[:, None]
 
 
-def _load_queries(sf_dir_path: str, nq: int):
-    """Deterministic query set: the nq lowest vec_ids.
+def _load_query_table(sf_dir_path: str, nq: int) -> pa.Table:
+    """The nq lowest-vec_id rows as a table — deterministic query set.
 
     Distributed min-k: each block keeps its nq smallest ids (tiny
     partial), the driver merges partials streamed via iter_batches —
@@ -75,7 +75,22 @@ def _load_queries(sf_dir_path: str, nq: int):
         partial, batch_format="pyarrow").iter_batches(
             batch_size=None, batch_format="pyarrow"))
     order = np.argsort(parts["vec_id"].to_numpy())[:nq]
-    return _emb_matrix(parts.take(pa.array(order, pa.int64())))
+    return parts.take(pa.array(order, pa.int64()))
+
+
+def _load_queries(sf_dir_path: str, nq: int):
+    """(vec_ids, unit-normalized float64 matrix) for the nq lowest ids."""
+    return _emb_matrix(_load_query_table(sf_dir_path, nq))
+
+
+def _raw_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, RAW float32 matrix) — no normalization; the L2 kNN path
+    uses the CoverTree metric (float64 accumulate over float32 coords)."""
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), np.float32)
+    return batch["vec_id"].to_numpy(), flat.reshape(len(batch), -1)
 
 
 def sample_head(sf_dir_path: str, n: int = 4096,
@@ -144,11 +159,12 @@ def _tie_safe_block_topk(qids: np.ndarray, ids: np.ndarray,
     })
 
 
-def _topk_merge_bucketed(scored_ds, k: int):
-    """(query_id, neighbor_id, cos) partials -> exact top-k per query,
-    rank 1..k by (cos desc, neighbor_id asc).  ONE groupby on a 256-way
-    hash of query_id; ALL queries in a coarse group are merged in a
-    single lexsort pass — a map_groups UDF per query costs ~1ms of
+def _topk_merge_bucketed(scored_ds, k: int, value_col: str = "cos",
+                         ascending: bool = False):
+    """(query_id, neighbor_id, <value_col>) partials -> exact top-k per
+    query, rank 1..k by (value desc|asc, neighbor_id asc).  ONE groupby on
+    a 256-way hash of query_id; ALL queries in a coarse group are merged
+    in a single lexsort pass — a map_groups UDF per query costs ~1ms of
     Python each and dominates once queries number in the thousands
     (same lesson as textops._candidate_pairs)."""
 
@@ -165,8 +181,8 @@ def _topk_merge_bucketed(scored_ds, k: int):
                              "rank": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64())})
         nid = group["neighbor_id"].to_numpy()
-        cos = group["cos"].to_numpy()
-        order = np.lexsort((nid, -cos, q))
+        cos = group[value_col].to_numpy()
+        order = np.lexsort((nid, cos if ascending else -cos, q))
         q_s, nid_s = q[order], nid[order]
         first = np.empty(len(q_s), bool)
         first[0] = True
@@ -375,3 +391,82 @@ def ivf_topk(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
 
     return _topk_merge_bucketed(
         emb_ds.map_batches(partial, batch_format="pyarrow"), k)
+
+
+# ------------------------------------------------------- cover-tree L2 kNN
+
+def emb_knn(emb_ds, query_ids: np.ndarray, query_raw: np.ndarray,
+            k: int = ANN_K):
+    """EXACT Euclidean kNN over the embedding corpus through the
+    d-dimensional CoverTree — the reference's metric index applied to its
+    general-vector contract (/root/reference/src/VectorIO.cpp:25-67,
+    snn_test.py) instead of the 2-D spatial case.
+
+    Each block builds a local cover tree (block rows sorted by vec_id so
+    the tree's (dist, local-id) tie order IS (dist, vec_id)), answers all
+    queries with the adaptive-radius knn_batch kernel, and emits a k+1
+    partial (self may occupy one slot).  Per-block truncation at k+1 by
+    (dist, vec_id) is exact for the global (dist asc, vec_id asc) merge:
+    if a dropped candidate were in the global top-k, the k+1 block-mates
+    ranked above it would all be too — contradiction.
+
+    Scale shape: identical to ann_topk (broadcast queries, streamed
+    corpus, tiny rank merge), but the per-block search is O(q·log n) tree
+    descent instead of a (q × n) matmul — the win grows with block size
+    and query count.  Output (query_id, rank, neighbor_id); distances
+    never cross the oracle boundary (rank gaps >> float noise, asserted
+    in tests/test_vecops.py)."""
+    import ray
+
+    from .covertree import CoverTree
+
+    q_ref = ray.put((np.asarray(query_ids, np.int64),
+                     np.ascontiguousarray(query_raw, np.float32)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(q_ref)
+        ids, m = _raw_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.float64())})
+        order = np.argsort(ids)  # (dist, local-id) tie order == vec_id order
+        ids, m = ids[order], np.ascontiguousarray(m[order])
+        tree = CoverTree(m).build()
+        qi, pi, di, _ = tree.knn_batch(qm, k + 1)
+        nid = ids[pi]
+        keep = nid != qids[qi]  # self-exclusion
+        return pa.table({"query_id": qids[qi[keep]],
+                         "neighbor_id": nid[keep],
+                         "dist": di[keep]})
+
+    return _topk_merge_bucketed(
+        emb_ds.map_batches(partial, batch_format="pyarrow"), k,
+        value_col="dist", ascending=True)
+
+
+def emb_knn_sql(nq: int = ANN_NUM_QUERIES, k: int = ANN_K) -> str:
+    """Float64 explicit-order distance (list_transform keeps element
+    order) — same accumulation discipline as covertree._dists_to; only
+    int ranks cross the compare boundary."""
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nq}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         sqrt(list_sum(list_transform(
+              list_zip(q.embedding, e.embedding),
+              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))) AS d
+  FROM q, embeddings e WHERE e.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

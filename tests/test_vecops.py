@@ -32,7 +32,7 @@ def assert_matches(got, want, name):
 
 
 @pytest.mark.parametrize("name", [
-    "ann_topk", "embedding_cosine_dedup", "media_features",
+    "ann_topk", "embedding_cosine_dedup", "emb_knn", "media_features",
     "media_resize", "frame_sample",
 ])
 def test_vec_query_matches_oracle(ray_session, con, name):
@@ -57,6 +57,26 @@ FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id""").df()
     for q in sorted(df["i"].unique())[:ANN_NUM_QUERIES]:
         s = np.sort(df[df["i"] == q]["c"].to_numpy())[::-1]
         assert s[ANN_K - 1] - s[ANN_K] > 1e-5
+
+
+def test_emb_knn_l2_gap_is_safe(con):
+    """emb_knn's (dist asc, id asc) rank contract: adjacent-rank L2 gaps
+    on this dataset must dwarf float64 summation-order noise."""
+    from covertile.vecops import ANN_K, ANN_NUM_QUERIES
+    df = con.execute("""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           ORDER BY vec_id LIMIT {nq})
+SELECT q.vec_id i,
+  sqrt(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+          * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))) d
+FROM q, embeddings e WHERE e.vec_id != q.vec_id
+""".format(nq=ANN_NUM_QUERIES)).df()
+    for q in df["i"].unique():
+        s = np.sort(df[df["i"] == q]["d"].to_numpy())[: ANN_K + 2]
+        gaps = np.diff(s)
+        gaps = gaps[gaps > 0]  # exact duplicates tie-break by id (int-safe)
+        assert gaps.min() > 1e-9
 
 
 def test_ivf_recall(ray_session):
