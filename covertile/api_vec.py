@@ -81,6 +81,18 @@ def q_ivf_topk(sf_dir: str):
         ["query_id", "rank"])
 
 
+def q_ivf_topk_exact(sf_dir: str):
+    """IVF machinery with probes = ALL clusters: routing prunes nothing,
+    so the result is provably the exact top-k and shares ann_topk's SQL
+    oracle — a driver-checkable exactness witness for the full IVF path
+    (centroid fit, bucket assignment, probe scoring, tie-safe merge);
+    q_ivf_topk keeps the pruned recall/cost operating point."""
+    cent = _centroids_of(sf_dir)
+    qid, qm = _queries_of(sf_dir)
+    return vecops.ivf_topk(_emb(sf_dir), qid, qm, cent,
+                           probes=len(cent)).sort(["query_id", "rank"])
+
+
 def q_media_features(sf_dir: str):
     return mediaops.media_features(_docs(sf_dir)).sort(["doc_id", "offset"])
 
@@ -111,6 +123,7 @@ QUERIES = {
     "embedding_cosine_dedup": q_cosine_dedup,
     "emb_knn": q_emb_knn,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_exact": q_ivf_topk_exact,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
@@ -120,6 +133,7 @@ ORACLES = {
     "ann_topk": sql_ann_topk,
     "embedding_cosine_dedup": sql_cosine_dedup,
     "emb_knn": sql_emb_knn,
+    "ivf_topk_exact": sql_ann_topk,
     "media_features": sql_media_features,
     "media_resize": sql_media_resize,
     "frame_sample": sql_frame_sample,

@@ -32,8 +32,8 @@ def assert_matches(got, want, name):
 
 
 @pytest.mark.parametrize("name", [
-    "ann_topk", "embedding_cosine_dedup", "emb_knn", "media_features",
-    "media_resize", "frame_sample",
+    "ann_topk", "embedding_cosine_dedup", "emb_knn", "ivf_topk_exact",
+    "media_features", "media_resize", "frame_sample",
 ])
 def test_vec_query_matches_oracle(ray_session, con, name):
     from covertile import api_vec
