@@ -36,6 +36,18 @@ def _ray_session():
     return ray
 
 
+def size_int(s: str) -> int:
+    """'1K'/'2M'/'4G' binary-suffix integer parse (M8; semantics of
+    /root/reference/src/read_args.cpp:7-19: strtod prefix, case-
+    insensitive suffix, x + 0.499 rounding)."""
+    s = s.strip()
+    mult = 1
+    if s and s[-1].upper() in "KMG":
+        mult = 1 << {"K": 10, "M": 20, "G": 30}[s[-1].upper()]
+        s = s[:-1]
+    return int(float(s) * mult + 0.499)
+
+
 def gaussian_points(n: int, var: float, seed: int) -> np.ndarray:
     """Seeded 2-D Gaussian cloud (reference src/Point.cpp:45-60 uses
     default_random_engine(17*seed); bit parity with libstdc++ is not a
@@ -127,7 +139,7 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("create-points")
-    p.add_argument("-n", type=int, required=True)
+    p.add_argument("-n", type=size_int, required=True)
     p.add_argument("-V", "--var", type=float, default=10.0)
     p.add_argument("-s", "--seed", type=int, default=0)
     p.add_argument("-o", "--output", required=True)
@@ -142,7 +154,7 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_build_graph)
 
     p = sub.add_parser("check-graph")
-    p.add_argument("-n", type=int, required=True)
+    p.add_argument("-n", type=size_int, required=True)
     p.add_argument("-r", "--radius", type=float, required=True)
     p.add_argument("-V", "--var", type=float, default=10.0)
     p.add_argument("-s", "--seed", type=int, default=0)

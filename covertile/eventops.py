@@ -18,9 +18,9 @@ training-data-pipeline extensions for event-shaped inputs:
 Partitioning note (100 TB): the window key is derivable per row, so the
 partial-aggregate rows are bounded by (#windows x #types) per block —
 the shuffle is metadata-sized regardless of input volume.  Sessionize
-shuffles by user_id (the natural key); hot users would be handled by
-splitting on (user_id, day) with boundary-session stitching — documented,
-not needed at this cardinality (users ~ O(100)).
+partitions by (user_id, ts-chunk) so a hot user never pins one task, and
+stitches chunk-boundary session fragments in a second, fragment-sized
+shuffle — exact by construction (see sessionize docstring).
 """
 
 from __future__ import annotations
@@ -93,26 +93,82 @@ ORDER BY window_start_us, event_type
 """
 
 
-def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MINUTES):
+SESSION_CHUNK_HOURS = 24
+
+
+def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MINUTES,
+               chunk_hours: int = SESSION_CHUNK_HOURS):
     """-> per-user (user_id, n_events, n_sessions, max_session_events),
     sessions split where the gap to the previous event exceeds the
     timeout.
 
-    ONE groupby shuffle on a 256-way hash of user_id (equal users stay
-    together); inside a coarse group ALL users are sessionized in one
-    vectorized pass (lexsort + run detection + reduceat) — one map_groups
-    UDF call per user costs ~1ms of Python each and dominates wall time
-    once users number in the tens of thousands (same lesson as the dedup
-    bucket rewrite, textops._candidate_pairs)."""
+    Hot-user-proof two-stage scheme (exact):
+
+    1. Events are bucketed by a 256-way hash of (user_id, ts-chunk) — a
+       hot user's events spread across chunks instead of pinning one
+       task.  Inside a coarse group ALL (user, chunk) runs are
+       sessionized in one vectorized pass (lexsort + run detection),
+       force-splitting at chunk boundaries, and reduced to per-session
+       PART rows (user, start_ts, end_ts, n_events).
+    2. Part rows (one per session fragment — metadata-sized, not
+       event-sized) are re-bucketed by user hash and stitched: adjacent
+       parts of a user merge iff next.start - prev.end <= gap, which is
+       exactly the global gap rule, so chunking never changes the result
+       (asserted vs the SQL oracle and vs a 1-chunk run in tests).
+
+    Both shuffles are declared; the first moves each event once with a
+    3-column projection, the second moves only session fragments.  One
+    map_groups UDF call per user would cost ~1ms of Python each — the
+    coarse-bucket vectorized pass is the same lesson as
+    textops._candidate_pairs."""
     gap_us = np.int64(gap_minutes * _US_PER_MIN)
+    chunk_us = np.int64(chunk_hours) * np.int64(60) * np.int64(_US_PER_MIN)
+    PHI = np.uint64(0x9E3779B97F4A7C15)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy()
-        bk = ((uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-              >> np.uint64(56)).astype(np.int64)
-        return pa.table({"bk": bk, "user_id": uid, "ts": batch["ts"]})
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        ck = ts // chunk_us
+        h = (uid.astype(np.uint64) * PHI + ck.astype(np.uint64)) * PHI
+        return pa.table({"bk": (h >> np.uint64(56)).astype(np.int64),
+                         "user_id": uid, "ts": ts})
 
-    def per_bucket(group: pa.Table) -> pa.Table:
+    def parts(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "start_ts": pa.array([], pa.int64()),
+                "end_ts": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            })
+        ts = group["ts"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        new_run = np.empty(n, bool)
+        new_run[0] = True
+        new_run[1:] = ((uid_s[1:] != uid_s[:-1])
+                       | (np.diff(ts_s) > gap_us)
+                       # chunk boundary: the neighbor event may live in
+                       # another bucket, so the gap check is deferred to
+                       # the stitch stage
+                       | (ts_s[1:] // chunk_us != ts_s[:-1] // chunk_us))
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            "user_id": uid_s[starts],
+            "start_ts": ts_s[starts],
+            "end_ts": ts_s[ends],
+            "n_events": np.append(starts[1:], n) - starts,
+        })
+
+    def user_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        bk = ((uid.astype(np.uint64) * PHI) >> np.uint64(56)).astype(np.int64)
+        return batch.append_column("bk2", pa.array(bk))
+
+    def stitch(group: pa.Table) -> pa.Table:
         uid = group["user_id"].to_numpy()
         n = len(uid)
         if n == 0:
@@ -122,31 +178,34 @@ def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MINUTES):
                 "n_sessions": pa.array([], pa.int64()),
                 "max_session_events": pa.array([], pa.int64()),
             })
-        ts = group["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
-        order = np.lexsort((ts, uid))
-        uid_s, ts_s = uid[order], ts[order]
+        start = group["start_ts"].to_numpy()
+        end = group["end_ts"].to_numpy()
+        cnt = group["n_events"].to_numpy()
+        order = np.lexsort((start, uid))
+        uid_s, start_s, end_s, cnt_s = (uid[order], start[order],
+                                        end[order], cnt[order])
         new_user = np.empty(n, bool)
         new_user[0] = True
         new_user[1:] = uid_s[1:] != uid_s[:-1]
         new_sess = new_user.copy()
-        new_sess[1:] |= np.diff(ts_s) > gap_us
-        user_starts = np.flatnonzero(new_user)
+        new_sess[1:] |= (start_s[1:] - end_s[:-1]) > gap_us
         sess_starts = np.flatnonzero(new_sess)
-        # sessions are contiguous runs; user_starts is a subset of
-        # sess_starts, so a user's first session index is its position
-        sess_sizes = np.diff(np.append(sess_starts, n))
+        sess_n = np.add.reduceat(cnt_s, sess_starts)
+        user_starts = np.flatnonzero(new_user)
         u_first_sess = np.searchsorted(sess_starts, user_starts)
+        u_end_sess = np.append(u_first_sess[1:], len(sess_starts))
         return pa.table({
             "user_id": uid_s[user_starts],
-            "n_events": np.diff(np.append(user_starts, n)),
-            "n_sessions": np.diff(np.append(u_first_sess,
-                                            len(sess_starts))),
+            "n_events": np.add.reduceat(cnt_s, user_starts),
+            "n_sessions": u_end_sess - u_first_sess,
             "max_session_events": np.maximum.reduceat(
-                sess_sizes, u_first_sess),
+                sess_n, u_first_sess),
         })
 
-    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bk").map_groups(per_bucket, batch_format="pyarrow")
+    part_rows = (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+                 .groupby("bk").map_groups(parts, batch_format="pyarrow"))
+    return (part_rows.map_batches(user_bucket, batch_format="pyarrow")
+            .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
             .sort("user_id"))
 
 

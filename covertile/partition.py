@@ -24,7 +24,8 @@ import json
 
 import numpy as np
 
-__all__ = ["PartitionPlan", "make_plan"]
+__all__ = ["PartitionPlan", "HierarchicalPlan", "make_plan",
+           "plan_from_json"]
 
 
 class PartitionPlan:
@@ -47,6 +48,8 @@ class PartitionPlan:
     def _cell_index(self, cell: np.ndarray) -> np.ndarray:
         """Index into plan arrays per cell; -1 for cells with no points."""
         cell = np.asarray(cell, np.uint64)
+        if len(self.cell_codes) == 0:
+            return np.full(len(cell), -1, np.int64)
         idx = np.searchsorted(self.cell_codes, cell)
         idx = np.clip(idx, 0, len(self.cell_codes) - 1)
         miss = self.cell_codes[idx] != cell
@@ -101,6 +104,124 @@ class PartitionPlan:
             np.asarray(d["n_salts"], np.int64),
             d["num_partitions"],
         )
+
+
+class HierarchicalPlan:
+    """Two-level plan for resolutions whose flat cell table would exceed
+    driver/broadcast capacity (the reference's greedy assignment, like the
+    flat plan, is driver-resident — DistCoverTree.cpp:726-758 — so this is
+    the 100-TB extension, not a parity item).
+
+    Structure: a COARSE-resolution top plan covers every prefix whose
+    total count fits in one partition's budget (those prefixes never need
+    sub-cell structure); each heavier prefix gets its own fine-resolution
+    PartitionPlan over just its occupied sub-cells, with a global pid
+    offset.  Lookup API is identical to PartitionPlan, so the build,
+    routing and halo machinery are agnostic to which plan they hold.
+
+    Size: top is <= 4^coarse_res entries; each sub-plan is <= the
+    occupied fine cells of ONE prefix (<= 4^(res - coarse_res)).  The
+    broadcast payload is the sum of sub-plan sizes, which the refine
+    threshold (= partition target) keeps proportional to the number of
+    partitions — not to the global fine-cell count.
+    """
+
+    def __init__(self, resolution: int, coarse_resolution: int,
+                 top: PartitionPlan, sub_codes: np.ndarray,
+                 subs: list[PartitionPlan], sub_pid_off: np.ndarray,
+                 num_partitions: int):
+        assert resolution > coarse_resolution
+        self.resolution = int(resolution)
+        self.coarse_resolution = int(coarse_resolution)
+        self.top = top
+        self.sub_codes = np.asarray(sub_codes, np.uint64)  # sorted prefixes
+        self.subs = subs
+        self.sub_pid_off = np.asarray(sub_pid_off, np.int64)
+        self.num_partitions = int(num_partitions)
+        self._shift = np.uint64(2 * (self.resolution
+                                     - self.coarse_resolution))
+
+    def _split(self, cell: np.ndarray):
+        """(coarse codes, refined-sub index per cell or -1)."""
+        cell = np.asarray(cell, np.uint64)
+        coarse = cell >> self._shift
+        if len(self.sub_codes) == 0:
+            return coarse, np.full(len(cell), -1, np.int64)
+        j = np.searchsorted(self.sub_codes, coarse)
+        j = np.clip(j, 0, len(self.sub_codes) - 1)
+        j[self.sub_codes[j] != coarse] = -1
+        return coarse, j
+
+    def pid_of_points(self, cell: np.ndarray,
+                      point_id: np.ndarray) -> np.ndarray:
+        cell = np.asarray(cell, np.uint64)
+        point_id = np.asarray(point_id, np.int64)
+        coarse, j = self._split(cell)
+        pid = np.full(len(cell), -1, np.int64)
+        flat = j < 0
+        if flat.any():
+            pid[flat] = self.top.pid_of_points(coarse[flat], point_id[flat])
+        for sj in np.unique(j[~flat]):
+            sel = j == sj
+            pid[sel] = (self.subs[sj].pid_of_points(cell[sel], point_id[sel])
+                        + self.sub_pid_off[sj])
+            pid[sel & (pid < self.sub_pid_off[sj])] = -1  # sub miss stays -1
+        return pid
+
+    def pids_of_cells(self, cell: np.ndarray):
+        cell = np.asarray(cell, np.uint64)
+        coarse, j = self._split(cell)
+        out_rep, out_pid = [], []
+        flat = np.flatnonzero(j < 0)
+        if len(flat):
+            rep, pids = self.top.pids_of_cells(coarse[flat])
+            out_rep.append(flat[rep])
+            out_pid.append(pids)
+        for sj in np.unique(j[j >= 0]):
+            sel = np.flatnonzero(j == sj)
+            rep, pids = self.subs[sj].pids_of_cells(cell[sel])
+            out_rep.append(sel[rep])
+            out_pid.append(pids + self.sub_pid_off[sj])
+        if not out_rep:
+            z = np.zeros(0, np.int64)
+            return z, z
+        rep = np.concatenate(out_rep)
+        pid = np.concatenate(out_pid)
+        order = np.argsort(rep, kind="stable")  # per-input-cell grouping
+        return rep[order], pid[order]
+
+    # ------------------------------------------------------------ serialize
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "kind": "hierarchical",
+            "resolution": self.resolution,
+            "coarse_resolution": self.coarse_resolution,
+            "top": self.top.to_json(),
+            "sub_codes": self.sub_codes.astype(np.int64).tolist(),
+            "subs": [s.to_json() for s in self.subs],
+            "sub_pid_off": self.sub_pid_off.tolist(),
+            "num_partitions": self.num_partitions,
+        })
+
+    @classmethod
+    def from_json(cls, s: str) -> "HierarchicalPlan":
+        d = json.loads(s)
+        return cls(
+            d["resolution"], d["coarse_resolution"],
+            PartitionPlan.from_json(d["top"]),
+            np.asarray(d["sub_codes"], np.int64).astype(np.uint64),
+            [PartitionPlan.from_json(x) for x in d["subs"]],
+            np.asarray(d["sub_pid_off"], np.int64),
+            d["num_partitions"],
+        )
+
+
+def plan_from_json(s: str):
+    """Checkpoint loader dispatch: flat or hierarchical."""
+    if json.loads(s).get("kind") == "hierarchical":
+        return HierarchicalPlan.from_json(s)
+    return PartitionPlan.from_json(s)
 
 
 def make_plan(

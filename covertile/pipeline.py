@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from . import cells, geometry, store
 from .covertree import CoverTree
-from .partition import PartitionPlan, make_plan
+from .partition import HierarchicalPlan, make_plan, plan_from_json
 
 DEFAULT_BASE = 2.0
 DEFAULT_TARGET_PARTITION_POINTS = 200_000
@@ -64,39 +64,129 @@ def auto_resolution(n_points: int, radius: float | None = None,
 
 # --------------------------------------------------------------------- plan
 
-def compute_plan(points_ds, resolution: int, target_points: int,
-                 min_partitions: int = 1) -> PartitionPlan:
-    """Cell-count aggregate (small) -> PartitionPlan.
+FLAT_PLAN_MAX_RES = 14  # flat plan arrays are one entry per occupied
+                        # cell (<= 4^res): ~268M at res 14; beyond that
+                        # the plan goes hierarchical automatically
 
-    Each block is reduced to (cell, count) partials inside map_batches, so
-    what reaches the driver is bounded by blocks x distinct-cells (<= 4^res
-    per block, resolution <= 16) — a final numpy combine on the driver
-    replaces an all-to-all groupby shuffle whose fixed cost would dwarf the
-    kilobytes being combined.  This is the A3 skew-detection aggregate
-    (reference per-hub counts, /root/reference/src/DistCoverTree.cpp:45-83)
-    as partial + driver-side final combine.
-    """
-    # plan-size ceiling: the driver-side combine and the broadcast plan
-    # arrays hold one entry per OCCUPIED cell (<= 4^res).  res 14 bounds
-    # that at ~268M cells; beyond it the plan itself must go hierarchical
-    # (coarse cells -> per-coarse-cell sub-plans), which nothing at the
-    # tested scales needs yet.
-    assert resolution <= 14, (
-        f"resolution {resolution}: plan would exceed driver capacity; "
-        "use hierarchical planning (coarse prefix -> sub-plans)")
 
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        c, n = np.unique(batch["cell"].to_numpy(), return_counts=True)
-        return pa.table({"cell": c, "n": n.astype(np.int64)})
-
-    partials = points_ds.map_batches(partial_counts, batch_format="pyarrow")
+def _combine_cell_counts(partials) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side final combine of (cell, n) partial tables (tiny)."""
     tbl = pa.concat_tables(
         partials.iter_batches(batch_size=None, batch_format="pyarrow"))
     cell = tbl["cell"].to_numpy().astype(np.uint64)
     n = tbl["n"].to_numpy().astype(np.int64)
     uniq, inv = np.unique(cell, return_inverse=True)
     counts = np.bincount(inv, weights=n).astype(np.int64)
-    return make_plan(uniq, counts, resolution, target_points, min_partitions)
+    return uniq, counts
+
+
+def compute_plan(points_ds, resolution: int, target_points: int,
+                 min_partitions: int = 1, coarse_resolution: int | None = None):
+    """Cell-count aggregate (small) -> PartitionPlan | HierarchicalPlan.
+
+    Flat path (resolution <= 14): each block is reduced to (cell, count)
+    partials inside map_batches, so what reaches the driver is bounded by
+    blocks x distinct-cells — a final numpy combine on the driver replaces
+    an all-to-all groupby shuffle whose fixed cost would dwarf the
+    kilobytes being combined.  This is the A3 skew-detection aggregate
+    (reference per-hub counts, /root/reference/src/DistCoverTree.cpp:45-83)
+    as partial + driver-side final combine.
+
+    Hierarchical path (resolution > 14, or coarse_resolution given):
+    coarse-prefix counts first (driver bounded by 4^coarse_res), then a
+    second distributed pass counts fine cells ONLY inside overweight
+    prefixes; that partial table is range-sorted by cell code and streamed
+    prefix-at-a-time through the driver, which holds at most ONE prefix's
+    occupied fine cells (<= 4^(res - coarse_res)) while building its
+    sub-plan.  See partition.HierarchicalPlan for the broadcast-size
+    argument.
+    """
+    if coarse_resolution is None and resolution <= FLAT_PLAN_MAX_RES:
+        def partial_counts(batch: pa.Table) -> pa.Table:
+            c, n = np.unique(batch["cell"].to_numpy(), return_counts=True)
+            return pa.table({"cell": c, "n": n.astype(np.int64)})
+
+        uniq, counts = _combine_cell_counts(
+            points_ds.map_batches(partial_counts, batch_format="pyarrow"))
+        return make_plan(uniq, counts, resolution, target_points,
+                         min_partitions)
+
+    rc = (coarse_resolution if coarse_resolution is not None
+          else FLAT_PLAN_MAX_RES)
+    assert 1 <= rc < resolution
+    shift = np.uint64(2 * (resolution - rc))
+
+    def coarse_partial(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy().astype(np.uint64) >> shift
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cell": u, "n": n.astype(np.int64)})
+
+    uniq, counts = _combine_cell_counts(
+        points_ds.map_batches(coarse_partial, batch_format="pyarrow"))
+    total = int(counts.sum())
+    target = max(1, min(int(target_points),
+                        (total // max(1, min_partitions)) + 1))
+    hot_m = counts > target
+    hot = uniq[hot_m]  # sorted (np.unique)
+    top = make_plan(uniq[~hot_m], counts[~hot_m], rc, target, 1)
+    if len(hot) == 0:
+        return HierarchicalPlan(resolution, rc, top, hot, [],
+                                np.zeros(0, np.int64), top.num_partitions)
+
+    def fine_partial(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy().astype(np.uint64)
+        coarse = cell >> shift
+        j = np.searchsorted(hot, coarse)
+        j = np.clip(j, 0, len(hot) - 1)
+        m = hot[j] == coarse
+        u, n = np.unique(cell[m], return_counts=True)
+        return pa.table({"cell": u, "n": n.astype(np.int64)})
+
+    # range-sort the (fine cell, n) partials so prefixes arrive contiguous;
+    # the driver then never holds more than one prefix's cells at a time
+    stream = (points_ds.map_batches(fine_partial, batch_format="pyarrow")
+              .sort("cell"))
+
+    subs, sub_codes, sub_off = [], [], []
+    pid_next = top.num_partitions
+    cur = None
+    buf_c: list[np.ndarray] = []
+    buf_n: list[np.ndarray] = []
+
+    def finalize():
+        nonlocal pid_next
+        codes = np.concatenate(buf_c)
+        ns = np.concatenate(buf_n)
+        u, inv = np.unique(codes, return_inverse=True)
+        cnt = np.bincount(inv, weights=ns).astype(np.int64)
+        sp = make_plan(u, cnt, resolution, target, 1)
+        subs.append(sp)
+        sub_codes.append(cur)
+        sub_off.append(pid_next)
+        pid_next += sp.num_partitions
+
+    for batch in stream.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"):
+        if len(batch) == 0:
+            continue
+        codes = batch["cell"].to_numpy().astype(np.uint64)
+        ns = batch["n"].to_numpy().astype(np.int64)
+        pref = codes >> shift
+        seg = np.flatnonzero(np.diff(pref)) + 1
+        for lo, hi in zip(np.r_[0, seg], np.r_[seg, len(codes)]):
+            p = pref[lo]
+            if cur is not None and p != cur:
+                finalize()
+                buf_c, buf_n = [], []
+            cur = p
+            buf_c.append(codes[lo:hi])
+            buf_n.append(ns[lo:hi])
+    if cur is not None and buf_c:
+        finalize()
+    return HierarchicalPlan(
+        resolution, rc, top,
+        np.asarray(sub_codes, np.uint64), subs,
+        np.asarray(sub_off, np.int64), pid_next)
 
 
 # -------------------------------------------------------------------- index
@@ -113,7 +203,7 @@ class Index:
     def load(cls, ckpt_dir: str) -> "Index":
         with open(os.path.join(ckpt_dir, "plan.json")) as f:
             d = json.load(f)
-        return cls(ckpt_dir, PartitionPlan.from_json(d["plan"]), d["base"])
+        return cls(ckpt_dir, plan_from_json(d["plan"]), d["base"])
 
     def lineage(self) -> list[dict]:
         return store.load_manifests(self.ckpt_dir)
@@ -131,6 +221,7 @@ def build_index(
     target_points: int = DEFAULT_TARGET_PARTITION_POINTS,
     base: float = DEFAULT_BASE,
     min_partitions: int = 1,
+    coarse_resolution: int | None = None,
 ) -> Index:
     """Build per-partition cover trees with checkpoint/resume.
 
@@ -147,12 +238,13 @@ def build_index(
         plan = idx.plan
     else:
         plan = compute_plan(points_ds, resolution, target_points,
-                            min_partitions)
+                            min_partitions, coarse_resolution)
         store.atomic_write_bytes(plan_path, json.dumps({
             "plan": plan.to_json(),
             "base": base,
             "config": config_hash(resolution=resolution,
-                                  target_points=target_points, base=base),
+                                  target_points=target_points, base=base,
+                                  coarse_resolution=coarse_resolution),
         }).encode())
         idx = Index(ckpt_dir, plan, base)
 

@@ -41,3 +41,14 @@ def test_cli_reference_workflow(tmp_path):
     r = run(["check-graph", "-n", "2000", "-r", "0.5", "-V", "10", "-s", "3"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Graph construction was successful" in r.stdout
+
+
+def test_size_suffix_parse():
+    """M8: '1K/2M/4G' parse, reference read_args.cpp:7-19 semantics."""
+    from covertile.cli import size_int
+    assert size_int("100") == 100
+    assert size_int("1K") == 1 << 10
+    assert size_int("2m") == 2 << 20
+    assert size_int("4G") == 4 << 30
+    assert size_int("1.5k") == int(1.5 * 1024 + 0.499)
+    assert size_int("0.1M") == int(0.1 * (1 << 20) + 0.499)

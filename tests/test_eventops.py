@@ -48,3 +48,19 @@ def test_sessionize_gap_semantics(ray_session):
     assert out["n_sessions"].tolist() == [3]
     assert out["max_session_events"].tolist() == [2]
     assert out["n_events"].tolist() == [4]
+
+
+def test_sessionize_chunking_invariant(ray_session):
+    """The hot-user (user, ts-chunk) split + stitch must be invisible:
+    an aggressively small chunk (1h — every session crosses boundaries)
+    equals the default-chunk result on the real events table."""
+    import ray.data as rd
+    from covertile.eventops import sessionize
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    a = sessionize(ev).to_pandas().reset_index(drop=True)
+    ev2 = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    b = sessionize(ev2, chunk_hours=1).to_pandas().reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    for c in a.columns:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
