@@ -490,6 +490,14 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
             batch_size=None, batch_format="pyarrow")))
     stage("ann_topk", lambda: V.ann_topk(vecs, qid, qm).count())
 
+    def run_emb_knn():
+        qt = pa.concat_tables(vecs.limit(V.ANN_NUM_QUERIES).iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+        kid, kraw = V._raw_matrix(qt)
+        return V.emb_knn(vecs, kid, kraw).count()
+
+    stage("emb_knn", run_emb_knn)
+
     def run_cosine_dedup():
         head = pa.concat_tables(dvecs.limit(16384).iter_batches(
             batch_size=None, batch_format="pyarrow"))
@@ -521,6 +529,7 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
         "n_dedup_vecs": n_dedup_vecs,
         "text_docs_per_sec": round(n_docs * 4 / text_s, 1),
         "ann_vecs_per_sec": round(n_vecs / timings["ann_topk"], 1),
+        "emb_knn_vecs_per_sec": round(n_vecs / timings["emb_knn"], 1),
         "dedup_vecs_per_sec": round(
             n_dedup_vecs / timings["cosine_dedup"], 1),
         "events_per_sec": round(n_events * 2 / ev_s, 1),

@@ -40,15 +40,38 @@ def _ascii_sum(refs: pa.Array) -> np.ndarray:
     return cs[off[1:]] - cs[off[:-1]]
 
 
-def _decode_real(refs):
+def _require_codec():
+    """Import-gate for the real codec path.  Returns the PIL Image module
+    or raises NotImplementedError (this container ships no codecs; tests
+    assert the gate, the decode body runs wherever PIL is installed)."""
     try:
-        import PIL  # noqa: F401  (not present in this container)
-    except ImportError:
+        from PIL import Image
+        return Image
+    except ImportError as e:
         raise NotImplementedError(
-            "real media decode requires an image/audio codec library; "
-            "this environment ships none — the deterministic fake below "
-            "exercises the identical Ray plumbing")
-    raise NotImplementedError("codec integration point")
+            "real media decode requires an image codec library (PIL); "
+            "this environment ships none — the deterministic fake "
+            "exercises the identical Ray plumbing") from e
+
+
+def _decode_real(payloads: pa.Array) -> dict:
+    """Real decode over a BINARY payload column: encoded image bytes ->
+    (width, height, n_frames).  Per-image codec calls are inherently
+    per-item (libjpeg/libpng decode one buffer at a time), which is why
+    MEDIA_BATCH stays small and the stage is an actor pool; everything
+    around the codec loop is columnar."""
+    Image = _require_codec()
+    import io
+    n = len(payloads)
+    w = np.empty(n, np.int64)
+    h = np.empty(n, np.int64)
+    nf = np.empty(n, np.int64)
+    for i in range(n):
+        with Image.open(io.BytesIO(payloads[i].as_py())) as im:
+            w[i] = im.width
+            h[i] = im.height
+            nf[i] = int(getattr(im, "n_frames", 1))
+    return {"width": w, "height": h, "n_frames": nf}
 
 
 def fake_decode(refs: pa.Array):
@@ -72,11 +95,20 @@ class MediaDecodeActor:
 
     def __init__(self, use_real_codec: bool = False):
         self.use_real = use_real_codec
-        if use_real_codec:
-            _decode_real(None)  # fail fast at actor start, not per batch
-        self.codec = "fake-v1"  # stands in for a loaded model/codec handle
+        # fail fast at actor start, not per batch; the loaded module is
+        # the per-actor codec handle (one import per actor, not per call)
+        self.codec = _require_codec() if use_real_codec else "fake-v1"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.use_real:
+            payload = batch["payload"]
+            if isinstance(payload, pa.ChunkedArray):
+                payload = payload.combine_chunks()
+            feats = _decode_real(payload)
+            out = batch.select(["doc_id", "media_ref", "offset"])
+            for name, arr in feats.items():
+                out = out.append_column(name, pa.array(arr, pa.int64()))
+            return out
         refs = batch["media_ref"]
         if isinstance(refs, pa.ChunkedArray):
             refs = refs.combine_chunks()
