@@ -393,43 +393,70 @@ def ivf_topk(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
         emb_ds.map_batches(partial, batch_format="pyarrow"), k)
 
 
-# ------------------------------------------------------- cover-tree L2 kNN
+# ------------------------------------------------------------ exact L2 kNN
+
+TREE_DIM_MAX = 8
+"""Dimension ceiling for the cover-tree strategy in emb_knn's "auto" mode.
+
+Measured envelope (this host, 50k random unit vectors per block): the
+hub-chain build runs 135k pts/s at d=2 and 33k pts/s at d=8, but
+DEGENERATES at high dimension — at d=64 pairwise distances concentrate
+around sqrt(2), so a hub's separation condition (farthest ≤ ball/base)
+stays unmet and the chain extends ONE point per sweep: an O(n²·d) build
+(>5 min for one 50k block; the reference's own sequential algorithm,
+/root/reference/src/CoverTree.cpp:133-179, has the same behavior — it is
+the curse of dimensionality, not an implementation artifact).  Past this
+ceiling an exact metric index prunes nothing anyway, so the right exact
+kernel is the blocked BLAS scan below."""
+
 
 def emb_knn(emb_ds, query_ids: np.ndarray, query_raw: np.ndarray,
-            k: int = ANN_K):
-    """EXACT Euclidean kNN over the embedding corpus through the
-    d-dimensional CoverTree — the reference's metric index applied to its
-    general-vector contract (/root/reference/src/VectorIO.cpp:25-67,
-    snn_test.py) instead of the 2-D spatial case.
+            k: int = ANN_K, strategy: str = "auto"):
+    """EXACT Euclidean kNN over the embedding corpus.
 
-    Each block builds a local cover tree (block rows sorted by vec_id so
-    the tree's (dist, local-id) tie order IS (dist, vec_id)), answers all
-    queries with the adaptive-radius knn_batch kernel, and emits a k+1
-    partial (self may occupy one slot).  Per-block truncation at k+1 by
+    Two per-block strategies with IDENTICAL output (equality-tested in
+    tests/test_vecops.py), dispatched on dimension in "auto" mode:
+
+    * "tree" (d ≤ TREE_DIM_MAX): the d-dimensional CoverTree — the
+      reference's metric index applied to its general-vector contract
+      (/root/reference/src/VectorIO.cpp:25-67, snn_test.py) instead of
+      the 2-D spatial case.  Each block builds a local tree (rows sorted
+      by vec_id so the tree's (dist, local-id) tie order IS (dist,
+      vec_id)) and answers all queries with the adaptive-radius knn_batch
+      kernel; per-query descent is sublinear in block size at low
+      intrinsic dimension.
+    * "scan" (d > TREE_DIM_MAX): one float64 (nq × block) distance
+      computation via BLAS (‖q‖² − 2q·x + ‖x‖²) with a tie-safe
+      smallest-k cut — the exact-kNN analogue of ann_topk's partial.
+
+    Both emit k(+ties) rows per (query, block); per-block truncation by
     (dist, vec_id) is exact for the global (dist asc, vec_id asc) merge:
-    if a dropped candidate were in the global top-k, the k+1 block-mates
-    ranked above it would all be too — contradiction.
-
-    Scale shape: identical to ann_topk (broadcast queries, streamed
-    corpus, tiny rank merge), but the per-block search is O(q·log n) tree
-    descent instead of a (q × n) matmul — the win grows with block size
-    and query count.  Output (query_id, rank, neighbor_id); distances
-    never cross the oracle boundary (rank gaps >> float noise, asserted
-    in tests/test_vecops.py)."""
+    if a dropped candidate were in the global top-k, the k block-mates
+    ranked above it would all be too — contradiction.  Scale shape is
+    ann_topk's: broadcast queries, streamed corpus, tiny rank merge.
+    Output (query_id, rank, neighbor_id); distances never cross the
+    oracle boundary (rank gaps >> float noise, asserted in tests)."""
     import ray
 
     from .covertree import CoverTree
 
+    dim = int(np.asarray(query_raw).shape[1])
+    if strategy == "auto":
+        strategy = "tree" if dim <= TREE_DIM_MAX else "scan"
+    assert strategy in ("tree", "scan"), strategy
+
     q_ref = ray.put((np.asarray(query_ids, np.int64),
                      np.ascontiguousarray(query_raw, np.float32)))
 
-    def partial(batch: pa.Table) -> pa.Table:
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.float64())})
+
+    def tree_partial(batch: pa.Table) -> pa.Table:
         qids, qm = ray.get(q_ref)
         ids, m = _raw_matrix(batch)
         if len(ids) == 0:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "dist": pa.array([], pa.float64())})
+            return empty
         order = np.argsort(ids)  # (dist, local-id) tie order == vec_id order
         ids, m = ids[order], np.ascontiguousarray(m[order])
         tree = CoverTree(m).build()
@@ -440,6 +467,31 @@ def emb_knn(emb_ds, query_ids: np.ndarray, query_raw: np.ndarray,
                          "neighbor_id": nid[keep],
                          "dist": di[keep]})
 
+    def scan_partial(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(q_ref)
+        ids, m = _raw_matrix(batch)
+        if len(ids) == 0:
+            return empty
+        qm64 = qm.astype(np.float64)
+        m64 = m.astype(np.float64)
+        d2 = ((qm64 * qm64).sum(1)[:, None] - 2.0 * (qm64 @ m64.T)
+              + (m64 * m64).sum(1)[None, :])
+        np.maximum(d2, 0.0, out=d2)          # clamp BLAS cancellation
+        d = np.sqrt(d2)
+        d[qids[:, None] == ids[None, :]] = np.inf  # self-exclusion
+        nq, nb = d.shape
+        if nb > k:
+            part = np.argpartition(d, k - 1, axis=1)[:, :k]
+            kth = d[np.arange(nq), part[:, k - 1]]
+            keep = d <= kth[:, None]  # tie-safe (see _tie_safe_block_topk)
+        else:
+            keep = np.ones_like(d, bool)
+        keep &= np.isfinite(d)
+        qi, cj = np.nonzero(keep)
+        return pa.table({"query_id": qids[qi], "neighbor_id": ids[cj],
+                         "dist": d[qi, cj]})
+
+    partial = tree_partial if strategy == "tree" else scan_partial
     return _topk_merge_bucketed(
         emb_ds.map_batches(partial, batch_format="pyarrow"), k,
         value_col="dist", ascending=True)

@@ -144,6 +144,35 @@ def test_ann_topk_tie_safe_across_blocks(ray_session):
     assert list(got["rank"]) == [1, 2, 3]
 
 
+@pytest.mark.parametrize("d", [4, 64])
+def test_emb_knn_strategies_agree(ray_session, d):
+    """emb_knn's two per-block kernels (cover-tree descent vs blocked BLAS
+    scan) must produce IDENTICAL output — same ids, ranks, and tie
+    handling — at both a tree-native dimension and a scan-native one."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import vecops
+
+    rng = np.random.default_rng(11)
+    n, k = 240, 5
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    m[40] = m[7]  # exact duplicate -> dist tie broken by vec_id
+    ids = rng.permutation(n).astype(np.int64)
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(7)
+    qid, qraw = ids[:6].copy(), m[:6].copy()
+    frames = {}
+    for strat in ("tree", "scan"):
+        out = vecops.emb_knn(ds, qid, qraw, k=k, strategy=strat)
+        frames[strat] = (out.sort(["query_id", "rank"]).to_pandas()
+                         .reset_index(drop=True))
+    assert frames["tree"].equals(frames["scan"])
+    assert len(frames["scan"]) == 6 * k
+
+
 def test_cosine_pairs_partitioned_cross_bucket_exact(ray_session):
     """Adversarial: clustered corpus with deliberate boundary pairs that
     cross centroid buckets.  The halo routing must find every pair
