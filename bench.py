@@ -482,6 +482,9 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
 
     stage("token_stats", lambda: docs.map_batches(
         T.token_stats_batch, batch_format="pyarrow").count())
+    stage("topk_terms", lambda: T.topk_terms(docs).count())
+    stage("sample_bernoulli", lambda: T.sample_bernoulli(docs).count())
+    stage("corpus_filter", lambda: T.corpus_filter(docs).count())
     stage("exact_dedup", lambda: T.exact_dedup(docs).count())
     stage("simhash_dedup", lambda: T.simhash_dup_pairs(docs).count())
     stage("minhash_lsh_dedup", lambda: T.minhash_lsh_pairs(docs).count())

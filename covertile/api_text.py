@@ -86,6 +86,38 @@ def sql_minhash_lsh() -> str:
     return T.ngram_jaccard_sql()
 
 
+def q_topk_terms(sf_dir: str):
+    return T.topk_terms(_docs(sf_dir))
+
+
+def sql_topk_terms() -> str:
+    return T.topk_terms_sql()
+
+
+def q_sample_bernoulli(sf_dir: str):
+    return T.sample_bernoulli(_docs(sf_dir, columns=("doc_id",)))
+
+
+def sql_sample_bernoulli() -> str:
+    return T.sample_bernoulli_sql()
+
+
+def q_sample_stratified(sf_dir: str):
+    return T.sample_stratified(_docs(sf_dir, columns=("doc_id", "lang")))
+
+
+def sql_sample_stratified() -> str:
+    return T.sample_stratified_sql()
+
+
+def q_corpus_filter(sf_dir: str):
+    return T.corpus_filter(_docs(sf_dir))
+
+
+def sql_corpus_filter() -> str:
+    return T.corpus_filter_sql()
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
@@ -94,6 +126,10 @@ QUERIES = {
     "ngram_jaccard_dedup": q_ngram_jaccard,
     "simhash_dedup": q_simhash_dups,
     "minhash_lsh_dedup": q_minhash_lsh,
+    "topk_terms": q_topk_terms,
+    "sample_bernoulli": q_sample_bernoulli,
+    "sample_stratified": q_sample_stratified,
+    "corpus_filter": q_corpus_filter,
 }
 
 ORACLES = {
@@ -104,4 +140,8 @@ ORACLES = {
     "ngram_jaccard_dedup": sql_ngram_jaccard,
     "simhash_dedup": sql_simhash_dups,
     "minhash_lsh_dedup": sql_minhash_lsh,
+    "topk_terms": sql_topk_terms,
+    "sample_bernoulli": sql_sample_bernoulli,
+    "sample_stratified": sql_sample_stratified,
+    "corpus_filter": sql_corpus_filter,
 }

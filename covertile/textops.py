@@ -25,6 +25,11 @@ each a Dataset -> Dataset pipeline with a DuckDB-mirrorable contract:
 * SimHash near-dup pairs — 64-bit token-multiset simhash; pairs within
   hamming distance h=3 found EXACTLY via the 4-block pigeonhole (a pair
   differing in <= 3 bits must agree on one of 4 disjoint 16-bit blocks).
+* corpus top-k terms — per-block vocab partials, one vocab-sized groupby.
+* deterministic sampling — hash-bucket Bernoulli + per-language stratified
+  rates; pure per-batch filters, reproducible under task re-execution.
+* composite curation filter — quality gate + lang gate + exact-dedup
+  keep-first fused into one pass with a single tiny shuffle.
 
 Token hashes are the first 8 bytes of md5 (big-endian) so DuckDB can mirror
 them: CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT).  All float
@@ -843,4 +848,192 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 FROM sh a, sh b
 WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= {max_ham}
 ORDER BY a_id, b_id
+"""
+
+
+# ------------------------------------------------------ corpus top-k terms
+
+TOPK_TERMS_K = 50
+
+
+def topk_terms(docs_ds, k: int = TOPK_TERMS_K):
+    """Corpus-level most-frequent tokens: (token, n), top k by
+    (n DESC, token ASC) — the vocabulary analysis every curation run
+    starts from.
+
+    Scale shape: per-block np.unique partial counts, so the ONE
+    groupby(token) exchange carries one row per distinct token per block
+    (vocab-sized, not occurrence-sized); the distributed sort + limit then
+    touch only the aggregated vocab table.  Exact under ties: both sides
+    rank by the identical (n DESC, token ASC) total order."""
+    def part(batch: pa.Table) -> pa.Table:
+        flat = _token_lists(_text_col(batch)).flatten()
+        u, c = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()),
+                         "c": c.astype(np.int64)})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"token": batch["token"], "n": batch["sum(c)"]})
+
+    return (docs_ds.map_batches(part, batch_format="pyarrow")
+            .groupby("token").sum("c")
+            .map_batches(rename, batch_format="pyarrow")
+            .sort(["n", "token"], descending=[True, False])
+            .limit(k))
+
+
+def topk_terms_sql(k: int = TOPK_TERMS_K) -> str:
+    return f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT {k}
+"""
+
+
+# ------------------------------------------------- deterministic sampling
+
+SAMPLE_MULT = 2654435761   # Knuth multiplicative hash; doc ids < 2^31 keep
+SAMPLE_MOD = 1 << 32       # the product inside int64/BIGINT range
+SAMPLE_PCT = 10
+STRATA_PCT = {"en": 20, "de": 5, "fr": 5, "es": 5}  # default per-lang rates
+
+
+def _sample_bucket(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 0..99 bucket per doc_id, identical in numpy and SQL
+    BIGINT arithmetic (no float, no library hash)."""
+    ids = np.asarray(ids, np.int64)
+    return ((ids * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)) % np.int64(100)
+
+
+def _sample_bucket_sql() -> str:
+    return f"((doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD}) % 100"
+
+
+def sample_bernoulli(docs_ds, pct: int = SAMPLE_PCT):
+    """Deterministic ~pct% Bernoulli sample of the corpus: (doc_id, bucket)
+    for every doc whose hash bucket < pct.
+
+    Scale shape: a pure per-batch filter — no shuffle, no state, no
+    randomness (reproducible across retries/resumes, which row-level RNG
+    sampling is not under Ray's task re-execution)."""
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        bk = _sample_bucket(ids)
+        m = bk < pct
+        return pa.table({"doc_id": ids[m], "bucket": bk[m]})
+
+    return docs_ds.map_batches(part, batch_format="pyarrow").sort("doc_id")
+
+
+def sample_bernoulli_sql(pct: int = SAMPLE_PCT) -> str:
+    b = _sample_bucket_sql()
+    return f"""
+SELECT doc_id, {b} AS bucket FROM documents
+WHERE {b} < {pct} ORDER BY doc_id
+"""
+
+
+def sample_stratified(docs_ds, strata_pct: dict | None = None):
+    """Per-language sampling rates (lang -> pct, unlisted langs dropped):
+    the standard rebalancing move for a multilingual training mix.
+    Same deterministic bucket as sample_bernoulli; the per-row rate is a
+    vectorized lookup on the lang column (no shuffle)."""
+    strata = dict(STRATA_PCT if strata_pct is None else strata_pct)
+    langs = sorted(strata)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        lang = batch["lang"]
+        lang = lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) else lang
+        rate = np.zeros(len(ids), np.int64)
+        for lg in langs:
+            rate[np.asarray(pc.equal(lang, lg))] = strata[lg]
+        m = _sample_bucket(ids) < rate
+        return pa.table({"doc_id": ids[m],
+                         "lang": lang.filter(pa.array(m))})
+
+    return docs_ds.map_batches(part, batch_format="pyarrow").sort("doc_id")
+
+
+def sample_stratified_sql(strata_pct: dict | None = None) -> str:
+    strata = dict(STRATA_PCT if strata_pct is None else strata_pct)
+    cases = " ".join(f"WHEN lang = '{lg}' THEN {strata[lg]}"
+                     for lg in sorted(strata))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_sample_bucket_sql()} < (CASE {cases} ELSE 0 END)
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------ composite curation filter
+
+FILTER_MIN_TOKENS = 40  # drops ~1/3 of the synthetic corpus (nt p25=32)
+FILTER_STOP_NUM = 1     # keep docs with n_stopwords/n_tokens <= 1/10,
+FILTER_STOP_DEN = 10    # compared integer-side (no float boundary)
+
+
+def corpus_filter(docs_ds, min_tokens: int = FILTER_MIN_TOKENS,
+                  stop_num: int = FILTER_STOP_NUM,
+                  stop_den: int = FILTER_STOP_DEN):
+    """Flagship curation pipeline: quality gate (token count + stopword
+    ratio, compared as integers) -> language gate (lang_id heuristic ==
+    'en') -> exact-dedup keep-first.  Output: surviving doc_ids.
+
+    Scale shape: ONE fused per-batch pass computes tokens, stopword count,
+    lang prediction and md5 fingerprint and drops failing rows before any
+    exchange; the only shuffle is the dedup groupby(fingerprint), carrying
+    one (fingerprint, min_id) row per distinct surviving fingerprint per
+    block."""
+    def gate(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        ids = batch["doc_id"].to_numpy()
+        toks = _token_lists(text)
+        lens = np.asarray(pc.list_value_length(toks), np.int64)
+        off = _segment_offsets(lens)
+        stop = np.asarray(pc.is_in(toks.flatten(),
+                                   value_set=pa.array(STOPWORDS)))
+        n_stop = _segment_sum(stop.astype(np.int64), off)
+        lang = lang_id_batch(batch)["lang_pred"]
+        keep = ((lens >= min_tokens)
+                & (n_stop * stop_den <= lens * stop_num)
+                & np.asarray(pc.equal(lang, "en")))
+        kept = text.filter(pa.array(keep))
+        fp = np.array([hashlib.md5(s.encode()).hexdigest()
+                       for s in kept.to_pylist()], dtype=object)
+        kid = ids[keep]
+        if len(fp):  # per-batch partial: min id per fingerprint
+            u, inv = np.unique(fp, return_inverse=True)
+            mid = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(mid, inv, kid)
+        else:
+            u, mid = fp, kid
+        return pa.table({"fp": pa.array(u, pa.string()),
+                         "doc_id": mid.astype(np.int64)})
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["min(doc_id)"]})
+
+    return (docs_ds.map_batches(gate, batch_format="pyarrow")
+            .groupby("fp").min("doc_id")
+            .map_batches(emit, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+def corpus_filter_sql(min_tokens: int = FILTER_MIN_TOKENS,
+                      stop_num: int = FILTER_STOP_NUM,
+                      stop_den: int = FILTER_STOP_DEN) -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    lang_case = lang_id_sql().split("CASE", 1)[1].split("END", 1)[0]
+    return f"""
+WITH s AS (
+  SELECT doc_id, md5(text) AS fp,
+         len(string_split(text, ' ')) AS nt,
+         len(list_filter(string_split(text, ' '), t -> t IN ({stop}))) AS ns,
+         CASE{lang_case}END AS lang_pred
+  FROM documents)
+SELECT min(doc_id) AS doc_id FROM s
+WHERE nt >= {min_tokens} AND ns * {stop_den} <= nt * {stop_num}
+      AND lang_pred = 'en'
+GROUP BY fp ORDER BY doc_id
 """
