@@ -260,7 +260,9 @@ def run_aux_scaling(sf_dir: str, lo: int, hi: int,
         for r in range(repeats):
             log(f"--- aux scaling run: num_cpus={cpus} (repeat {r + 1}) ---")
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--aux"],
+                [sys.executable, os.path.abspath(__file__), "--aux",
+                 "--dedup-vecs", "1000000"],  # 5M cosine_dedup alone
+                # would dominate the low-CPU leg's wall clock
                 env=env, capture_output=True, text=True)
             if p.returncode != 0:
                 log(p.stderr[-4000:])
@@ -558,13 +560,16 @@ def main() -> None:
                     help="benchmark text/dedup/ANN operator families")
     ap.add_argument("--aux-scaling", action="store_true",
                     help="aux families at --cpus-lo vs --cpus-hi")
+    ap.add_argument("--dedup-vecs", type=int, default=5_000_000,
+                    help="corpus size for the cosine_dedup aux stage")
     args = ap.parse_args()
 
     if args.aux_scaling:
         result = run_aux_scaling(args.sf_dir, args.cpus_lo, args.cpus_hi,
                                  repeats=args.repeats)
     elif args.aux:
-        result = run_aux_bench(args.sf_dir, NUM_CPUS)
+        result = run_aux_bench(args.sf_dir, NUM_CPUS,
+                               n_dedup_vecs=args.dedup_vecs)
         import ray
         ray.shutdown()
     elif args.scaling:
