@@ -514,6 +514,9 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("cosine_dedup", run_cosine_dedup)
     stage("events_window", lambda: E.tumbling_window(events).count())
     stage("sessionize", lambda: E.sessionize(events).count())
+    stage("asof_join", lambda: E.asof_join(events, right_type="buy").count())
+    stage("range_join", lambda: E.range_join(
+        events, right_type="buy", left_type="view").count())
 
     total = round(sum(timings.values()), 3)
     text_s = sum(timings[k] for k in

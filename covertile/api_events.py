@@ -30,12 +30,32 @@ def sql_sessionize() -> str:
     return eventops.sessionize_sql()
 
 
+def q_asof_join(sf_dir: str):
+    return eventops.asof_join(_events(sf_dir))
+
+
+def sql_asof_join() -> str:
+    return eventops.asof_join_sql()
+
+
+def q_range_join(sf_dir: str):
+    return eventops.range_join(_events(sf_dir))
+
+
+def sql_range_join() -> str:
+    return eventops.range_join_sql()
+
+
 QUERIES = {
     "events_window": q_tumbling_window,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 ORACLES = {
     "events_window": sql_tumbling_window,
     "sessionize": sql_sessionize,
+    "asof_join": sql_asof_join,
+    "range_join": sql_range_join,
 }

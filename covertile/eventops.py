@@ -235,3 +235,291 @@ SELECT user_id,
        CAST(max(n) AS BIGINT) AS max_session_events
 FROM per_sess GROUP BY user_id ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------- asof join
+
+ASOF_RIGHT_TYPE = "purchase"
+ASOF_CHUNK_HOURS = 24
+
+
+def asof_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
+              chunk_hours: int = ASOF_CHUNK_HOURS):
+    """Backward as-of join the Dataset API lacks: for every non-right
+    event, the user's LATEST `right_type` event with ts_r <= ts_l
+    (ties at equal ts resolved to the max event_id).  Output
+    (event_id, matched_event_id), inner semantics (unmatched dropped),
+    sorted by event_id.
+
+    Exact, hot-user-proof two-stage scheme (the sessionize discipline
+    applied to a join):
+
+    1. Events bucket by a 256-way hash of (user_id, ts-chunk).  Inside a
+       coarse group, ALL (user, chunk) runs are matched in one vectorized
+       pass — sort by (user, chunk, ts, rights-first, event_id), then a
+       segment-reset running maximum of right row indices gives each left
+       row its in-chunk match.  An in-chunk match IS the global match
+       (any right in an earlier chunk has strictly smaller ts).  Lefts
+       with no in-chunk right defer as PENDING rows; each (user, chunk)
+       with rights also emits ONE boundary row carrying its last right.
+    2. Matches, pendings and boundary rows re-bucket by user hash; a
+       pending left in chunk c takes the boundary right of the user's
+       greatest chunk < c (all of whose rights precede every ts in c),
+       found by one searchsorted over (user-rank, chunk) composites.
+
+    Both shuffles are declared and move each event at most once with a
+    fixed small projection; per-group work is O(n log n) numpy."""
+    chunk_us = np.int64(chunk_hours) * np.int64(60) * np.int64(_US_PER_MIN)
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    KIND_MATCH, KIND_PEND, KIND_RMAX = 0, 1, 2
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uid = batch["user_id"].to_numpy()
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        ck = ts // chunk_us
+        h = (uid.astype(np.uint64) * PHI + ck.astype(np.uint64)) * PHI
+        return pa.table({
+            "bk": (h >> np.uint64(56)).astype(np.int64),
+            "user_id": uid, "ck": ck, "ts": ts,
+            "event_id": batch["event_id"],
+            "is_right": np.asarray(
+                pc.equal(batch["event_type"], right_type)),
+        })
+
+    def _stage_schema(uid, ck, kind, eid, mid):
+        return pa.table({"user_id": uid, "ck": ck,
+                         "kind": kind, "event_id": eid, "match_id": mid})
+
+    def parts(group: pa.Table) -> pa.Table:
+        n = len(group)
+        z = np.zeros(0, np.int64)
+        if n == 0:
+            return _stage_schema(z, z, z, z, z)
+        uid = group["user_id"].to_numpy()
+        ck = group["ck"].to_numpy()
+        ts = group["ts"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        is_r = group["is_right"].to_numpy(zero_copy_only=False)
+        # rights sort before lefts at equal ts (<= is inclusive); equal-ts
+        # rights sort by event_id so the running max lands on the max id
+        order = np.lexsort((eid, (~is_r).astype(np.int8), ts, ck, uid))
+        uid, ck, ts, eid, is_r = (uid[order], ck[order], ts[order],
+                                  eid[order], is_r[order])
+        new_seg = np.empty(n, bool)
+        new_seg[0] = True
+        new_seg[1:] = (uid[1:] != uid[:-1]) | (ck[1:] != ck[:-1])
+        seg = np.cumsum(new_seg) - 1
+        idx = np.arange(n, dtype=np.int64)
+        r_val = np.where(is_r, idx + 1, 0)
+        acc = np.maximum.accumulate(seg * np.int64(n + 1) + r_val)
+        match_pos = acc - seg * np.int64(n + 1)  # 0 = no right yet
+        left = ~is_r
+        hit = left & (match_pos > 0)
+        pend = left & (match_pos == 0)
+        last_of_seg = np.append(new_seg[1:], True)
+        seg_last_r = (match_pos > 0) & last_of_seg  # segments with rights
+        # boundary row: the final running-max right of each segment
+        rmax_src = match_pos[seg_last_r] - 1
+        return pa.concat_tables([
+            _stage_schema(uid[hit], ck[hit],
+                          np.full(int(hit.sum()), KIND_MATCH, np.int64),
+                          eid[hit], eid[match_pos[hit] - 1]),
+            _stage_schema(uid[pend], ck[pend],
+                          np.full(int(pend.sum()), KIND_PEND, np.int64),
+                          eid[pend], np.zeros(int(pend.sum()), np.int64)),
+            _stage_schema(uid[seg_last_r], ck[seg_last_r],
+                          np.full(int(seg_last_r.sum()), KIND_RMAX,
+                                  np.int64),
+                          eid[rmax_src], eid[rmax_src]),
+        ])
+
+    def user_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        bk = ((uid.astype(np.uint64) * PHI) >> np.uint64(56)).astype(np.int64)
+        return batch.append_column("bk2", pa.array(bk))
+
+    def stitch(group: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "matched_event_id": pa.array([], pa.int64())})
+        if len(group) == 0:
+            return empty
+        kind = group["kind"].to_numpy()
+        uid = group["user_id"].to_numpy()
+        ck = group["ck"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        mid = group["match_id"].to_numpy()
+        out = [pa.table({"event_id": eid[kind == KIND_MATCH],
+                         "matched_event_id": mid[kind == KIND_MATCH]})]
+        pm = kind == KIND_PEND
+        rm = kind == KIND_RMAX
+        if pm.any() and rm.any():
+            # dense user ranks keep the (user, chunk) composite in int64
+            all_u, ranks = np.unique(np.concatenate([uid[pm], uid[rm]]),
+                                     return_inverse=True)
+            pu, ru = ranks[: int(pm.sum())], ranks[int(pm.sum()):]
+            ck0 = min(int(ck[pm].min()), int(ck[rm].min()))
+            span = np.int64(max(int(ck[pm].max()), int(ck[rm].max()))
+                            - ck0 + 2)
+            assert int(len(all_u)) * int(span) < (1 << 62)
+            r_comp = ru * span + (ck[rm] - ck0)
+            r_order = np.argsort(r_comp)
+            r_comp = r_comp[r_order]
+            r_id = mid[rm][r_order]
+            pos = np.searchsorted(r_comp, pu * span + (ck[pm] - ck0),
+                                  side="left") - 1
+            ok = pos >= 0
+            ok[ok] &= (r_comp[pos[ok]] // span) == pu[ok]
+            out.append(pa.table({"event_id": eid[pm][ok],
+                                 "matched_event_id": r_id[pos[ok]]}))
+        elif pm.any():
+            pass  # no rights anywhere for these users: drop (inner join)
+        return pa.concat_tables(out) if out else empty
+
+    staged = (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("bk").map_groups(parts, batch_format="pyarrow"))
+    return (staged.map_batches(user_bucket, batch_format="pyarrow")
+            .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
+            .sort("event_id"))
+
+
+def asof_join_sql(right_type: str = ASOF_RIGHT_TYPE) -> str:
+    return f"""
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type <> '{right_type}'
+),
+r AS (
+  SELECT user_id, ts, max(event_id) AS rid
+  FROM events WHERE event_type = '{right_type}' GROUP BY user_id, ts
+)
+SELECT l.event_id, r.rid AS matched_event_id
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY event_id
+"""
+
+
+# -------------------------------------------------------------- range join
+
+RANGE_LEFT_TYPE = "view"
+RANGE_LOOKBACK_MINUTES = 30
+
+
+def range_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
+               left_type: str = RANGE_LEFT_TYPE,
+               lookback_minutes: int = RANGE_LOOKBACK_MINUTES,
+               chunk_hours: int = ASOF_CHUNK_HOURS):
+    """Interval/range join as a bounded-halo aggregation: for every
+    `right_type` event, the count and cents-exact value sum of the user's
+    `left_type` events inside the lookback window (ts_r − Δ, ts_r].
+    Output (event_id, n_views, sum_view_value), zero-view rights kept,
+    sorted by event_id.
+
+    Scale shape — the spatial halo discipline on the time axis: events
+    bucket by (user, ts-chunk) hash with chunk ≥ Δ, and a left event
+    within Δ of its chunk's end is ALSO copied to the next chunk (≤ 2
+    copies/row, exactly the epsilon-join halo rule, queries.py:36).
+    Every window is then fully local to the right event's home chunk:
+    ONE declared shuffle, per-group vectorized prefix-sum + two
+    searchsorteds over (user-rank, ts) composites, no pair explosion —
+    output is one row per right event regardless of window density."""
+    chunk_us = np.int64(chunk_hours) * np.int64(60) * np.int64(_US_PER_MIN)
+    look_us = np.int64(lookback_minutes) * np.int64(_US_PER_MIN)
+    assert look_us <= chunk_us, "lookback must fit one chunk"
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+
+    def route(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uid = batch["user_id"].to_numpy()
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = batch["event_id"].to_numpy()
+        cents = np.round(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        is_r = np.asarray(pc.equal(batch["event_type"], right_type))
+        is_l = np.asarray(pc.equal(batch["event_type"], left_type))
+        ck = ts // chunk_us
+        keep = is_r | is_l
+        halo = is_l & (ts > (ck + 1) * chunk_us - look_us)
+        src = np.concatenate([np.flatnonzero(keep), np.flatnonzero(halo)])
+        out_ck = np.concatenate([ck[keep], ck[halo] + 1])
+        u = uid[src]
+        h = (u.astype(np.uint64) * PHI + out_ck.astype(np.uint64)) * PHI
+        return pa.table({
+            "bk": (h >> np.uint64(56)).astype(np.int64),
+            "user_id": u, "ck": out_ck, "ts": ts[src],
+            "event_id": eid[src], "cents": cents[src],
+            "is_right": np.concatenate(
+                [is_r[keep], np.zeros(int(halo.sum()), bool)]),
+        })
+
+    def agg(group: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "n_views": pa.array([], pa.int64()),
+                          "sum_view_value": pa.array([], pa.float64())})
+        if len(group) == 0:
+            return empty
+        uid = group["user_id"].to_numpy()
+        ck = group["ck"].to_numpy()
+        ts = group["ts"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        cents = group["cents"].to_numpy()
+        is_r = group["is_right"].to_numpy(zero_copy_only=False)
+        # a right event aggregates ONLY its own (user, chunk) cell's
+        # lefts (home + halo copies = the whole window); cells are keyed
+        # by a dense (user, chunk) rank so two cells hashed into the same
+        # coarse bucket can never mix (a home and a halo copy of one left
+        # event always differ in ck)
+        rsel = np.flatnonzero(is_r)
+        if len(rsel) == 0:
+            return empty
+        lsel = np.flatnonzero(~is_r)
+        assert uid.max(initial=0) < (1 << 31) and ck.max(initial=0) < (1 << 31)
+        cell = uid * np.int64(1 << 31) + ck
+        _, ranks = np.unique(
+            np.concatenate([cell[rsel], cell[lsel]]), return_inverse=True)
+        rrank, lrank = ranks[: len(rsel)], ranks[len(rsel):]
+        # chunk-relative time keeps the composite span at chunk+Δ, not the
+        # group's full time range: halo copies sit at trel ∈ [−Δ, 0)
+        trel = ts - ck * chunk_us + look_us + 1
+        span = np.int64(chunk_us + look_us + 2)
+        assert int(ranks.max(initial=0) + 1) * int(span) < (1 << 62)
+        l_comp = lrank * span + trel[lsel]
+        l_order = np.argsort(l_comp)
+        l_comp = l_comp[l_order]
+        l_cents = cents[lsel][l_order]
+        pref = np.concatenate(([0], np.cumsum(l_cents)))
+        r_trel = trel[rsel]
+        lo = np.searchsorted(l_comp, rrank * span + (r_trel - look_us) + 1,
+                             side="left")
+        hi = np.searchsorted(l_comp, rrank * span + r_trel, side="right")
+        n = (hi - lo).astype(np.int64)
+        s = pref[hi] - pref[lo]
+        return pa.table({
+            "event_id": eid[rsel],
+            "n_views": n,
+            "sum_view_value": s.astype(np.float64) / 100.0,
+        })
+
+    return (events_ds.map_batches(route, batch_format="pyarrow")
+            .groupby("bk").map_groups(agg, batch_format="pyarrow")
+            .sort("event_id"))
+
+
+def range_join_sql(right_type: str = ASOF_RIGHT_TYPE,
+                   left_type: str = RANGE_LEFT_TYPE,
+                   lookback_minutes: int = RANGE_LOOKBACK_MINUTES) -> str:
+    cents = "CAST(round(v.value * 100.0) AS BIGINT)"
+    return f"""
+WITH r AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = '{right_type}'
+),
+v AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = '{left_type}'
+)
+SELECT r.event_id,
+       count(v.ts) AS n_views,
+       CAST(coalesce(sum({cents}), 0) AS DOUBLE) / 100.0 AS sum_view_value
+FROM r LEFT JOIN v
+  ON v.user_id = r.user_id
+ AND v.ts > r.ts - INTERVAL {lookback_minutes} MINUTE
+ AND v.ts <= r.ts
+GROUP BY r.event_id ORDER BY r.event_id
+"""

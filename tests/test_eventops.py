@@ -15,7 +15,8 @@ def con():
     return c
 
 
-@pytest.mark.parametrize("name", ["events_window", "sessionize"])
+@pytest.mark.parametrize("name", ["events_window", "sessionize",
+                                  "asof_join", "range_join"])
 def test_event_query_matches_oracle(ray_session, con, name):
     from covertile import api_events
     got = api_events.QUERIES[name](SF).to_pandas().reset_index(drop=True)
@@ -64,3 +65,73 @@ def test_sessionize_chunking_invariant(ray_session):
     assert len(a) == len(b) and len(a) > 0
     for c in a.columns:
         assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
+
+
+def test_asof_chunking_invariant(ray_session):
+    """A 1-hour chunk forces most matches through the pending/boundary
+    stitch path; the result must equal the default 24h-chunk run."""
+    import ray.data as rd
+    from covertile.eventops import asof_join
+
+    def run(h):
+        ev = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type", "value"])
+        return (asof_join(ev, chunk_hours=h).to_pandas()
+                .reset_index(drop=True))
+
+    assert run(1).equals(run(24))
+
+
+def test_range_join_halo_exactness(ray_session):
+    """Adversarial: views planted just inside/outside chunk boundaries and
+    window edges, plus colliding (user, chunk) cells — brute-force numpy
+    oracle over every (purchase, view) pair."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.eventops import range_join
+
+    rng = np.random.default_rng(3)
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    day = 86_400_000_000
+    rows = []
+    eid = 0
+    for u in range(40):
+        for _ in range(30):
+            t = base + int(rng.integers(0, 3 * day))
+            kind = ["view", "purchase", "click"][int(rng.integers(0, 3))]
+            rows.append((eid, t, u, kind, float(int(rng.integers(0, 10000)) / 100)))
+            eid += 1
+        # boundary plants: view just before midnight, purchase just after
+        for d in (1, 2):
+            b = base + d * day
+            for dt_v, dt_p in ((-1, 0), (-30 * 60_000_000 + 1, 0),
+                               (-30 * 60_000_000, 0), (-1, 1)):
+                rows.append((eid, b + dt_v, u, "view", 1.23)); eid += 1
+                rows.append((eid, b + dt_p, u, "purchase", 0.0)); eid += 1
+    arr = list(zip(*rows))
+    t = pa.table({
+        "event_id": pa.array(arr[0], pa.int64()),
+        "ts": pa.array(np.array(arr[1], np.int64).view("datetime64[us]")),
+        "user_id": pa.array(arr[2], pa.int64()),
+        "event_type": pa.array(arr[3], pa.string()),
+        "value": pa.array(arr[4], pa.float64()),
+    })
+    ds = rd.from_arrow(t).repartition(7)
+    got = range_join(ds).to_pandas().reset_index(drop=True)
+
+    ts_np = np.array(arr[1], np.int64)
+    uid = np.array(arr[2], np.int64)
+    kind = np.array(arr[3], object)
+    cents = np.round(np.array(arr[4]) * 100).astype(np.int64)
+    look = 30 * 60_000_000
+    want_rows = []
+    for i in np.flatnonzero(kind == "purchase"):
+        m = ((uid == uid[i]) & (kind == "view")
+             & (ts_np > ts_np[i] - look) & (ts_np <= ts_np[i]))
+        want_rows.append((arr[0][i], int(m.sum()),
+                          float(cents[m].sum()) / 100.0))
+    want_rows.sort()
+    assert got["event_id"].tolist() == [r[0] for r in want_rows]
+    assert got["n_views"].tolist() == [r[1] for r in want_rows]
+    assert got["sum_view_value"].tolist() == [r[2] for r in want_rows]
