@@ -110,6 +110,14 @@ def sql_sample_stratified() -> str:
     return T.sample_stratified_sql()
 
 
+def q_group_quantiles(sf_dir: str):
+    return T.group_quantiles(_docs(sf_dir, columns=("lang", "n_chars")))
+
+
+def sql_group_quantiles() -> str:
+    return T.group_quantiles_sql()
+
+
 def q_corpus_filter(sf_dir: str):
     return T.corpus_filter(_docs(sf_dir))
 
@@ -130,6 +138,7 @@ QUERIES = {
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "corpus_filter": q_corpus_filter,
+    "group_quantiles": q_group_quantiles,
 }
 
 ORACLES = {
@@ -144,4 +153,5 @@ ORACLES = {
     "sample_bernoulli": sql_sample_bernoulli,
     "sample_stratified": sql_sample_stratified,
     "corpus_filter": sql_corpus_filter,
+    "group_quantiles": sql_group_quantiles,
 }

@@ -1051,3 +1051,69 @@ WHERE nt >= {min_tokens} AND ns * {stop_den} <= nt * {stop_num}
       AND lang_pred = 'en'
 GROUP BY fp ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------- group-wise quantiles
+
+GROUP_QS = (25, 50, 75, 90)  # percent, emitted as p25/p50/p75/p90 columns
+
+
+def group_quantiles(docs_ds, group_col: str = "lang",
+                    value_col: str = "n_chars"):
+    """EXACT per-group quantiles of an integer column without a global
+    sort: per-block (group, value, count) histogram partials, one
+    histogram-sized groupby, and index arithmetic on cumulative counts.
+    DuckDB quantile_disc semantics (probed + pinned in pytest): the
+    1-indexed sorted element at ceil(q·n).
+
+    Scale shape: the exchange carries one row per distinct (group, value)
+    pair per block — bounded by the value domain, not the row count (the
+    classic histogram-sketch quantile, exact because the domain is
+    integer).  Output: one row per group (group, p25, p50, p75, p90)."""
+    def part(batch: pa.Table) -> pa.Table:
+        g = np.asarray(_text_col(batch, group_col), dtype=object)
+        v = batch[value_col].to_numpy()
+        order = np.lexsort((v, g))
+        g_s, v_s = g[order], v[order]
+        new = np.empty(len(g_s), bool)
+        if len(g_s):
+            new[0] = True
+            new[1:] = (g_s[1:] != g_s[:-1]) | (v_s[1:] != v_s[:-1])
+        runs = np.flatnonzero(new)
+        c = np.append(runs[1:], len(g_s)) - runs
+        return pa.table({group_col: pa.array(g_s[runs], pa.string()),
+                         "v": v_s[runs], "c": c.astype(np.int64)})
+
+    def quant(group: pa.Table) -> pa.Table:
+        name = group[group_col][0].as_py()
+        v = group["v"].to_numpy()
+        c = group["c"].to_numpy()
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        # merge duplicate values across blocks
+        uv, start = np.unique(v, return_index=True)
+        cum = np.cumsum(np.add.reduceat(c, start))
+        n = int(cum[-1])
+        cols = {group_col: pa.array([name], pa.string())}
+        for pq in GROUP_QS:
+            k = int(np.ceil(pq / 100.0 * n))
+            cols[f"p{pq}"] = pa.array(
+                [int(uv[np.searchsorted(cum, max(k, 1), side="left")])],
+                pa.int64())
+        return pa.table(cols)
+
+    return (docs_ds.map_batches(part, batch_format="pyarrow")
+            .groupby(group_col).map_groups(quant, batch_format="pyarrow")
+            .sort(group_col))
+
+
+def group_quantiles_sql(group_col: str = "lang",
+                        value_col: str = "n_chars") -> str:
+    cols = ",\n       ".join(
+        f"CAST(quantile_disc({value_col}, {pq / 100.0}) AS BIGINT) AS p{pq}"
+        for pq in GROUP_QS)
+    return f"""
+SELECT {group_col},
+       {cols}
+FROM documents GROUP BY {group_col} ORDER BY {group_col}
+"""

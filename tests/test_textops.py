@@ -34,6 +34,7 @@ def assert_matches(got, want, name):
     "token_stats", "lang_id", "doc_fingerprint", "exact_dedup",
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
+    "group_quantiles",
 ])
 def test_text_query_matches_oracle(ray_session, con, name):
     from covertile import api_text
@@ -158,3 +159,25 @@ def test_jaccard_exact_under_truncated_df(ray_session):
         textops._sampled_df = ref
     assert len(full) > 0
     assert full.equals(trunc)
+
+
+def test_quantile_disc_semantics_pinned(con):
+    """group_quantiles assumes quantile_disc = sorted element at the
+    1-indexed ceil(q*n); pin that against an explicit window-function
+    formulation on the real table."""
+    explicit = con.execute("""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang,
+       max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN n_chars END) AS p25,
+       max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN n_chars END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN n_chars END) AS p75,
+       max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN n_chars END) AS p90
+FROM ranked GROUP BY lang ORDER BY lang
+""").df()
+    from covertile import textops as T
+    disc = con.execute(T.group_quantiles_sql()).df()
+    assert explicit.equals(disc)
