@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from covertile import api, api_events, api_text, api_vec
+from covertile import api, api_events, api_rel, api_text, api_vec
 
 
 def entry() -> Any:
@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(api_text.QUERIES)
     out.update(api_vec.QUERIES)
     out.update(api_events.QUERIES)
+    out.update(api_rel.QUERIES)
     return out
 
 
@@ -56,4 +57,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({k: v() for k, v in api_text.ORACLES.items()})
     out.update({k: v() for k, v in api_vec.ORACLES.items()})
     out.update({k: v() for k, v in api_events.ORACLES.items()})
+    out.update({k: v() for k, v in api_rel.ORACLES.items()})
     return out

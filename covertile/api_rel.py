@@ -1,0 +1,51 @@
+"""Driver-facing relational/warehouse queries (TPC-H-shaped tables)."""
+
+from __future__ import annotations
+
+import os
+
+from . import relops
+
+
+def _t(sf_dir: str, name: str, columns):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=list(columns))
+
+
+def q_revenue_by_nation(sf_dir: str):
+    import pyarrow.parquet as pq
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    return relops.revenue_by_nation(
+        _t(sf_dir, "lineitem",
+           ("l_orderkey", "l_extendedprice", "l_discount")),
+        _t(sf_dir, "orders", ("o_orderkey", "o_custkey")),
+        _t(sf_dir, "customer", ("c_custkey", "c_nationkey")),
+        nation)
+
+
+def sql_revenue_by_nation() -> str:
+    return relops.revenue_by_nation_sql()
+
+
+def q_pricing_summary(sf_dir: str):
+    return relops.pricing_summary(
+        _t(sf_dir, "lineitem",
+           ("l_quantity", "l_extendedprice", "l_discount",
+            "l_returnflag", "l_linestatus")))
+
+
+def sql_pricing_summary() -> str:
+    return relops.pricing_summary_sql()
+
+
+QUERIES = {
+    "revenue_by_nation": q_revenue_by_nation,
+    "pricing_summary": q_pricing_summary,
+}
+
+ORACLES = {
+    "revenue_by_nation": sql_revenue_by_nation,
+    "pricing_summary": sql_pricing_summary,
+}

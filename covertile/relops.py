@@ -1,0 +1,172 @@
+"""Relational/warehouse pipelines over the TPC-H-shaped tables.
+
+The reference engine is a metric index, but a data-processing engine that
+replaces it at 100 TB also carries the classic analytical joins; these two
+pipelines exercise the repo's join + aggregation machinery on the
+relational tables (lineitem/orders/customer/nation) end to end:
+
+* revenue_by_nation — lineitem ⋈ orders ⋈ customer ⋈ nation revenue
+  rollup: per-block partial aggregation BEFORE each exchange (lineitem
+  rows collapse to one row per orderkey per block), two declared bucketed
+  hash joins (joins.hash_join_int_key) for the large sides, and the
+  25-row nation dimension applied as a broadcast numpy lookup — never a
+  shuffle.
+* pricing_summary — TPC-H-Q1-shaped per-(returnflag, linestatus) rollup:
+  pure partial aggregation, one metadata-sized groupby.
+
+Money math is integer: prices/discounts carry 2 decimals, so
+cents × (100 − discount_pct) is an exact int64; sums are
+order-independent and the final float division is bitwise equal to the
+SQL oracle regardless of Ray's combine-tree shape (same discipline as
+eventops.tumbling_window).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .joins import hash_join_int_key
+
+
+def _cents(col) -> np.ndarray:
+    return np.round(col.to_numpy() * 100.0).astype(np.int64)
+
+
+def revenue_by_nation(li_ds, od_ds, cu_ds, nation_tbl: pa.Table):
+    """-> (n_name, revenue) sorted; revenue = Σ price·(1−discount)."""
+    import ray
+
+    nk = nation_tbl["n_nationkey"].to_numpy().astype(np.int64)
+    names = np.asarray(nation_tbl["n_name"], dtype=object)
+    lut = np.full(int(nk.max()) + 1, "", dtype=object)
+    lut[nk] = names
+    lut_ref = ray.put(lut)  # 25 rows: broadcast, never shuffled
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        units = _cents(batch["l_extendedprice"]) * (
+            100 - _cents(batch["l_discount"]))
+        ok, inv = np.unique(batch["l_orderkey"].to_numpy(),
+                            return_inverse=True)
+        return pa.table({
+            "o_orderkey": ok,
+            "units": np.bincount(inv, weights=units).astype(np.int64),
+        })
+
+    j1 = hash_join_int_key(
+        li_ds.map_batches(li_partial, batch_format="pyarrow"),
+        od_ds, key="o_orderkey")
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["o_custkey"],
+            "units": batch["units"],
+        })
+
+    j2 = hash_join_int_key(
+        j1.map_batches(rekey, batch_format="pyarrow"),
+        cu_ds, key="c_custkey")
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        lut_ = ray.get(lut_ref)
+        nkey = batch["c_nationkey"].to_numpy().astype(np.int64)
+        uk, inv = np.unique(nkey, return_inverse=True)
+        return pa.table({
+            "n_name": pa.array(lut_[uk], pa.string()),
+            "units": np.bincount(
+                inv, weights=batch["units"].to_numpy()).astype(np.int64),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch["n_name"],
+            "revenue": batch["sum(units)"].to_numpy().astype(np.float64)
+                       / 10000.0,
+        })
+
+    return (j2.map_batches(nation_partial, batch_format="pyarrow")
+            .groupby("n_name").sum("units")
+            .map_batches(finalize, batch_format="pyarrow")
+            .sort("n_name"))
+
+
+def revenue_by_nation_sql() -> str:
+    pc_ = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    dc = "CAST(round(l_discount * 100.0) AS BIGINT)"
+    return f"""
+SELECT n_name,
+       CAST(sum({pc_} * (100 - {dc})) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def pricing_summary(li_ds):
+    """-> per (l_returnflag, l_linestatus): count, exact sums and exact-
+    ratio averages — the TPC-H Q1 shape as partial aggregation."""
+    def partial(batch: pa.Table) -> pa.Table:
+        rf = np.asarray(batch["l_returnflag"], dtype=object)
+        ls = np.asarray(batch["l_linestatus"], dtype=object)
+        key = np.char.add(rf.astype(str), ls.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        qty = _cents(batch["l_quantity"])
+        price = _cents(batch["l_extendedprice"])
+        disc_units = price * (100 - _cents(batch["l_discount"]))
+
+        def seg(v):
+            return np.bincount(inv, weights=v).astype(np.int64)
+
+        return pa.table({
+            "l_returnflag": pa.array([k[0] for k in uk], pa.string()),
+            "l_linestatus": pa.array([k[1] for k in uk], pa.string()),
+            "n": np.bincount(inv, minlength=len(uk)).astype(np.int64),
+            "qty_c": seg(qty),
+            "price_c": seg(price),
+            "disc_u": seg(disc_units),
+        })
+
+    agg = (li_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .sum(["n", "qty_c", "price_c", "disc_u"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["sum(n)"].to_numpy().astype(np.float64)
+        qty = batch["sum(qty_c)"].to_numpy().astype(np.float64) / 100.0
+        price = batch["sum(price_c)"].to_numpy().astype(np.float64) / 100.0
+        disc = batch["sum(disc_u)"].to_numpy().astype(np.float64) / 10000.0
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "count_order": batch["sum(n)"],
+            "sum_qty": qty,
+            "sum_base_price": price,
+            "sum_disc_price": disc,
+            "avg_qty": qty / n,
+            "avg_price": price / n,
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["l_returnflag", "l_linestatus"]))
+
+
+def pricing_summary_sql() -> str:
+    q = "CAST(round(l_quantity * 100.0) AS BIGINT)"
+    p = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    d = "CAST(round(l_discount * 100.0) AS BIGINT)"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       CAST(sum({q}) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(sum({p}) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum({p} * (100 - {d})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       (CAST(sum({q}) AS DOUBLE) / 100.0) / count(*) AS avg_qty,
+       (CAST(sum({p}) AS DOUBLE) / 100.0) / count(*) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -1,0 +1,31 @@
+"""Relational/warehouse pipelines vs oracle (TPC-H-shaped tables)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.mark.parametrize("name", ["revenue_by_nation", "pricing_summary"])
+def test_rel_query_matches_oracle(ray_session, con, name):
+    from covertile import api_rel
+    got = api_rel.QUERIES[name](SF).to_pandas().reset_index(drop=True)
+    want = con.execute(api_rel.ORACLES[name]()).df()
+    assert len(got) == len(want), (len(got), len(want))
+    assert list(got.columns) == list(want.columns)
+    for c_ in got.columns:
+        a, b = got[c_].to_numpy(), want[c_].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.array_equal(a.view(np.int64), b.view(np.int64)), c_
+        else:
+            assert np.array_equal(a, b), c_
