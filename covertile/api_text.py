@@ -110,6 +110,15 @@ def sql_sample_stratified() -> str:
     return T.sample_stratified_sql()
 
 
+def q_subword_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        T.subword_stats_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def sql_subword_stats() -> str:
+    return T.subword_stats_sql()
+
+
 def q_group_quantiles(sf_dir: str):
     return T.group_quantiles(_docs(sf_dir, columns=("lang", "n_chars")))
 
@@ -139,6 +148,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "corpus_filter": q_corpus_filter,
     "group_quantiles": q_group_quantiles,
+    "subword_stats": q_subword_stats,
 }
 
 ORACLES = {
@@ -154,4 +164,5 @@ ORACLES = {
     "sample_stratified": sql_sample_stratified,
     "corpus_filter": sql_corpus_filter,
     "group_quantiles": sql_group_quantiles,
+    "subword_stats": sql_subword_stats,
 }

@@ -1117,3 +1117,46 @@ SELECT {group_col},
        {cols}
 FROM documents GROUP BY {group_col} ORDER BY {group_col}
 """
+
+
+# ------------------------------------------------- BPE-ish subword counts
+
+SUBWORD_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # alpha runs | digit runs
+_ALPHA_PAT, _NUM_PAT, _OTHER_PAT = (                # | single punct
+    r"[A-Za-z]+", r"[0-9]+", r"[^A-Za-z0-9\s]")
+
+
+def subword_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_subtokens, n_alpha, n_num, n_other) — the BPE-ish
+    pre-tokenizer count (alpha runs, digit runs, single punctuation): the
+    token-budget estimate a training pipeline runs before real BPE.  Pure
+    per-batch map over pyarrow's RE2 kernel; DuckDB mirrors with
+    regexp_extract_all (also RE2 — counts agree exactly, pinned in
+    pytest on punctuation/unicode edge cases)."""
+    text = _text_col(batch)
+
+    def cnt(pat):
+        return np.asarray(pc.count_substring_regex(text, pat), np.int64)
+
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_subtokens": cnt(SUBWORD_PAT),
+        "n_alpha": cnt(_ALPHA_PAT),
+        "n_num": cnt(_NUM_PAT),
+        "n_other": cnt(_OTHER_PAT),
+    })
+
+
+def subword_stats_sql() -> str:
+    def n(pat):
+        # DuckDB single-quoted literals do NOT process backslashes: the
+        # pattern goes in verbatim (\s stays \s)
+        return f"len(regexp_extract_all(text, '{pat}'))"
+    return f"""
+SELECT doc_id,
+       {n(SUBWORD_PAT)} AS n_subtokens,
+       {n(_ALPHA_PAT)} AS n_alpha,
+       {n(_NUM_PAT)} AS n_num,
+       {n(_OTHER_PAT)} AS n_other
+FROM documents ORDER BY doc_id
+"""

@@ -34,7 +34,7 @@ def assert_matches(got, want, name):
     "token_stats", "lang_id", "doc_fingerprint", "exact_dedup",
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
-    "group_quantiles",
+    "group_quantiles", "subword_stats",
 ])
 def test_text_query_matches_oracle(ray_session, con, name):
     from covertile import api_text
@@ -181,3 +181,22 @@ FROM ranked GROUP BY lang ORDER BY lang
     from covertile import textops as T
     disc = con.execute(T.group_quantiles_sql()).df()
     assert explicit.equals(disc)
+
+
+def test_subword_regex_parity_edge_cases(ray_session):
+    """pyarrow and DuckDB both use RE2; pin count parity on adversarial
+    strings (unicode, punctuation runs, empty, digits-in-words)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from covertile.textops import SUBWORD_PAT
+
+    texts = ["", "   ", "a", "Hello, world!!", "x9y8z7", "3.14159",
+             "u\u0308mlaut t\u00f6lt", "a-b-c--d", "\ttab\nnl", "ALLCAPS 123 ...",
+             "mixed\u00e9accent", "!@#$%^&*()"]
+    got = pc.count_substring_regex(pa.array(texts), SUBWORD_PAT).to_pylist()
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT len(regexp_extract_all(t, '{SUBWORD_PAT}')) "
+        "FROM (SELECT unnest(?) t)", [texts]).df().iloc[:, 0].tolist()
+    assert got == want, (got, want)
