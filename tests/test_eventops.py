@@ -135,3 +135,99 @@ def test_range_join_halo_exactness(ray_session):
     assert got["event_id"].tolist() == [r[0] for r in want_rows]
     assert got["n_views"].tolist() == [r[1] for r in want_rows]
     assert got["sum_view_value"].tolist() == [r[2] for r in want_rows]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _event_stream(draw):
+    n = draw(st.integers(5, 60))
+    base = 1_700_000_000_000_000
+    day = 86_400_000_000
+    rows = []
+    for i in range(n):
+        rows.append((
+            i,
+            base + draw(st.integers(0, 3 * day)),
+            draw(st.integers(0, 3)),                       # few users: collisions
+            draw(st.sampled_from(["view", "purchase", "click"])),
+            draw(st.integers(0, 9999)) / 100.0,
+        ))
+    return rows
+
+
+@settings(max_examples=15, deadline=None)
+@given(_event_stream(), st.sampled_from([1, 24]))
+def test_asof_join_matches_bruteforce(ray_session, rows, chunk_h):
+    """Property: asof_join == per-left argmax over (ts, event_id) of the
+    user's purchases at ts<=ts_l, for random streams incl. equal-ts ties,
+    at both a boundary-stressing and the default chunking."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.eventops import asof_join
+
+    arr = list(zip(*rows))
+    t = pa.table({
+        "event_id": pa.array(arr[0], pa.int64()),
+        "ts": pa.array(np.array(arr[1], np.int64).view("datetime64[us]")),
+        "user_id": pa.array(arr[2], pa.int64()),
+        "event_type": pa.array(arr[3], pa.string()),
+        "value": pa.array(arr[4], pa.float64()),
+    })
+    got = (asof_join(rd.from_arrow(t).repartition(3), chunk_hours=chunk_h)
+           .to_pandas())
+    want = {}
+    for eid, ts, uid, et, _v in rows:
+        if et == "purchase":
+            continue
+        best = None
+        for eid2, ts2, uid2, et2, _v2 in rows:
+            if et2 == "purchase" and uid2 == uid and ts2 <= ts:
+                k = (ts2, eid2)
+                if best is None or k > best:
+                    best = k
+        if best is not None:
+            want[eid] = best[1]
+    if len(got) == 0:
+        assert want == {}
+        return
+    got_map = dict(zip(got["event_id"], got["matched_event_id"]))
+    assert got_map == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(_event_stream())
+def test_range_join_matches_bruteforce(ray_session, rows):
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.eventops import range_join
+
+    arr = list(zip(*rows))
+    t = pa.table({
+        "event_id": pa.array(arr[0], pa.int64()),
+        "ts": pa.array(np.array(arr[1], np.int64).view("datetime64[us]")),
+        "user_id": pa.array(arr[2], pa.int64()),
+        "event_type": pa.array(arr[3], pa.string()),
+        "value": pa.array(arr[4], pa.float64()),
+    })
+    got = range_join(rd.from_arrow(t).repartition(3)).to_pandas()
+    look = 30 * 60_000_000
+    want = []
+    for eid, ts, uid, et, _v in rows:
+        if et != "purchase":
+            continue
+        n = s = 0
+        for eid2, ts2, uid2, et2, v2 in rows:
+            if (et2 == "view" and uid2 == uid
+                    and ts - look < ts2 <= ts):
+                n += 1
+                s += round(v2 * 100)
+        want.append((eid, n, s / 100.0))
+    want.sort()
+    if len(got) == 0:
+        assert want == []
+        return
+    assert got["event_id"].tolist() == [w[0] for w in want]
+    assert got["n_views"].tolist() == [w[1] for w in want]
+    assert got["sum_view_value"].tolist() == [w[2] for w in want]
