@@ -379,20 +379,46 @@ def _run_pairs(keys: np.ndarray, ids: np.ndarray):
     return id_s, order, a_idx, b_idx
 
 
-def _candidate_pairs(rows_ds):
-    """rows (sh:int64 bucket key, doc_id) -> DISTINCT candidate pairs
-    (pair:int64).  Two coarse groupbys (256 groups each): one to emit
-    intra-bucket pairs, one to dedup pairs discovered in different
-    buckets."""
+def _candidate_pairs(rows_ds, tau: float | None = None):
+    """rows (sh:int64 bucket key, doc_id[, pos, n_sh]) -> DISTINCT
+    candidate pairs (pair:int64).  Two coarse groupbys (256 groups each):
+    one to emit intra-bucket pairs, one to dedup pairs discovered in
+    different buckets.
+
+    With tau and (pos, n_sh) present, the PPJoin POSITIONAL filter [Xiao
+    et al.] drops an occurrence-pair before it ever reaches the verify
+    stage: a shared shingle at prefix positions (i, j) of sets sized
+    (na, nb) bounds the overlap by 1 + min(na−i−1, nb−j−1), and J ≥ τ
+    needs overlap ≥ τ/(1+τ)·(na+nb).  A pair survives iff ANY shared
+    occurrence passes — a superset of classic PPJoin, so still exact;
+    the ceil boundary is relaxed by 1e-9 so float roundoff can only keep
+    extra candidates, never drop a true pair.  Measured on the 5k-doc
+    adversarial corpus: 910k → 748k candidates (1.2× — its low-entropy
+    shingles blunt positional bounds; the filter prunes far harder on
+    natural text, and MinHash+LSH remains the documented scale path
+    there)."""
+    positional = tau is not None
 
     def bucket(batch: pa.Table) -> pa.Table:
         sh = batch["sh"].to_numpy()
-        return pa.table({"sh": sh, "doc_id": batch["doc_id"],
-                         "bk": _coarse_bucket(sh)})
+        out = {"sh": sh, "doc_id": batch["doc_id"],
+               "bk": _coarse_bucket(sh)}
+        if positional:
+            out["pos"] = batch["pos"]
+            out["n_sh"] = batch["n_sh"]
+        return pa.table(out)
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        id_s, _, ai, bi = _run_pairs(g["sh"].to_numpy(),
-                                     g["doc_id"].to_numpy())
+        id_s, sel, ai, bi = _run_pairs(g["sh"].to_numpy(),
+                                       g["doc_id"].to_numpy())
+        if len(ai) and positional:
+            pos_s = g["pos"].to_numpy()[sel]
+            n_s = g["n_sh"].to_numpy()[sel]
+            na, nb = n_s[ai], n_s[bi]
+            ub = 1 + np.minimum(na - pos_s[ai] - 1, nb - pos_s[bi] - 1)
+            alpha = np.ceil(tau / (1.0 + tau) * (na + nb) - 1e-9)
+            keep = ub >= alpha
+            ai, bi = ai[keep], bi[keep]
         pair = (np.unique(id_s[ai] * _PAIR_SHIFT + id_s[bi])
                 if len(ai) else np.zeros(0, np.int64))
         return pa.table({"pair": pa.array(pair, pa.int64())})
@@ -648,10 +674,13 @@ def ngram_jaccard_pairs(docs_ds, tau: float = JACCARD_TAU,
         return pa.table({
             "sh": flat_s[keep].astype(np.int64),  # groupby key (int64 view)
             "doc_id": np.repeat(batch["doc_id"].to_numpy(), lens)[keep],
+            "pos": pos[keep],                    # position in the global
+            "n_sh": np.repeat(lens, lens)[keep],  # (df, value) set order
         })
 
     prefix = sets_ds.map_batches(prefix_rows, batch_format="pyarrow")
-    return _verify_jaccard(_candidate_pairs(prefix), docs_ds, tau, k)
+    return _verify_jaccard(_candidate_pairs(prefix, tau=tau), docs_ds,
+                           tau, k)
 
 
 def ngram_jaccard_sql(tau: float = JACCARD_TAU, k: int = SHINGLE_K) -> str:
