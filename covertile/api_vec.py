@@ -93,6 +93,27 @@ def q_ivf_topk_exact(sf_dir: str):
                            probes=len(cent)).sort(["query_id", "rank"])
 
 
+def q_ivf_topk_store(sf_dir: str):
+    """The IVF scale path made physical: bucketed parquet store built
+    under /tmp, then a PARTITION-PRUNED read of only the probed buckets.
+    probes=ALL makes it provably exact (ann_topk's SQL oracle applies)
+    while still exercising the store build + per-bucket layout; the
+    pruned-read operating point is equality-tested vs ivf_topk in
+    tests/test_vecops.py."""
+    import os
+    import shutil
+    import tempfile
+
+    cent = _centroids_of(sf_dir)
+    qid, qm = _queries_of(sf_dir)
+    store = os.path.join(tempfile.gettempdir(),
+                         f"ivfstore-{os.getpid()}-{abs(hash(sf_dir)) % 99991}")
+    shutil.rmtree(store, ignore_errors=True)
+    vecops.ivf_build_store(_emb(sf_dir), cent, store)
+    return vecops.ivf_topk_store(store, qid, qm, probes=len(cent)).sort(
+        ["query_id", "rank"])
+
+
 def q_media_features(sf_dir: str):
     return mediaops.media_features(_docs(sf_dir)).sort(["doc_id", "offset"])
 
@@ -124,6 +145,7 @@ QUERIES = {
     "emb_knn": q_emb_knn,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_exact": q_ivf_topk_exact,
+    "ivf_topk_store": q_ivf_topk_store,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
@@ -134,6 +156,7 @@ ORACLES = {
     "embedding_cosine_dedup": sql_cosine_dedup,
     "emb_knn": sql_emb_knn,
     "ivf_topk_exact": sql_ann_topk,
+    "ivf_topk_store": sql_ann_topk,
     "media_features": sql_media_features,
     "media_resize": sql_media_resize,
     "frame_sample": sql_frame_sample,

