@@ -119,6 +119,14 @@ def sql_subword_stats() -> str:
     return T.subword_stats_sql()
 
 
+def q_dataset_split(sf_dir: str):
+    return T.dataset_split(_docs(sf_dir, columns=("doc_id",)))
+
+
+def sql_dataset_split() -> str:
+    return T.dataset_split_sql()
+
+
 def q_group_quantiles(sf_dir: str):
     return T.group_quantiles(_docs(sf_dir, columns=("lang", "n_chars")))
 
@@ -149,6 +157,7 @@ QUERIES = {
     "corpus_filter": q_corpus_filter,
     "group_quantiles": q_group_quantiles,
     "subword_stats": q_subword_stats,
+    "dataset_split": q_dataset_split,
 }
 
 ORACLES = {
@@ -165,4 +174,5 @@ ORACLES = {
     "corpus_filter": sql_corpus_filter,
     "group_quantiles": sql_group_quantiles,
     "subword_stats": sql_subword_stats,
+    "dataset_split": sql_dataset_split,
 }

@@ -1189,3 +1189,44 @@ SELECT doc_id,
        {n(_OTHER_PAT)} AS n_other
 FROM documents ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------- train/val/test split
+
+SPLIT_PCT = {"train": 80, "val": 10, "test": 10}  # bucket thresholds
+
+
+def dataset_split(docs_ds, split_pct: dict | None = None):
+    """Deterministic train/val/test assignment: (doc_id, split) from the
+    same hash bucket as sample_bernoulli — stable across runs, retries
+    and resumes (row-level RNG is none of those), and disjoint-complete
+    by construction.  Pure per-batch map, no shuffle."""
+    pct = dict(SPLIT_PCT if split_pct is None else split_pct)
+    names = sorted(pct)  # deterministic CASE order
+    edges = np.cumsum([pct[n] for n in names])
+    assert edges[-1] == 100
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        bk = _sample_bucket(ids)
+        sel = np.searchsorted(edges, bk, side="right")
+        return pa.table({
+            "doc_id": ids,
+            "split": pa.array(np.array(names, dtype=object)[sel],
+                              pa.string()),
+        })
+
+    return docs_ds.map_batches(part, batch_format="pyarrow").sort("doc_id")
+
+
+def dataset_split_sql(split_pct: dict | None = None) -> str:
+    pct = dict(SPLIT_PCT if split_pct is None else split_pct)
+    names = sorted(pct)
+    edges = np.cumsum([pct[n] for n in names])
+    b = _sample_bucket_sql()
+    cases = " ".join(f"WHEN {b} < {int(e)} THEN '{n}'"
+                     for n, e in zip(names, edges))
+    return f"""
+SELECT doc_id, CASE {cases} END AS split
+FROM documents ORDER BY doc_id
+"""

@@ -34,7 +34,7 @@ def assert_matches(got, want, name):
     "token_stats", "lang_id", "doc_fingerprint", "exact_dedup",
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
-    "group_quantiles", "subword_stats",
+    "group_quantiles", "subword_stats", "dataset_split",
 ])
 def test_text_query_matches_oracle(ray_session, con, name):
     from covertile import api_text
