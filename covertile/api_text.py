@@ -119,6 +119,14 @@ def sql_subword_stats() -> str:
     return T.subword_stats_sql()
 
 
+def q_dup_components(sf_dir: str):
+    return T.dup_components(T.ngram_jaccard_pairs(_docs(sf_dir)))
+
+
+def sql_dup_components() -> str:
+    return T.dup_components_sql()
+
+
 def q_dataset_split(sf_dir: str):
     return T.dataset_split(_docs(sf_dir, columns=("doc_id",)))
 
@@ -158,6 +166,7 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "subword_stats": q_subword_stats,
     "dataset_split": q_dataset_split,
+    "dup_components": q_dup_components,
 }
 
 ORACLES = {
@@ -175,4 +184,5 @@ ORACLES = {
     "group_quantiles": sql_group_quantiles,
     "subword_stats": sql_subword_stats,
     "dataset_split": sql_dataset_split,
+    "dup_components": sql_dup_components,
 }

@@ -1230,3 +1230,86 @@ def dataset_split_sql(split_pct: dict | None = None) -> str:
 SELECT doc_id, CASE {cases} END AS split
 FROM documents ORDER BY doc_id
 """
+
+
+# ------------------------------------------- near-dup connected components
+
+def dup_components(pairs_ds, max_rounds: int = 50):
+    """Connected components over near-duplicate PAIR edges — the step
+    that turns any pair-producing dedup (exact/Jaccard/MinHash/SimHash/
+    cosine) into canonical-document clusters: (doc_id, cluster_id =
+    min doc_id in the component), sorted by doc_id.
+
+    Distributed min-label propagation: labels live in a node-sized table
+    (pair endpoints only — tiny relative to the corpus); each round joins
+    the symmetric edge list against current labels (bucketed hash join),
+    takes per-node minima, and stops when the label sum — a strictly
+    decreasing integer until fixpoint — stops falling.  Rounds =
+    O(component diameter); near-dup clusters are shallow, and max_rounds
+    guards pathological chains (assertion, not silent truncation)."""
+    import pyarrow as pa
+
+    from .joins import hash_join_int_key
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["a_id"].to_numpy()
+        b = batch["b_id"].to_numpy()
+        return pa.table({"u": np.concatenate([a, b]),
+                         "v": np.concatenate([b, a])})
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return edges.map_batches(
+            lambda b: pa.table({"doc_id": pa.array([], pa.int64()),
+                                "cluster_id": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+
+    def init_part(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["u"].to_numpy())
+        return pa.table({"u": u, "lbl": u})
+
+    def rename_min(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch["u"], "lbl": batch["min(lbl)"]})
+
+    labels = (edges.map_batches(init_part, batch_format="pyarrow")
+              .groupby("u").min("lbl")
+              .map_batches(rename_min, batch_format="pyarrow")
+              .materialize())
+    prev = None
+    for _ in range(max_rounds):
+        cur = labels.sum("lbl")
+        if cur == prev:
+            break
+        prev = cur
+        msgs = hash_join_int_key(edges, labels, key="u").map_batches(
+            lambda b: pa.table({"u": b["v"], "lbl": b["lbl"]}),
+            batch_format="pyarrow")
+        labels = (labels.union(msgs)
+                  .groupby("u").min("lbl")
+                  .map_batches(rename_min, batch_format="pyarrow")
+                  .materialize())
+    else:
+        raise AssertionError(f"no fixpoint after {max_rounds} rounds")
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["u"], "cluster_id": b["lbl"]}),
+        batch_format="pyarrow").sort("doc_id")
+
+
+def dup_components_sql(tau: float = JACCARD_TAU, k: int = SHINGLE_K) -> str:
+    """Recursive-CTE closure over the exact-Jaccard pair table (the
+    engine side runs over ngram_jaccard_pairs output)."""
+    inner = ngram_jaccard_sql(tau, k).strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({inner}) _p
+),
+e AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+lab(node, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.v, lab.lbl FROM e JOIN lab ON lab.node = e.u
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM lab GROUP BY node
+ORDER BY doc_id
+"""

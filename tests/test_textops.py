@@ -34,7 +34,7 @@ def assert_matches(got, want, name):
     "token_stats", "lang_id", "doc_fingerprint", "exact_dedup",
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
-    "group_quantiles", "subword_stats", "dataset_split",
+    "group_quantiles", "subword_stats", "dataset_split", "dup_components",
 ])
 def test_text_query_matches_oracle(ray_session, con, name):
     from covertile import api_text
@@ -200,3 +200,21 @@ def test_subword_regex_parity_edge_cases(ray_session):
         f"SELECT len(regexp_extract_all(t, '{SUBWORD_PAT}')) "
         "FROM (SELECT unnest(?) t)", [texts]).df().iloc[:, 0].tolist()
     assert got == want, (got, want)
+
+
+def test_dup_components_chain_and_star(ray_session):
+    """Synthetic graph shapes: a 6-chain (diameter stress), a star, and
+    singleton-free output."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.textops import dup_components
+
+    pairs = pa.table({
+        "a_id": pa.array([1, 2, 3, 4, 5, 10, 10, 10], pa.int64()),
+        "b_id": pa.array([2, 3, 4, 5, 6, 11, 12, 13], pa.int64()),
+    })
+    out = (dup_components(rd.from_arrow(pairs).repartition(3))
+           .to_pandas())
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10}
