@@ -487,8 +487,20 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("topk_terms", lambda: T.topk_terms(docs).count())
     stage("sample_bernoulli", lambda: T.sample_bernoulli(docs).count())
     stage("corpus_filter", lambda: T.corpus_filter(docs).count())
+    stage("subword_stats", lambda: docs.map_batches(
+        T.subword_stats_batch, batch_format="pyarrow").count())
+    stage("dataset_split", lambda: T.dataset_split(docs).count())
     stage("exact_dedup", lambda: T.exact_dedup(docs).count())
     stage("simhash_dedup", lambda: T.simhash_dup_pairs(docs).count())
+
+    def run_components():
+        def to_pairs(b: pa.Table) -> pa.Table:
+            return pa.table({"a_id": b["a_id"], "b_id": b["b_id"]})
+        return T.dup_components(
+            T.simhash_dup_pairs(docs).map_batches(
+                to_pairs, batch_format="pyarrow")).count()
+
+    stage("dup_components", run_components)
     stage("minhash_lsh_dedup", lambda: T.minhash_lsh_pairs(docs).count())
     qid, qm = V._emb_matrix(
         pa.concat_tables(vecs.limit(V.ANN_NUM_QUERIES).iter_batches(
