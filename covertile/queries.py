@@ -414,26 +414,62 @@ def knn_join(index: Index, points_ds, k: int,
             "radius": batch["dist"],  # the phase-1 d_k bound
         })
 
-    # the pending set is a filtered sliver of phase-1's blocks; without an
-    # explicit repartition the whole phase-2 chain (route -> groupby ->
-    # merge) inherits its tiny block count and runs near-serial
-    queries = (pending.map_batches(rehydrate, batch_format="pyarrow")
-               .repartition(64))
-    routed = route_queries(queries, index.plan, with_home=True)
-    if mode == "groups":
+    queries = pending.map_batches(rehydrate, batch_format="pyarrow")
+    if mode != "actors":
+        # ONE exchange for the whole of phase 2: pending queries group by
+        # their HOME partition, and each home group loads the (few)
+        # neighbor trees its discs touch straight from the checkpoint
+        # store (LRU-cached per worker) — candidate generation and the
+        # per-home merge run inside the same task.  The previous shape
+        # (repartition -> groupby(pid) -> groupby(home_pid)) paid three
+        # all-to-alls of fixed ~1-2s wall each on a sliver-sized input;
+        # at cluster scale the extra tree loads are bounded by the
+        # neighbor count per home and amortized by the LRU.
         ck2 = index.ckpt_dir
+        plan2 = index.plan
 
-        def cand_group(group: pa.Table) -> pa.Table:
-            pid = int(group["pid"][0].as_py())
-            tree, doc_ids = store.load_tree(ck2, pid)
-            return pa.table(kernels.knn_candidate_kernel(
-                tree, doc_ids, group["src_id"].to_numpy(),
-                group["x"].to_numpy(), group["y"].to_numpy(),
-                group["radius"].to_numpy(), group["home_pid"].to_numpy()))
+        def add_home_key(batch: pa.Table) -> pa.Table:
+            x = batch["x"].to_numpy()
+            y = batch["y"].to_numpy()
+            src = batch["src_id"].to_numpy()
+            own = plan2.pid_of_points(
+                cells.cell_of(x, y, plan2.resolution), src)
+            return batch.append_column("home_pid", pa.array(own))
 
-        cands = routed.groupby("pid").map_groups(
-            cand_group, batch_format="pyarrow")
+        def home_phase2(group: pa.Table) -> pa.Table:
+            src = group["src_id"].to_numpy()
+            x = group["x"].to_numpy()
+            y = group["y"].to_numpy()
+            radius = group["radius"].to_numpy()
+            home = group["home_pid"].to_numpy()
+            rep, halo = cells.halo_cells(x, y, radius, plan2.resolution)
+            crep, pids = plan2.pids_of_cells(halo)
+            rows = rep[crep]
+            key = rows * np.int64(plan2.num_partitions + 1) + pids
+            _, first = np.unique(key, return_index=True)
+            rows, pids = rows[first], pids[first]
+            order = np.argsort(pids, kind="stable")
+            rows, pids = rows[order], pids[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], pids[1:] != pids[:-1])))
+            bounds = np.append(starts, len(pids))
+            outs = []
+            for si, ei in zip(bounds[:-1], bounds[1:]):
+                pid = int(pids[si])
+                sel = rows[si:ei]
+                tree, doc_ids = store.load_tree_cached(ck2, pid)
+                outs.append(pa.table(kernels.knn_candidate_kernel(
+                    tree, doc_ids, src[sel], x[sel], y[sel],
+                    radius[sel], home[sel])))
+            cand = pa.concat_tables(outs)
+            return _knn_merge(cand, k)
+
+        phase2 = (queries.map_batches(add_home_key, batch_format="pyarrow")
+                  .groupby("home_pid")
+                  .map_groups(home_phase2, batch_format="pyarrow"))
     else:
+        routed = route_queries(
+            queries.repartition(64), index.plan, with_home=True)
         cands = routed.sort("pid").map_batches(
             KnnCandidateActor,
             fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k},
@@ -441,8 +477,9 @@ def knn_join(index: Index, points_ds, k: int,
             batch_size=batch_size,
             concurrency=concurrency,
         )
-    phase2 = (cands.groupby("home_pid")
-              .map_groups(lambda g: _knn_merge(g, k), batch_format="pyarrow")
+        phase2 = cands.groupby("home_pid").map_groups(
+            lambda g: _knn_merge(g, k), batch_format="pyarrow")
+    phase2 = (phase2
               .map_batches(lambda t: t.filter(pc.greater(t["rank"], 0)),
                            batch_format="pyarrow")
               .select_columns(["query_id", "rank", "neighbor_id", "dist"]))

@@ -118,3 +118,23 @@ def load_manifests(ckpt_dir: str) -> list[dict]:
             with open(os.path.join(d, name)) as f:
                 rows.append(json.load(f))
     return rows
+
+
+_TREE_LRU: dict = {}
+_TREE_LRU_MAX = 64
+
+
+def load_tree_cached(ckpt_dir: str, pid: int):
+    """load_tree through a worker-process LRU (~64 partition trees, a few
+    MB each): map_groups tasks that touch the same neighbor partitions —
+    e.g. the kNN phase-2 per-home sweep — skip repeated parquet reads.
+    Per-process state only; correctness never depends on it (checkpoint
+    files are immutable once the manifest exists)."""
+    key = (ckpt_dir, int(pid))
+    hit = _TREE_LRU.pop(key, None)
+    if hit is None:
+        hit = load_tree(ckpt_dir, int(pid))
+        while len(_TREE_LRU) >= _TREE_LRU_MAX:
+            _TREE_LRU.pop(next(iter(_TREE_LRU)))
+    _TREE_LRU[key] = hit  # re-insert = move to MRU end
+    return hit
