@@ -218,3 +218,42 @@ def test_dup_components_chain_and_star(ray_session):
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
                    10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_dup_components_matches_unionfind_random(ray_session):
+    """Property: label propagation equals union-find on random pair
+    graphs (cycles, multi-edges, shuffled ids)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.textops import dup_components
+
+    rng = np.random.default_rng(19)
+    for trial in range(2):
+        # dense graphs: diameter stays ~O(log n), so the O(diameter)
+        # propagation rounds (seconds of fixed Ray cost each) stay few —
+        # long-chain stress is covered by test_dup_components_chain_and_star
+        n_nodes = int(rng.integers(10, 50))
+        ids = rng.choice(10_000, n_nodes, replace=False).astype(np.int64)
+        n_edges = 3 * n_nodes
+        a = ids[rng.integers(0, n_nodes, n_edges)]
+        b = ids[rng.integers(0, n_nodes, n_edges)]
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if len(a) == 0:
+            continue
+        pairs = pa.table({"a_id": np.minimum(a, b), "b_id": np.maximum(a, b)})
+        got = (dup_components(rd.from_arrow(pairs).repartition(4))
+               .to_pandas())
+        # union-find oracle
+        parent = {}
+        def find(u):
+            while parent.setdefault(u, u) != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+        for u, v in zip(a.tolist(), b.tolist()):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        want = {u: find(u) for u in set(a.tolist()) | set(b.tolist())}
+        assert dict(zip(got["doc_id"], got["cluster_id"])) == want, trial
