@@ -1275,18 +1275,38 @@ def dup_components(pairs_ds, max_rounds: int = 50):
               .groupby("u").min("lbl")
               .map_batches(rename_min, batch_format="pyarrow")
               .materialize())
+    def as_label_key(batch: pa.Table) -> pa.Table:
+        # rows keyed by the CURRENT label, carrying the original node
+        return pa.table({"u": batch["lbl"], "orig": batch["u"]})
+
     prev = None
     for _ in range(max_rounds):
         cur = labels.sum("lbl")
         if cur == prev:
             break
         prev = cur
+        # edge propagation: lbl(u) offered to every neighbor v
         msgs = hash_join_int_key(edges, labels, key="u").map_batches(
             lambda b: pa.table({"u": b["v"], "lbl": b["lbl"]}),
             batch_format="pyarrow")
-        labels = (labels.union(msgs)
+        # pointer jumping: lbl(lbl(u)) offered to u — shortcutting the
+        # label chain halves its length every round, so convergence is
+        # O(log diameter) instead of O(diameter) (a 300-deep duplicate
+        # chain fixpoints in ~9 rounds, asserted in pytest); every lbl
+        # value is itself a node, so the inner join always resolves
+        jmp = (hash_join_int_key(
+                   labels.map_batches(as_label_key, batch_format="pyarrow"),
+                   labels, key="u")
+               .map_batches(lambda b: pa.table({"u": b["orig"],
+                                                "lbl": b["lbl"]}),
+                            batch_format="pyarrow"))
+        labels = (labels.union(msgs).union(jmp)
                   .groupby("u").min("lbl")
                   .map_batches(rename_min, batch_format="pyarrow")
+                  # unions compound block counts across rounds; without
+                  # this bound each round's shuffle sees ~3x the blocks
+                  # of the last and round time grows super-linearly
+                  .repartition(16)
                   .materialize())
     else:
         raise AssertionError(f"no fixpoint after {max_rounds} rounds")

@@ -203,21 +203,26 @@ def test_subword_regex_parity_edge_cases(ray_session):
 
 
 def test_dup_components_chain_and_star(ray_session):
-    """Synthetic graph shapes: a 6-chain (diameter stress), a star, and
-    singleton-free output."""
+    """Graph shapes: a 300-deep chain (diameter stress — pointer jumping
+    must fixpoint in O(log d) rounds, far under max_rounds=50), a star,
+    and singleton-free output."""
     import pyarrow as pa
     import ray.data as rd
     from covertile.textops import dup_components
 
+    chain = np.arange(1000, 1300, dtype=np.int64)
     pairs = pa.table({
-        "a_id": pa.array([1, 2, 3, 4, 5, 10, 10, 10], pa.int64()),
-        "b_id": pa.array([2, 3, 4, 5, 6, 11, 12, 13], pa.int64()),
+        "a_id": pa.array(np.concatenate(
+            [chain[:-1], np.array([10, 10, 10], np.int64)])),
+        "b_id": pa.array(np.concatenate(
+            [chain[1:], np.array([11, 12, 13], np.int64)])),
     })
     out = (dup_components(rd.from_arrow(pairs).repartition(3))
            .to_pandas())
     got = dict(zip(out["doc_id"], out["cluster_id"]))
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
-                   10: 10, 11: 10, 12: 10, 13: 10}
+    want = {int(c): 1000 for c in chain}
+    want.update({10: 10, 11: 10, 12: 10, 13: 10})
+    assert got == want
 
 
 def test_dup_components_matches_unionfind_random(ray_session):
