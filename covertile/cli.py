@@ -134,6 +134,43 @@ def cmd_check_graph(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation front door: documents parquet -> quality/
+    lang/dedup gate (textops.corpus_filter) -> deterministic train/val/
+    test assignment -> partitioned parquet (one split=... directory per
+    assignment, resumable layout: finished split dirs can be skipped on
+    re-run).  The whole path streams; only per-split row counts reach
+    the driver."""
+    _ray_session()
+    import ray.data as rd
+    import pyarrow as pa
+
+    from . import textops as T
+
+    docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    kept = T.corpus_filter(docs, min_tokens=args.min_tokens)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        import numpy as np
+        names = sorted(T.SPLIT_PCT)
+        edges = np.cumsum([T.SPLIT_PCT[n] for n in names])
+        sel = np.searchsorted(edges, T._sample_bucket(ids), side="right")
+        return batch.append_column(
+            "split", pa.array(np.array(names, dtype=object)[sel],
+                              pa.string()))
+
+    out = kept.map_batches(assign, batch_format="pyarrow")
+    out.write_parquet(args.output, partition_cols=["split"])
+    import glob
+    import pyarrow.parquet as pq
+    for d in sorted(glob.glob(os.path.join(args.output, "split=*"))):
+        n = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(d, "*.parquet")))
+        print(f"{os.path.basename(d)}: {n} docs")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m covertile.cli")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -160,6 +197,14 @@ def main(argv=None) -> int:
     p.add_argument("-s", "--seed", type=int, default=0)
     p.add_argument("-C", "--base", type=float, default=2.0)
     p.set_defaults(fn=cmd_check_graph)
+
+    p = sub.add_parser("curate")
+    p.add_argument("-i", "--input", required=True,
+                   help="documents parquet (doc_id, text)")
+    p.add_argument("-o", "--output", required=True,
+                   help="output dir; one split=train|val|test partition each")
+    p.add_argument("--min-tokens", type=size_int, default=40)
+    p.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     rc = args.fn(args)

@@ -52,3 +52,33 @@ def test_size_suffix_parse():
     assert size_int("4G") == 4 << 30
     assert size_int("1.5k") == int(1.5 * 1024 + 0.499)
     assert size_int("0.1M") == int(0.1 * (1 << 20) + 0.499)
+
+
+def test_curate_splits_match_oracle(ray_session, tmp_path):
+    """curate = corpus_filter ∘ dataset_split, written as split=...
+    partitions; verify each partition's doc ids against the composed SQL."""
+    import duckdb
+    import glob
+    import pyarrow.parquet as pq
+    from covertile import cli, textops as T
+
+    SF = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    rc = cli.main(["curate", "-i", f"{SF}/documents.parquet", "-o", out])
+    assert rc == 0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    kept = con.execute(T.corpus_filter_sql()).df()["doc_id"].tolist()
+    split_sql = con.execute(T.dataset_split_sql()).df()
+    want = {}
+    srow = dict(zip(split_sql["doc_id"], split_sql["split"]))
+    for d in kept:
+        want.setdefault(srow[d], set()).add(d)
+    for d in sorted(glob.glob(out + "/split=*")):
+        name = d.split("=")[-1]
+        ids = set()
+        for f in glob.glob(d + "/*.parquet"):
+            ids |= set(pq.read_table(f, columns=["doc_id"])
+                       ["doc_id"].to_pylist())
+        assert ids == want.get(name, set()), name
