@@ -46,11 +46,20 @@ def sql_range_join() -> str:
     return eventops.range_join_sql()
 
 
+def q_funnel(sf_dir: str):
+    return eventops.funnel(_events(sf_dir))
+
+
+def sql_funnel() -> str:
+    return eventops.funnel_sql()
+
+
 QUERIES = {
     "events_window": q_tumbling_window,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "funnel": q_funnel,
 }
 
 ORACLES = {
@@ -58,4 +67,5 @@ ORACLES = {
     "sessionize": sql_sessionize,
     "asof_join": sql_asof_join,
     "range_join": sql_range_join,
+    "funnel": sql_funnel,
 }
