@@ -6,7 +6,13 @@ queries, epsilon-neighborhood-graph construction) as a Ray Data pipeline over
 Arrow tables of interleaved text+media documents, extended per the north rule
 with hierarchical cell partitioning, kNN join, point-in-polygon join,
 raster-tile assignment, checkpoint/resume and per-partition lineage, plus the
-training-data-pipeline operators (dedup, similarity search, text analysis).
+training-data-pipeline operators: five dedup algorithms + near-dup
+connected components, similarity search (exact ANN, IVF with a physically
+bucketed store, cover-tree L2 kNN), text analysis (token/subword/quality
+stats, lang-id, top-k terms, group quantiles), deterministic sampling and
+train/val/test splitting, a composite curation filter (also a CLI), event
+analytics (windows, sessions, as-of/range joins, funnels), multimodal
+decode plumbing, and warehouse-style relational rollups.
 
 Architecture (see SURVEY.md §7):
   documents ──map_batches──▶ points(+cell) ──groupby(pid)──▶ per-partition
