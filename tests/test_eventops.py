@@ -231,3 +231,40 @@ def test_range_join_matches_bruteforce(ray_session, rows):
     assert got["event_id"].tolist() == [w[0] for w in want]
     assert got["n_views"].tolist() == [w[1] for w in want]
     assert got["sum_view_value"].tolist() == [w[2] for w in want]
+
+
+@settings(max_examples=12, deadline=None)
+@given(_event_stream(), st.sampled_from([1, 24]))
+def test_sessionize_matches_bruteforce(ray_session, rows, chunk_h):
+    """Property: sessionize == per-user gap-split over sorted timestamps,
+    for random streams at both boundary-stressing and default chunking."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.eventops import SESSION_GAP_MINUTES, sessionize
+
+    arr = list(zip(*rows))
+    t = pa.table({
+        "user_id": pa.array(arr[2], pa.int64()),
+        "ts": pa.array(np.array(arr[1], np.int64).view("datetime64[us]")),
+    })
+    got = (sessionize(rd.from_arrow(t).repartition(3), chunk_hours=chunk_h)
+           .to_pandas())
+    gap = SESSION_GAP_MINUTES * 60_000_000
+    want = {}
+    by_user = {}
+    for _eid, ts, uid, _et, _v in rows:
+        by_user.setdefault(uid, []).append(ts)
+    for uid, tss in by_user.items():
+        tss.sort()
+        sizes, cur = [], 1
+        for a, b in zip(tss, tss[1:]):
+            if b - a > gap:
+                sizes.append(cur); cur = 1
+            else:
+                cur += 1
+        sizes.append(cur)
+        want[uid] = (len(tss), len(sizes), max(sizes))
+    got_map = {u: (n, s, m) for u, n, s, m in zip(
+        got["user_id"], got["n_events"], got["n_sessions"],
+        got["max_session_events"])}
+    assert got_map == want
