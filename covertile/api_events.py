@@ -46,6 +46,14 @@ def sql_range_join() -> str:
     return eventops.range_join_sql()
 
 
+def q_hopping_window(sf_dir: str):
+    return eventops.hopping_window(_events(sf_dir))
+
+
+def sql_hopping_window() -> str:
+    return eventops.hopping_window_sql()
+
+
 def q_funnel(sf_dir: str):
     return eventops.funnel(_events(sf_dir))
 
@@ -60,6 +68,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "funnel": q_funnel,
+    "hopping_window": q_hopping_window,
 }
 
 ORACLES = {
@@ -68,4 +77,5 @@ ORACLES = {
     "asof_join": sql_asof_join,
     "range_join": sql_range_join,
     "funnel": sql_funnel,
+    "hopping_window": sql_hopping_window,
 }

@@ -93,6 +93,83 @@ ORDER BY window_start_us, event_type
 """
 
 
+HOP_MINUTES = 15
+HOP_WIDTH_MINUTES = 60
+
+
+def hopping_window(events_ds, hop_minutes: int = HOP_MINUTES,
+                   width_minutes: int = HOP_WIDTH_MINUTES):
+    """Overlapping (hopping/sliding) windows: width W, advancing by hop S
+    — each event lands in ceil(W/S) windows.  -> (window_start_us,
+    event_type, n_events, sum_value), sorted.
+
+    Scale shape: the bounded W/S-fold expansion happens INSIDE the
+    per-batch partial, which still reduces to one row per (window, type)
+    per block before the metadata-sized groupby — overlap multiplies the
+    partial's input, never the exchange.  Same integer-cents discipline
+    as tumbling_window."""
+    hop_us = np.int64(hop_minutes * _US_PER_MIN)
+    width_us = np.int64(width_minutes * _US_PER_MIN)
+    n_hops = int(-(-width_us // hop_us))  # ceil(W/S) windows per event
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        et = np.asarray(batch["event_type"], dtype=object)
+        cents = np.round(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        base = (ts // hop_us) * hop_us
+        i = np.arange(n_hops, dtype=np.int64)
+        win = (base[:, None] - i[None, :] * hop_us)
+        ok = (win + width_us) > ts[:, None]          # ws <= t < ws + W
+        rows, _ = np.nonzero(ok)
+        win = win[ok]
+        tkey, tinv = np.unique(et, return_inverse=True)
+        key = win * np.int64(len(tkey)) + tinv[rows]
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "window_start": (uk // len(tkey)) * 1,
+            "event_type": pa.array(tkey[(uk % len(tkey))], pa.string()),
+            "n": np.bincount(inv).astype(np.int64),
+            "cents": np.bincount(inv, weights=cents[rows]).astype(np.int64),
+        })
+
+    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["window_start", "event_type"]).sum(["n", "cents"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start_us": batch["window_start"],
+            "event_type": batch["event_type"],
+            "n_events": batch["sum(n)"],
+            "sum_value": batch["sum(cents)"].to_numpy().astype(np.float64)
+                         / 100.0,
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["window_start_us", "event_type"]))
+
+
+def hopping_window_sql(hop_minutes: int = HOP_MINUTES,
+                       width_minutes: int = HOP_WIDTH_MINUTES) -> str:
+    hop = hop_minutes * _US_PER_MIN
+    width = width_minutes * _US_PER_MIN
+    n_hops = -(-width // hop)
+    return f"""
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS tus, event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT (tus // {hop} - i) * {hop} AS ws, event_type, cents
+  FROM e, unnest(generate_series(0, {n_hops - 1})) AS t(i)
+  WHERE (tus // {hop} - i) * {hop} + {width} > tus
+)
+SELECT ws AS window_start_us, event_type, count(*) AS n_events,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+FROM w GROUP BY ws, event_type ORDER BY ws, event_type
+"""
+
+
 SESSION_CHUNK_HOURS = 24
 
 
