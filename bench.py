@@ -526,6 +526,9 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("cosine_dedup", run_cosine_dedup)
     stage("events_window", lambda: E.tumbling_window(events).count())
     stage("sessionize", lambda: E.sessionize(events).count())
+    stage("hopping_window", lambda: E.hopping_window(events).count())
+    stage("funnel", lambda: E.funnel(
+        events, first_type="view", then_type="buy").count())
     stage("asof_join", lambda: E.asof_join(events, right_type="buy").count())
     stage("range_join", lambda: E.range_join(
         events, right_type="buy", left_type="view").count())
