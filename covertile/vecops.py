@@ -472,26 +472,13 @@ def ivf_topk(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
         qids, qm, prb, cent = ray.get(ref)
         ids, m = _emb_matrix(batch)
         bucket = (m @ cent.T).argmax(1)
-        out_q, out_n, out_c = [], [], []
-        for i in range(len(qids)):  # probe pruning keeps this per-query
-            mask = np.isin(bucket, prb[i]) & (ids != qids[i])
-            cand = np.flatnonzero(mask)
-            c = m[cand] @ qm[i]
-            if len(cand) > k:
-                part = np.argpartition(-c, k - 1)[:k]
-                kth = c[part[k - 1]]
-                top = np.flatnonzero(c >= kth)  # tie-safe (see ann_topk)
-                cand, c = cand[top], c[top]
-            out_q.append(np.full(len(cand), qids[i], np.int64))
-            out_n.append(ids[cand])
-            out_c.append(c)
-        return pa.table({
-            "query_id": np.concatenate(out_q) if out_q else
-            np.zeros(0, np.int64),
-            "neighbor_id": np.concatenate(out_n) if out_n else
-            np.zeros(0, np.int64),
-            "cos": np.concatenate(out_c) if out_c else np.zeros(0),
-        })
+        cos = qm @ m.T                          # one BLAS call, all queries
+        # probe mask without a per-query loop: (nq, batch) membership of
+        # each row's bucket in each query's probe list
+        ok = (bucket[None, :, None] == prb[:, None, :]).any(-1)
+        ok &= qids[:, None] != ids[None, :]
+        cos[~ok] = -np.inf
+        return _tie_safe_block_topk(qids, ids, cos, k)
 
     return _topk_merge_bucketed(
         emb_ds.map_batches(partial, batch_format="pyarrow"), k)
@@ -686,26 +673,11 @@ def ivf_topk_store(store_dir: str, query_ids: np.ndarray,
         qids, qm, prb = ray.get(ref)
         ids, m = _emb_matrix(batch)
         bucket = np.asarray(batch["bucket"], dtype=object).astype(np.int64)
-        out_q, out_n, out_c = [], [], []
-        for i in range(len(qids)):
-            mask = np.isin(bucket, prb[i]) & (ids != qids[i])
-            cand = np.flatnonzero(mask)
-            c = m[cand] @ qm[i]
-            if len(cand) > k:
-                part = np.argpartition(-c, k - 1)[:k]
-                kth = c[part[k - 1]]
-                top = np.flatnonzero(c >= kth)  # tie-safe (see ann_topk)
-                cand, c = cand[top], c[top]
-            out_q.append(np.full(len(cand), qids[i], np.int64))
-            out_n.append(ids[cand])
-            out_c.append(c)
-        return pa.table({
-            "query_id": np.concatenate(out_q) if out_q else
-            np.zeros(0, np.int64),
-            "neighbor_id": np.concatenate(out_n) if out_n else
-            np.zeros(0, np.int64),
-            "cos": np.concatenate(out_c) if out_c else np.zeros(0),
-        })
+        cos = qm @ m.T
+        ok = (bucket[None, :, None] == prb[:, None, :]).any(-1)
+        ok &= qids[:, None] != ids[None, :]
+        cos[~ok] = -np.inf
+        return _tie_safe_block_topk(qids, ids, cos, k)
 
     return _topk_merge_bucketed(
         rd.read_parquet(files).map_batches(partial, batch_format="pyarrow"),
