@@ -269,3 +269,31 @@ def test_sessionize_matches_bruteforce(ray_session, rows, chunk_h):
         got["user_id"], got["n_events"], got["n_sessions"],
         got["max_session_events"])}
     assert got_map == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(_event_stream())
+def test_tumbling_window_matches_bruteforce(ray_session, rows):
+    """Property: tumbling_window == per-(window, type) brute-force sums
+    with exact integer cents."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.eventops import WINDOW_MINUTES, tumbling_window
+
+    arr = list(zip(*rows))
+    t = pa.table({
+        "ts": pa.array(np.array(arr[1], np.int64).view("datetime64[us]")),
+        "event_type": pa.array(arr[3], pa.string()),
+        "value": pa.array(arr[4], pa.float64()),
+    })
+    got = tumbling_window(rd.from_arrow(t).repartition(3)).to_pandas()
+    win_us = WINDOW_MINUTES * 60_000_000
+    want = {}
+    for _eid, ts, _uid, et, v in rows:
+        key = ((ts // win_us) * win_us, et)
+        n, c = want.get(key, (0, 0))
+        want[key] = (n + 1, c + round(v * 100))
+    got_map = {(w, e): (n, round(s * 100)) for w, e, n, s in zip(
+        got["window_start_us"], got["event_type"],
+        got["n_events"], got["sum_value"])}
+    assert got_map == want
