@@ -119,6 +119,14 @@ def sql_subword_stats() -> str:
     return T.subword_stats_sql()
 
 
+def q_grouped_topk(sf_dir: str):
+    return T.grouped_topk(_docs(sf_dir, columns=("doc_id", "lang", "n_chars")))
+
+
+def sql_grouped_topk() -> str:
+    return T.grouped_topk_sql()
+
+
 def q_dup_components(sf_dir: str):
     return T.dup_components(T.ngram_jaccard_pairs(_docs(sf_dir)))
 
@@ -167,6 +175,7 @@ QUERIES = {
     "subword_stats": q_subword_stats,
     "dataset_split": q_dataset_split,
     "dup_components": q_dup_components,
+    "grouped_topk": q_grouped_topk,
 }
 
 ORACLES = {
@@ -185,4 +194,5 @@ ORACLES = {
     "subword_stats": sql_subword_stats,
     "dataset_split": sql_dataset_split,
     "dup_components": sql_dup_components,
+    "grouped_topk": sql_grouped_topk,
 }

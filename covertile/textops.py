@@ -1333,3 +1333,63 @@ lab(node, lbl) AS (
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM lab GROUP BY node
 ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------------- grouped top-k
+
+GROUPED_TOPK_K = 5
+
+
+def grouped_topk(docs_ds, group_col: str = "lang",
+                 order_col: str = "n_chars", k: int = GROUPED_TOPK_K):
+    """Top-k rows per group by (order_col DESC, doc_id ASC) — the
+    "best examples per stratum" selection.  (group, rank, doc_id, value).
+
+    Scale shape: the order is TOTAL (doc_id breaks ties), so each block's
+    per-group top-k is a provably sufficient partial — the exchange
+    carries ≤ k rows per (group, block) and the per-group finisher sorts
+    ≤ k·blocks rows."""
+    def part(batch: pa.Table) -> pa.Table:
+        g = np.asarray(_text_col(batch, group_col), dtype=object)
+        v = batch[order_col].to_numpy()
+        d = batch["doc_id"].to_numpy()
+        order = np.lexsort((d, -v, g))
+        g_s, v_s, d_s = g[order], v[order], d[order]
+        new = np.empty(len(g_s), bool)
+        if len(g_s):
+            new[0] = True
+            new[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(len(g_s)) - starts[seg]
+        keep = pos < k
+        return pa.table({group_col: pa.array(g_s[keep], pa.string()),
+                         "doc_id": d_s[keep], order_col: v_s[keep]})
+
+    def final(group: pa.Table) -> pa.Table:
+        v = group[order_col].to_numpy()
+        d = group["doc_id"].to_numpy()
+        order = np.lexsort((d, -v))[:k]
+        name = group[group_col][0].as_py()
+        return pa.table({
+            group_col: pa.array([name] * len(order), pa.string()),
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "doc_id": d[order],
+            order_col: v[order],
+        })
+
+    return (docs_ds.map_batches(part, batch_format="pyarrow")
+            .groupby(group_col).map_groups(final, batch_format="pyarrow")
+            .sort([group_col, "rank"]))
+
+
+def grouped_topk_sql(group_col: str = "lang", order_col: str = "n_chars",
+                     k: int = GROUPED_TOPK_K) -> str:
+    return f"""
+SELECT {group_col}, rank, doc_id, {order_col} FROM (
+  SELECT {group_col}, doc_id, {order_col},
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {order_col} DESC, doc_id) AS rank
+  FROM documents)
+WHERE rank <= {k} ORDER BY {group_col}, rank
+"""

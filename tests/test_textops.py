@@ -35,6 +35,7 @@ def assert_matches(got, want, name):
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
     "group_quantiles", "subword_stats", "dataset_split", "dup_components",
+    "grouped_topk",
 ])
 def test_text_query_matches_oracle(ray_session, con, name):
     from covertile import api_text
