@@ -138,14 +138,25 @@ def cmd_curate(args) -> int:
     """Training-data curation front door: documents parquet -> quality/
     lang/dedup gate (textops.corpus_filter) -> deterministic train/val/
     test assignment -> partitioned parquet (one split=... directory per
-    assignment, resumable layout: finished split dirs can be skipped on
-    re-run).  The whole path streams; only per-split row counts reach
-    the driver."""
+    assignment).  Idempotent: a completed output (marked by a _DONE
+    sentinel written after the parquet) is left untouched on re-run —
+    pass --overwrite to redo.  The whole path streams; only per-split
+    row counts reach the driver."""
     _ray_session()
+    import shutil
+
     import ray.data as rd
     import pyarrow as pa
 
     from . import textops as T
+
+    done_mark = os.path.join(args.output, "_DONE")
+    if os.path.exists(done_mark) and not args.overwrite:
+        print(f"{args.output} already complete (found _DONE); "
+              f"use --overwrite to redo")
+        return 0
+    if os.path.isdir(args.output):
+        shutil.rmtree(args.output)
 
     docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
     kept = T.corpus_filter(docs, min_tokens=args.min_tokens)
@@ -162,6 +173,8 @@ def cmd_curate(args) -> int:
 
     out = kept.map_batches(assign, batch_format="pyarrow")
     out.write_parquet(args.output, partition_cols=["split"])
+    with open(done_mark, "w") as f:
+        f.write("ok\n")
     import glob
     import pyarrow.parquet as pq
     for d in sorted(glob.glob(os.path.join(args.output, "split=*"))):
@@ -204,6 +217,7 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", required=True,
                    help="output dir; one split=train|val|test partition each")
     p.add_argument("--min-tokens", type=size_int, default=40)
+    p.add_argument("--overwrite", action="store_true")
     p.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)

@@ -82,3 +82,20 @@ def test_curate_splits_match_oracle(ray_session, tmp_path):
             ids |= set(pq.read_table(f, columns=["doc_id"])
                        ["doc_id"].to_pylist())
         assert ids == want.get(name, set()), name
+
+
+def test_curate_idempotent_rerun(ray_session, tmp_path):
+    """A second curate run on a completed output is a no-op (no duplicate
+    parquet files appended)."""
+    import glob
+    from covertile import cli
+
+    SF = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated2")
+    assert cli.main(["curate", "-i", f"{SF}/documents.parquet",
+                     "-o", out]) == 0
+    files1 = sorted(glob.glob(out + "/split=*/*.parquet"))
+    assert cli.main(["curate", "-i", f"{SF}/documents.parquet",
+                     "-o", out]) == 0
+    files2 = sorted(glob.glob(out + "/split=*/*.parquet"))
+    assert files1 == files2
