@@ -344,8 +344,10 @@ def asof_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
        greatest chunk < c (all of whose rights precede every ts in c),
        found by one searchsorted over (user-rank, chunk) composites.
 
-    Both shuffles are declared and move each event at most once with a
-    fixed small projection; per-group work is O(n log n) numpy."""
+    Each of the two declared shuffles moves each row at most once with a
+    fixed small projection (resolved matches do ride both — streaming
+    them to a spill sink instead, as knn_join does, is the upgrade when
+    the match fraction dominates); per-group work is O(n log n) numpy."""
     chunk_us = np.int64(chunk_hours) * np.int64(60) * np.int64(_US_PER_MIN)
     PHI = np.uint64(0x9E3779B97F4A7C15)
     KIND_MATCH, KIND_PEND, KIND_RMAX = 0, 1, 2

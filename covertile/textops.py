@@ -1244,9 +1244,13 @@ def dup_components(pairs_ds, max_rounds: int = 50):
     (pair endpoints only — tiny relative to the corpus); each round joins
     the symmetric edge list against current labels (bucketed hash join),
     takes per-node minima, and stops when the label sum — a strictly
-    decreasing integer until fixpoint — stops falling.  Rounds =
-    O(component diameter); near-dup clusters are shallow, and max_rounds
-    guards pathological chains (assertion, not silent truncation)."""
+    decreasing integer until fixpoint — stops falling.  Pointer jumping
+    (see loop body) makes rounds O(log diameter); max_rounds guards
+    pathology as an assertion, not silent truncation.  Scale note: this
+    re-ships the edge list through the join every round; the cluster
+    upgrade is to co-partition edges by hash(u) ONCE and ship only the
+    (node-sized) label table per round — same outputs, one-time edge
+    movement."""
     import pyarrow as pa
 
     from .joins import hash_join_int_key
