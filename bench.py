@@ -383,7 +383,12 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
         words = pc.take(vocab_arr, pa.array(widx))
         toks = pa.LargeListArray.from_arrays(off, words)
         text = pc.binary_join(toks, " ")
-        return pa.table({"doc_id": ids, "text": text})
+        langs = pa.array(np.array(["en", "de", "fr", "es"]))
+        return pa.table({
+            "doc_id": ids, "text": text,
+            "lang": pc.take(langs, pa.array((ids % 4).astype(np.int64))),
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+        })
 
     docs = (rd.range(n_docs, override_num_blocks=n_blocks)
             .map_batches(gen_docs, batch_format="pyarrow").materialize())
@@ -486,6 +491,9 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
         T.token_stats_batch, batch_format="pyarrow").count())
     stage("topk_terms", lambda: T.topk_terms(docs).count())
     stage("sample_bernoulli", lambda: T.sample_bernoulli(docs).count())
+    stage("sample_stratified", lambda: T.sample_stratified(docs).count())
+    stage("group_quantiles", lambda: T.group_quantiles(docs).count())
+    stage("grouped_topk", lambda: T.grouped_topk(docs).count())
     stage("corpus_filter", lambda: T.corpus_filter(docs).count())
     stage("subword_stats", lambda: docs.map_batches(
         T.subword_stats_batch, batch_format="pyarrow").count())
