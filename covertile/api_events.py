@@ -7,11 +7,11 @@ import os
 from . import eventops
 
 
-def _events(sf_dir: str):
+def _events(sf_dir: str, columns=("event_id", "ts", "user_id",
+                                  "event_type", "value")):
     import ray.data as rd
     return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                           columns=["event_id", "ts", "user_id",
-                                    "event_type", "value"])
+                           columns=list(columns))
 
 
 def q_tumbling_window(sf_dir: str):
@@ -62,6 +62,15 @@ def sql_funnel() -> str:
     return eventops.funnel_sql()
 
 
+def q_props_stats(sf_dir: str):
+    return eventops.props_stats(
+        _events(sf_dir, columns=("event_type", "props")))
+
+
+def sql_props_stats() -> str:
+    return eventops.props_stats_sql()
+
+
 QUERIES = {
     "events_window": q_tumbling_window,
     "sessionize": q_sessionize,
@@ -69,6 +78,7 @@ QUERIES = {
     "range_join": q_range_join,
     "funnel": q_funnel,
     "hopping_window": q_hopping_window,
+    "props_stats": q_props_stats,
 }
 
 ORACLES = {
@@ -78,4 +88,5 @@ ORACLES = {
     "range_join": sql_range_join,
     "funnel": sql_funnel,
     "hopping_window": sql_hopping_window,
+    "props_stats": sql_props_stats,
 }

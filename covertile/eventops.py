@@ -819,3 +819,60 @@ SELECT s.user_id, s.su AS signup_us, p.pu AS first_purchase_us,
        p.pu - s.su AS latency_us
 FROM s JOIN p ON s.user_id = p.user_id ORDER BY s.user_id
 """
+
+
+# ------------------------------------------------------------- props stats
+
+def props_stats(events_ds):
+    """Semi-structured payload handling: pull the integer `k` field out of
+    the JSON `props` string with one vectorized RE2 kernel (no per-row
+    json.loads) and aggregate per event_type -> (event_type, n, sum_k,
+    min_k, max_k).  Pure integers; per-batch partials keep the exchange
+    at one row per type per block.  DuckDB mirrors the extraction with
+    regexp_extract (same RE2 engine, pinned like subword_stats)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"], dtype=object)
+        props = batch["props"]
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        ks = pc.extract_regex(props, r'"k": (?P<k>\d+)')
+        k = np.asarray(ks.field("k").cast(pa.int64()))
+        uk, inv = np.unique(et, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(len(uk)))
+        k_s = k[order]
+        return pa.table({
+            "event_type": pa.array(uk, pa.string()),
+            "n": np.bincount(inv).astype(np.int64),
+            "sum_k": np.bincount(inv, weights=k).astype(np.int64),
+            "min_k": np.minimum.reduceat(k_s, starts),
+            "max_k": np.maximum.reduceat(k_s, starts),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n"), Sum("sum_k"), Min("min_k"), Max("max_k")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n": batch["sum(n)"],
+            "sum_k": batch["sum(sum_k)"],
+            "min_k": batch["min(min_k)"],
+            "max_k": batch["max(max_k)"],
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+def props_stats_sql() -> str:
+    k = r"""CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)"""
+    return f"""
+SELECT event_type, count(*) AS n, sum({k}) AS sum_k,
+       min({k}) AS min_k, max({k}) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
