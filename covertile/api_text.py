@@ -119,6 +119,15 @@ def sql_subword_stats() -> str:
     return T.subword_stats_sql()
 
 
+def q_normalize(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        T.normalize_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def sql_normalize() -> str:
+    return T.normalize_sql()
+
+
 def q_grouped_topk(sf_dir: str):
     return T.grouped_topk(_docs(sf_dir, columns=("doc_id", "lang", "n_chars")))
 
@@ -176,6 +185,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "dup_components": q_dup_components,
     "grouped_topk": q_grouped_topk,
+    "normalize_text": q_normalize,
 }
 
 ORACLES = {
@@ -195,4 +205,5 @@ ORACLES = {
     "dataset_split": sql_dataset_split,
     "dup_components": sql_dup_components,
     "grouped_topk": sql_grouped_topk,
+    "normalize_text": sql_normalize,
 }

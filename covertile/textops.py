@@ -1397,3 +1397,31 @@ SELECT {group_col}, rank, doc_id, {order_col} FROM (
   FROM documents)
 WHERE rank <= {k} ORDER BY {group_col}, rank
 """
+
+
+# ------------------------------------------------------- text normalization
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, norm_text, changed): canonical text form — lowercase,
+    whitespace runs collapsed to single spaces, trimmed — the step before
+    any hash-based dedup on noisy corpora.  Three Arrow kernels per batch
+    (utf8_lower, RE2 replace, trim), zero Python-object round trips;
+    DuckDB mirrors with lower + regexp_replace(..., 'g') + trim (both
+    RE2, parity pinned in pytest edge cases)."""
+    text = _text_col(batch)
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " "))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "norm_text": norm,
+        "changed": pc.not_equal(norm, text),
+    })
+
+
+def normalize_sql() -> str:
+    return r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> text AS changed
+FROM documents ORDER BY doc_id
+"""

@@ -35,7 +35,7 @@ def assert_matches(got, want, name):
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
     "group_quantiles", "subword_stats", "dataset_split", "dup_components",
-    "grouped_topk",
+    "grouped_topk", "normalize_text",
 ])
 def test_text_query_matches_oracle(ray_session, con, name):
     from covertile import api_text
@@ -263,3 +263,21 @@ def test_dup_components_matches_unionfind_random(ray_session):
                 parent[max(ru, rv)] = min(ru, rv)
         want = {u: find(u) for u in set(a.tolist()) | set(b.tolist())}
         assert dict(zip(got["doc_id"], got["cluster_id"])) == want, trial
+
+
+def test_normalize_parity_edge_cases():
+    """Arrow (utf8proc lower + RE2) and DuckDB (lower + regexp_replace)
+    must agree on whitespace/case edge cases."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    texts = ["Hello   WORLD", "  a\tb\nc  ", "", "ALL", "x  Y\t\tz",
+             "already normal", "Trailing  ", "  Leading"]
+    got = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.utf8_lower(pa.array(texts)), r"\s+", " ")).to_pylist()
+    con = duckdb.connect()
+    want = con.execute(
+        r"""SELECT trim(regexp_replace(lower(t), '\s+', ' ', 'g'))
+            FROM (SELECT unnest(?) t)""", [texts]).df().iloc[:, 0].tolist()
+    assert got == want
