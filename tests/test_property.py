@@ -171,3 +171,31 @@ def test_shingle_batch_matches_char_reference(n, seed, k, maxlen):
         for j in range(i + 1, min(n, 10)):
             inter_got = len(np.intersect1d(sets[i], sets[j]))
             assert inter_got == len(ref[i] & ref[j])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(3, 250),
+    d=st.integers(3, 8),
+    seed=st.integers(0, 2**31),
+    r=st.floats(0.05, 2.0),
+    k=st.integers(1, 8),
+)
+def test_ddim_tree_any_seed(n, d, seed, r, k):
+    """The d-dimensional generalization must hold the same bitwise
+    brute-force contracts as the 2-D tree, at any seed/dim/base point."""
+    rng = np.random.default_rng(seed)
+    m = rng.normal(0.0, 1.0, size=(n, d)).astype(np.float32)
+    m[rng.integers(0, n)] = m[rng.integers(0, n)]  # a duplicate row
+    tree = CoverTree(m).build()
+    qi, pi, di = canon(*tree.radius_query_batch(m, np.full(n, r)))
+    bq, bp, bd = canon(*brute_force_radius(m, m, r))
+    assert np.array_equal(qi, bq) and np.array_equal(pi, bp)
+    assert np.array_equal(di.view(np.int64), bd.view(np.int64))
+    own = np.arange(n, dtype=np.int64)
+    qi, pi, di, _ = tree.knn_batch(m, min(k, n - 1), exclude_pt=own)
+    bq, bp, bd = brute_force_knn(m, m, min(k, n - 1), exclude_pt=own)
+    a = np.lexsort((pi, di, qi))
+    b = np.lexsort((bp, bd, bq))
+    assert np.array_equal(qi[a], bq[b]) and np.array_equal(pi[a], bp[b])
+    assert np.array_equal(di[a].view(np.int64), bd[b].view(np.int64))
