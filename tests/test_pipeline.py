@@ -126,3 +126,34 @@ def test_lineage_records(ray_session, tmp_path):
     # Index.load round-trips the plan
     idx2 = Index.load(ck)
     assert idx2.plan.num_partitions == idx.plan.num_partitions
+
+
+def test_map_groups_integrity_contract(ray_session):
+    """Every grouped operator in this engine (build, joins, sessionize,
+    dedup buckets, components...) assumes groupby().map_groups() hands
+    the UDF each group WHOLE.  Pin that Ray contract under adversarial
+    conditions: one 500k-row group with a 256KB target block size must
+    arrive in exactly one UDF invocation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 256 * 1024
+        n = 500_000
+        t = pa.table({"k": np.zeros(n, np.int64),
+                      "v": np.arange(n, dtype=np.int64)})
+
+        def udf(g: pa.Table) -> pa.Table:
+            return pa.table({"k": g["k"][:1],
+                             "n": pa.array([len(g)], pa.int64())})
+
+        out = (rd.from_arrow(t).repartition(16)
+               .groupby("k").map_groups(udf, batch_format="pyarrow")
+               .to_pandas())
+        assert len(out) == 1 and int(out["n"][0]) == n
+    finally:
+        ctx.target_max_block_size = old
