@@ -345,9 +345,12 @@ def asof_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
        found by one searchsorted over (user-rank, chunk) composites.
 
     Each of the two declared shuffles moves each row at most once with a
-    fixed small projection (resolved matches do ride both — streaming
-    them to a spill sink instead, as knn_join does, is the upgrade when
-    the match fraction dominates); per-group work is O(n log n) numpy."""
+    fixed small projection.  Resolved matches do ride both, and that is
+    the RIGHT trade: match rows are two int64s, so the second exchange
+    is strictly smaller than the first; a knn_join-style parquet spill of
+    stage-1 matches was prototyped and measured slower at every tested
+    scale (BASELINE.md "asof_join verified at 5M-event scale").
+    Per-group work is O(n log n) numpy."""
     chunk_us = np.int64(chunk_hours) * np.int64(60) * np.int64(_US_PER_MIN)
     PHI = np.uint64(0x9E3779B97F4A7C15)
     KIND_MATCH, KIND_PEND, KIND_RMAX = 0, 1, 2
