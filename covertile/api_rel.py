@@ -40,12 +40,31 @@ def sql_pricing_summary() -> str:
     return relops.pricing_summary_sql()
 
 
+def q_local_supplier_volume(sf_dir: str):
+    import pyarrow.parquet as pq
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    return relops.local_supplier_volume(
+        _t(sf_dir, "lineitem",
+           ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")),
+        _t(sf_dir, "orders", ("o_orderkey", "o_custkey", "o_orderdate")),
+        _t(sf_dir, "customer", ("c_custkey", "c_nationkey")),
+        _t(sf_dir, "supplier", ("s_suppkey", "s_nationkey")),
+        nation, region)
+
+
+def sql_local_supplier_volume() -> str:
+    return relops.local_supplier_volume_sql()
+
+
 QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "pricing_summary": q_pricing_summary,
+    "local_supplier_volume": q_local_supplier_volume,
 }
 
 ORACLES = {
     "revenue_by_nation": sql_revenue_by_nation,
     "pricing_summary": sql_pricing_summary,
+    "local_supplier_volume": sql_local_supplier_volume,
 }

@@ -170,3 +170,121 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1995-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def local_supplier_volume(li_ds, od_ds, cu_ds, su_ds, nation_tbl: pa.Table,
+                          region_tbl: pa.Table, region: str = Q5_REGION,
+                          date_lo: str = Q5_DATE_LO,
+                          date_hi: str = Q5_DATE_HI):
+    """TPC-H-Q5-shaped rollup: revenue per nation from lineitems whose
+    CUSTOMER and SUPPLIER share a nation inside one region, for a date
+    window.  Six tables: three bucketed hash joins for the large sides
+    (orders date-filtered before its join), the nation⋈region dimension
+    (≤25 rows) applied as a broadcast lookup at partial-aggregation time.
+    Same integer-cents money math as revenue_by_nation."""
+    import ray
+
+    rk = {int(k): str(n) for k, n in zip(
+        region_tbl["r_regionkey"].to_numpy(),
+        np.asarray(region_tbl["r_name"], dtype=object))}
+    nk = nation_tbl["n_nationkey"].to_numpy().astype(np.int64)
+    names = np.asarray(nation_tbl["n_name"], dtype=object)
+    nreg = nation_tbl["n_regionkey"].to_numpy().astype(np.int64)
+    keep_nation = np.array([rk[int(r)] == region for r in nreg])
+    lut = np.full(int(nk.max()) + 1, "", dtype=object)
+    lut[nk[keep_nation]] = names[keep_nation]  # "" = nation outside region
+    lut_ref = ray.put(lut)
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def od_filter(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        m = (ts >= lo) & (ts < hi)
+        return pa.table({"o_orderkey": batch["o_orderkey"].to_numpy()[m],
+                         "o_custkey": batch["o_custkey"].to_numpy()[m]})
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        units = _cents(batch["l_extendedprice"]) * (
+            100 - _cents(batch["l_discount"]))
+        return pa.table({"o_orderkey": batch["l_orderkey"],
+                         "s_suppkey": batch["l_suppkey"],
+                         "units": units})
+
+    j1 = hash_join_int_key(
+        li_ds.map_batches(li_proj, batch_format="pyarrow"),
+        od_ds.map_batches(od_filter, batch_format="pyarrow"),
+        key="o_orderkey")
+
+    def rekey_cust(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "s_suppkey": batch["s_suppkey"],
+                         "units": batch["units"]})
+
+    j2 = hash_join_int_key(
+        j1.map_batches(rekey_cust, batch_format="pyarrow"),
+        cu_ds, key="c_custkey")
+
+    def rekey_supp(batch: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": batch["s_suppkey"],
+                         "units": batch["units"],
+                         "c_nationkey": batch["c_nationkey"]})
+
+    j3 = hash_join_int_key(
+        j2.map_batches(rekey_supp, batch_format="pyarrow"),
+        su_ds, key="s_suppkey")
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        lut_ = ray.get(lut_ref)
+        cn = batch["c_nationkey"].to_numpy().astype(np.int64)
+        sn = batch["s_nationkey"].to_numpy().astype(np.int64)
+        m = cn == sn
+        cn = cn[m]
+        units = batch["units"].to_numpy()[m]
+        name = lut_[cn]
+        keep = name != ""
+        uk, inv = np.unique(name[keep], return_inverse=True)
+        return pa.table({
+            "n_name": pa.array(uk, pa.string()),
+            "units": np.bincount(
+                inv, weights=units[keep]).astype(np.int64),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch["n_name"],
+            "revenue": batch["sum(units)"].to_numpy().astype(np.float64)
+                       / 10000.0,
+        })
+
+    return (j3.map_batches(nation_partial, batch_format="pyarrow")
+            .groupby("n_name").sum("units")
+            .map_batches(finalize, batch_format="pyarrow")
+            .sort("n_name"))
+
+
+def local_supplier_volume_sql(region: str = Q5_REGION,
+                              date_lo: str = Q5_DATE_LO,
+                              date_hi: str = Q5_DATE_HI) -> str:
+    pc_ = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    dc = "CAST(round(l_discount * 100.0) AS BIGINT)"
+    return f"""
+SELECT n_name,
+       CAST(sum({pc_} * (100 - {dc})) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '{date_lo}'
+  AND o_orderdate < TIMESTAMP '{date_hi}'
+GROUP BY n_name ORDER BY n_name
+"""

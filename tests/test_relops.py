@@ -10,13 +10,15 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "nation"]:
+    for t in ["lineitem", "orders", "customer", "nation", "supplier",
+              "region"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                   f"read_parquet('{SF}/{t}.parquet')")
     return c
 
 
-@pytest.mark.parametrize("name", ["revenue_by_nation", "pricing_summary"])
+@pytest.mark.parametrize("name", ["revenue_by_nation", "pricing_summary",
+                                  "local_supplier_volume"])
 def test_rel_query_matches_oracle(ray_session, con, name):
     from covertile import api_rel
     got = api_rel.QUERIES[name](SF).to_pandas().reset_index(drop=True)
