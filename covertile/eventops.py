@@ -664,136 +664,16 @@ def funnel(events_ds, first_type: str = FUNNEL_FIRST,
         starts = np.flatnonzero(new)
         seg = np.cumsum(new) - 1
         BIG = np.iinfo(np.int64).max
+        # per-segment earliest step-1 ts; a segment with no step-1 events
+        # minimizes to BIG, which disqualifies every row below
         first = np.minimum.reduceat(np.where(is1, ts, BIG), starts)
+        # earliest step-2 event at-or-after the segment's first step-1
         qual = (~is1) & (ts >= first[seg])
         then = np.minimum.reduceat(np.where(qual, ts, BIG), starts)
         ok = (first < BIG) & (then < BIG)
         su, pu = first[ok], then[ok]
         return pa.table({
             "user_id": uid[starts][ok],
-            "signup_us": su,
-            "first_purchase_us": pu,
-            "latency_us": pu - su,
-        })
-
-    return (events_ds.map_batches(route, batch_format="pyarrow")
-            .groupby("bk").map_groups(agg, batch_format="pyarrow")
-            .sort("event_id"))
-
-
-def range_join_sql(right_type: str = ASOF_RIGHT_TYPE,
-                   left_type: str = RANGE_LEFT_TYPE,
-                   lookback_minutes: int = RANGE_LOOKBACK_MINUTES) -> str:
-    cents = "CAST(round(v.value * 100.0) AS BIGINT)"
-    return f"""
-WITH r AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = '{right_type}'
-),
-v AS (
-  SELECT user_id, ts, value FROM events WHERE event_type = '{left_type}'
-)
-SELECT r.event_id,
-       count(v.ts) AS n_views,
-       CAST(coalesce(sum({cents}), 0) AS DOUBLE) / 100.0 AS sum_view_value
-FROM r LEFT JOIN v
-  ON v.user_id = r.user_id
- AND v.ts > r.ts - INTERVAL {lookback_minutes} MINUTE
- AND v.ts <= r.ts
-GROUP BY r.event_id ORDER BY r.event_id
-"""
-
-
-# ------------------------------------------------------------------ funnel
-
-FUNNEL_FIRST = "signup"
-FUNNEL_THEN = "purchase"
-
-
-def funnel(events_ds, first_type: str = FUNNEL_FIRST,
-           then_type: str = FUNNEL_THEN):
-    """Per-user conversion funnel: earliest `first_type` event, then the
-    earliest `then_type` event AT OR AFTER it.  Output (user_id,
-    signup_us, first_purchase_us, latency_us) — int64 epoch-microseconds
-    (immune to timestamp-unit drift in the compare) — for users who
-    completed both steps, sorted by user_id.
-
-    Scale shape: rows filter to the two event types before the single
-    256-way user-hash exchange; one vectorized multi-user pass per group
-    (sort by (user, ts), per-segment min of step 1, then min of step 2
-    within the qualifying suffix via cummin-from-the-right)."""
-    import pyarrow.compute as pc
-
-    PHI = np.uint64(0x9E3779B97F4A7C15)
-
-    def route(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"]
-        is1 = np.asarray(pc.equal(et, first_type))
-        is2 = np.asarray(pc.equal(et, then_type))
-        keep = is1 | is2
-        uid = batch["user_id"].to_numpy()[keep]
-        ts = batch["ts"].to_numpy().astype(
-            "datetime64[us]").view(np.int64)[keep]
-        return pa.table({
-            "bk": ((uid.astype(np.uint64) * PHI)
-                   >> np.uint64(56)).astype(np.int64),
-            "user_id": uid, "ts": ts, "is_first": is1[keep],
-        })
-
-    def agg(group: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "user_id": pa.array([], pa.int64()),
-            "signup_us": pa.array([], pa.int64()),
-            "first_purchase_us": pa.array([], pa.int64()),
-            "latency_us": pa.array([], pa.int64()),
-        })
-        n = len(group)
-        if n == 0:
-            return empty
-        uid = group["user_id"].to_numpy()
-        ts = group["ts"].to_numpy()
-        is1 = group["is_first"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ts, uid))
-        uid, ts, is1 = uid[order], ts[order], is1[order]
-        new = np.empty(n, bool)
-        new[0] = True
-        new[1:] = uid[1:] != uid[:-1]
-        seg = np.cumsum(new) - 1
-        BIG = np.iinfo(np.int64).max
-        # per-segment earliest step-1 ts (rows are ts-sorted per user)
-        t1 = np.where(is1, ts, BIG)
-        acc1 = np.minimum.accumulate(np.where(new, t1, np.minimum(t1, BIG)))
-        # reset-at-segment minimum.accumulate via the seg-offset trick
-        acc1 = np.minimum.accumulate(seg * 0 + t1 + 0) if False else None
-        # (explicit loop-free reset: offset each segment into its own band)
-        band = seg.astype(np.int64) * np.int64(1)
-        key = np.where(is1, ts, BIG)
-        # running min within segment: standard prefix trick with resets
-        run = key.copy()
-        starts = np.flatnonzero(new)
-        cm = np.minimum.accumulate(run)
-        seg_min_before = np.minimum.accumulate(
-            np.where(new, run, np.int64(BIG)))
-        # simplest correct approach: per-segment reduceat-based scan
-        out_u, out_s, out_p = [], [], []
-        bounds = np.append(starts, n)
-        for si, ei in zip(bounds[:-1], bounds[1:]):
-            k = key[si:ei]
-            first_ts = k.min()
-            if first_ts == BIG:
-                continue
-            t = ts[si:ei]
-            p = t[(~is1[si:ei]) & (t >= first_ts)]
-            if len(p) == 0:
-                continue
-            out_u.append(uid[si])
-            out_s.append(first_ts)
-            out_p.append(p.min())
-        if not out_u:
-            return empty
-        su = np.array(out_s, np.int64)
-        pu = np.array(out_p, np.int64)
-        return pa.table({
-            "user_id": np.array(out_u, np.int64),
             "signup_us": su,
             "first_purchase_us": pu,
             "latency_us": pu - su,
@@ -835,23 +715,37 @@ def props_stats(events_ds):
     regexp_extract (same RE2 engine, pinned like subword_stats)."""
     import pyarrow.compute as pc
 
+    BIG = np.iinfo(np.int64).max
+
     def partial(batch: pa.Table) -> pa.Table:
         et = np.asarray(batch["event_type"], dtype=object)
         props = batch["props"]
         if isinstance(props, pa.ChunkedArray):
             props = props.combine_chunks()
         ks = pc.extract_regex(props, r'"k": (?P<k>\d+)')
-        k = np.asarray(ks.field("k").cast(pa.int64()))
+        # rows whose props lack a "k" field extract to NULL; SQL's
+        # sum/min/max skip NULLs while count(*) does not — mirror that
+        # (an unfiltered to_numpy would turn NULL into NaN and silently
+        # poison bincount/reduceat)
+        kf = ks.field("k")
+        valid = np.asarray(pc.is_valid(kf).combine_chunks()
+                           if isinstance(kf, pa.ChunkedArray)
+                           else pc.is_valid(kf))
+        k = np.asarray(pc.fill_null(kf, "0").cast(pa.int64()))
         uk, inv = np.unique(et, return_inverse=True)
-        order = np.argsort(inv, kind="stable")
-        starts = np.searchsorted(inv[order], np.arange(len(uk)))
-        k_s = k[order]
+        nk = len(uk)
+        invv, kv = inv[valid], k[valid]
+        min_k = np.full(nk, BIG, np.int64)
+        max_k = np.full(nk, -BIG, np.int64)
+        np.minimum.at(min_k, invv, kv)
+        np.maximum.at(max_k, invv, kv)
         return pa.table({
             "event_type": pa.array(uk, pa.string()),
-            "n": np.bincount(inv).astype(np.int64),
-            "sum_k": np.bincount(inv, weights=k).astype(np.int64),
-            "min_k": np.minimum.reduceat(k_s, starts),
-            "max_k": np.maximum.reduceat(k_s, starts),
+            "n": np.bincount(inv, minlength=nk).astype(np.int64),
+            "sum_k": np.bincount(invv, weights=kv,
+                                 minlength=nk).astype(np.int64),
+            "min_k": min_k,
+            "max_k": max_k,
         })
 
     from ray.data.aggregate import Max, Min, Sum
@@ -873,9 +767,16 @@ def props_stats(events_ds):
 
 
 def props_stats_sql() -> str:
-    k = r"""CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)"""
+    # CAST the sum: DuckDB promotes sum(BIGINT) to HUGEINT, which lands in
+    # pandas as float64 and hash-mismatches the engine's int64 even when
+    # the values are equal (same dtype-promotion class as the round-1
+    # media-query fix; tests/test_oracle_dtypes.py guards the whole class)
+    # NULLIF: regexp_extract yields '' (not NULL) on a non-match; NULLIF
+    # makes sum/min/max skip such rows, matching the engine's is_valid
+    # filter
+    k = r"""CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT)"""
     return f"""
-SELECT event_type, count(*) AS n, sum({k}) AS sum_k,
+SELECT event_type, count(*) AS n, CAST(sum({k}) AS BIGINT) AS sum_k,
        min({k}) AS min_k, max({k}) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """

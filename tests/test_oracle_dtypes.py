@@ -1,0 +1,67 @@
+"""Oracle-dtype meta-test: every `oracle_sql()` entry must come back from
+DuckDB with EXACTLY the dtypes the engine's `queries()` entry emits.
+
+Why this exists: the driver's correctness compare hashes raw column values,
+so a dtype-only divergence (e.g. DuckDB promoting sum(BIGINT) to HUGEINT →
+pandas float64 vs the engine's int64) hash-mismatches even when every value
+is equal.  This bug class shipped twice (round-1 media queries, round-2
+props_stats); the per-operator value tests cannot catch it because
+`np.array_equal(int64, float64)` broadcasts.  This test walks the full
+driver surface at sf0.001 and pins dtype equality, making a third
+recurrence impossible.
+"""
+
+import duckdb
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+_ORACLES = entrymod.oracle_sql()
+_QUERIES = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(res):
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray.data.Dataset
+
+
+def test_every_query_has_an_oracle_or_is_documented():
+    # keys allowed to be rows-only (no SQL-expressible oracle, by design)
+    no_oracle_ok = {"index_lineage", "ivf_topk"}
+    missing = set(_QUERIES) - set(_ORACLES) - no_oracle_ok
+    assert not missing, f"queries without oracle_sql entries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_dtypes_match_engine(ray_session, con, name):
+    got = _to_pandas(_QUERIES[name](SF))
+    want = con.execute(_ORACLES[name]).df()
+    assert sorted(got.columns) == sorted(want.columns), name
+    mismatched = {
+        c: (str(got[c].dtype), str(want[c].dtype))
+        for c in got.columns
+        if str(got[c].dtype) != str(want[c].dtype)
+    }
+    assert not mismatched, (
+        f"{name}: oracle dtypes diverge from engine (engine, oracle): "
+        f"{mismatched} — the driver's value-hash compare will fail even "
+        f"if values are equal; add explicit CASTs to the oracle SQL")
