@@ -1234,90 +1234,199 @@ FROM documents ORDER BY doc_id
 
 # ------------------------------------------- near-dup connected components
 
-def dup_components(pairs_ds, max_rounds: int = 50):
+_CC_PHI = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _cc_bucket_of(ids: np.ndarray, nbuckets: int) -> np.ndarray:
+    """Node -> home bucket (shared by edge routing and label ownership)."""
+    return ((ids.astype(np.uint64) * _CC_PHI) >> np.uint64(32)
+            ).astype(np.int64) % np.int64(nbuckets)
+
+
+def dup_components(pairs_ds, max_rounds: int = 50, nbuckets: int = 8,
+                   round_stats: list | None = None):
     """Connected components over near-duplicate PAIR edges — the step
     that turns any pair-producing dedup (exact/Jaccard/MinHash/SimHash/
     cosine) into canonical-document clusters: (doc_id, cluster_id =
     min doc_id in the component), sorted by doc_id.
 
-    Distributed min-label propagation: labels live in a node-sized table
-    (pair endpoints only — tiny relative to the corpus); each round joins
-    the symmetric edge list against current labels (bucketed hash join),
-    takes per-node minima, and stops when the label sum — a strictly
-    decreasing integer until fixpoint — stops falling.  Pointer jumping
-    (see loop body) makes rounds O(log diameter); max_rounds guards
-    pathology as an assertion, not silent truncation.  Scale note: this
-    re-ships the edge list through the join every round; the cluster
-    upgrade is to co-partition edges by hash(u) ONCE and ship only the
-    (node-sized) label table per round — same outputs, one-time edge
-    movement."""
+    Edge-resident min-label propagation (the documented cluster upgrade
+    over the round-2 design, which re-shipped the edge list through a
+    hash join EVERY round).  The symmetric edge list is co-partitioned by
+    hash(u) ONCE into `nbuckets` bucket actors — pushed straight from the
+    pair-reading tasks, so each edge row crosses the wire exactly once
+    and no groupby shuffle runs at all.  Each actor owns its bucket's
+    edges (with the per-target group structure precomputed: edge order
+    never changes, so the per-round reduceat needs no re-sort) AND the
+    labels of the nodes homed there.  A round exchanges only node-sized
+    tables between actors:
+
+      1. prop:  per bucket, min label per distinct neighbor v (offers,
+         pre-minimized before they move) + pointer-jump requests
+         (lbl(u) -> who asks), each grouped by the target's home bucket;
+      2. reply: the label owner resolves lbl(lbl(u)) — the shortcutting
+         that makes rounds O(log diameter), asserted by the 300-chain
+         pytest;
+      3. apply: per bucket, new lbl(u) = min(lbl, inbound offers/replies)
+         via np.minimum.at; returns the bucket's label sum.
+
+    The driver touches only ObjectRefs plus B integers per round and
+    stops when the total label sum — strictly decreasing until fixpoint —
+    stops falling; max_rounds guards pathology as an assertion, not
+    silent truncation.  Retry safety: a re-executed push task delivers
+    duplicate edges, which min-propagation is insensitive to.  The bucket
+    actors are num_cpus=0 state holders (per-round bursts are short and
+    the CPU pool stays free for the pipelines that feed this operator);
+    on a dedicated cluster give them real CPU reservations and raise
+    `nbuckets` to the node count.  The final gather is node-sized (pair
+    endpoints only — tiny relative to the corpus); at extreme label-table
+    sizes have each actor write its bucket to parquet instead."""
     import pyarrow as pa
+    import ray
 
-    from .joins import hash_join_int_key
+    B = int(nbuckets)
 
-    def sym(batch: pa.Table) -> pa.Table:
+    @ray.remote(num_cpus=0)
+    class _CCBucket:
+        def __init__(self, nbuckets: int):
+            self.B = nbuckets
+            self._eu, self._ev = [], []
+
+        def add_edges(self, u: np.ndarray, v: np.ndarray) -> None:
+            self._eu.append(u)
+            self._ev.append(v)
+
+        def finalize(self) -> int:
+            eu = (np.concatenate(self._eu) if self._eu
+                  else np.empty(0, np.int64))
+            ev = (np.concatenate(self._ev) if self._ev
+                  else np.empty(0, np.int64))
+            self._eu = self._ev = None
+            hv = _cc_bucket_of(ev, self.B)
+            order = np.lexsort((ev, hv))
+            eu, ev, hv = eu[order], ev[order], hv[order]
+            self.tslice = np.searchsorted(hv, np.arange(self.B + 1))
+            # per target bucket: distinct neighbors + reduceat starts
+            # (fixed for the whole run — edges never move again)
+            self.tgt = []
+            for c in range(self.B):
+                s, e = self.tslice[c], self.tslice[c + 1]
+                vv = ev[s:e]
+                first = np.empty(len(vv), bool)
+                if len(vv):
+                    first[0] = True
+                    first[1:] = vv[1:] != vv[:-1]
+                self.tgt.append((vv[first], np.flatnonzero(first)))
+            self.u = np.unique(eu)
+            self.lbl = self.u.copy()
+            self.pos_eu = np.searchsorted(self.u, eu)
+            return len(self.u)
+
+        def prop(self):
+            """-> B offer slots (v, min lbl) + B jump-request slots
+            (l, asking u), each destined for one bucket."""
+            le = self.lbl[self.pos_eu]
+            out = []
+            for c in range(self.B):
+                s, e = self.tslice[c], self.tslice[c + 1]
+                vu, starts = self.tgt[c]
+                out.append((vu, np.minimum.reduceat(le[s:e], starts)
+                            if len(vu) else np.empty(0, np.int64)))
+            hl = _cc_bucket_of(self.lbl, self.B)
+            order = np.argsort(hl, kind="stable")
+            l_s, u_s = self.lbl[order], self.u[order]
+            js = np.searchsorted(hl[order], np.arange(self.B + 1))
+            out.extend((l_s[js[c]:js[c + 1]], u_s[js[c]:js[c + 1]])
+                       for c in range(self.B))
+            return out
+
+        def reply(self, *jreqs):
+            """Resolve lbl(l) for inbound jump requests; -> B reply slots
+            (asking u, lbl(l)) grouped by the asker's home bucket."""
+            if not jreqs:
+                z = np.empty(0, np.int64)
+                return [(z, z)] * self.B
+            l = np.concatenate([j[0] for j in jreqs])
+            asker = np.concatenate([j[1] for j in jreqs])
+            # every label value is itself a node, homed here by hash(l)
+            val = self.lbl[np.searchsorted(self.u, l)]
+            ha = _cc_bucket_of(asker, self.B)
+            order = np.argsort(ha, kind="stable")
+            a_s, v_s = asker[order], val[order]
+            rs = np.searchsorted(ha[order], np.arange(self.B + 1))
+            return [(a_s[rs[c]:rs[c + 1]], v_s[rs[c]:rs[c + 1]])
+                    for c in range(self.B)]
+
+        def apply(self, *inbound):
+            tgts = [m[0] for m in inbound if len(m[0])]
+            vals = [m[1] for m in inbound if len(m[0])]
+            moved = int(sum(len(t) for t in tgts))
+            if tgts:
+                np.minimum.at(self.lbl,
+                              np.searchsorted(self.u, np.concatenate(tgts)),
+                              np.concatenate(vals))
+            return int(self.lbl.sum()), moved
+
+        def labels_table(self):
+            return pa.table({"doc_id": self.u, "cluster_id": self.lbl})
+
+    actors = [_CCBucket.remote(B) for _ in range(B)]
+
+    def push(batch: pa.Table) -> pa.Table:
         a = batch["a_id"].to_numpy()
         b = batch["b_id"].to_numpy()
-        return pa.table({"u": np.concatenate([a, b]),
-                         "v": np.concatenate([b, a])})
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        hb = _cc_bucket_of(u, B)
+        order = np.argsort(hb, kind="stable")
+        u, v = u[order], v[order]
+        cuts = np.searchsorted(hb[order], np.arange(B + 1))
+        waits = [actors[c].add_edges.remote(u[cuts[c]:cuts[c + 1]],
+                                            v[cuts[c]:cuts[c + 1]])
+                 for c in range(B) if cuts[c + 1] > cuts[c]]
+        ray.get(waits)  # edge delivered before this task reports done
+        return pa.table({"n": np.array([len(a)], np.int64)})
 
-    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
-        return edges.map_batches(
-            lambda b: pa.table({"doc_id": pa.array([], pa.int64()),
-                                "cluster_id": pa.array([], pa.int64())}),
-            batch_format="pyarrow")
-
-    def init_part(batch: pa.Table) -> pa.Table:
-        u = np.unique(batch["u"].to_numpy())
-        return pa.table({"u": u, "lbl": u})
-
-    def rename_min(batch: pa.Table) -> pa.Table:
-        return pa.table({"u": batch["u"], "lbl": batch["min(lbl)"]})
-
-    labels = (edges.map_batches(init_part, batch_format="pyarrow")
-              .groupby("u").min("lbl")
-              .map_batches(rename_min, batch_format="pyarrow")
-              .materialize())
-    def as_label_key(batch: pa.Table) -> pa.Table:
-        # rows keyed by the CURRENT label, carrying the original node
-        return pa.table({"u": batch["lbl"], "orig": batch["u"]})
+    pairs_ds.map_batches(push, batch_format="pyarrow").count()
+    n_nodes = sum(ray.get([a.finalize.remote() for a in actors]))
+    if n_nodes == 0:
+        for a in actors:
+            ray.kill(a)
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())}))
 
     prev = None
-    for _ in range(max_rounds):
-        cur = labels.sum("lbl")
+    for rnd in range(max_rounds):
+        slots = [actors[b].prop.options(num_returns=2 * B).remote()
+                 for b in range(B)]
+        replies = [actors[c].reply.options(num_returns=B).remote(
+                       *[slots[b][B + c] for b in range(B)])
+                   for c in range(B)]
+        results = ray.get([actors[c].apply.remote(
+                               *[slots[b][c] for b in range(B)],
+                               *[replies[b][c] for b in range(B)])
+                           for c in range(B)])
+        cur = sum(s for s, _ in results)
+        moved = sum(m for _, m in results)
+        if round_stats is not None:
+            # evidence that per-round exchange is label-sized, not
+            # edge-sized: `moved` counts every (node, label) row that
+            # crossed a bucket boundary this round
+            round_stats.append({"round": rnd, "label_sum": cur,
+                                "moved_rows": moved,
+                                "n_nodes": n_nodes})
         if cur == prev:
             break
         prev = cur
-        # edge propagation: lbl(u) offered to every neighbor v
-        msgs = hash_join_int_key(edges, labels, key="u").map_batches(
-            lambda b: pa.table({"u": b["v"], "lbl": b["lbl"]}),
-            batch_format="pyarrow")
-        # pointer jumping: lbl(lbl(u)) offered to u — shortcutting the
-        # label chain halves its length every round, so convergence is
-        # O(log diameter) instead of O(diameter) (a 300-deep duplicate
-        # chain fixpoints in ~9 rounds, asserted in pytest); every lbl
-        # value is itself a node, so the inner join always resolves
-        jmp = (hash_join_int_key(
-                   labels.map_batches(as_label_key, batch_format="pyarrow"),
-                   labels, key="u")
-               .map_batches(lambda b: pa.table({"u": b["orig"],
-                                                "lbl": b["lbl"]}),
-                            batch_format="pyarrow"))
-        labels = (labels.union(msgs).union(jmp)
-                  .groupby("u").min("lbl")
-                  .map_batches(rename_min, batch_format="pyarrow")
-                  # unions compound block counts across rounds; without
-                  # this bound each round's shuffle sees ~3x the blocks
-                  # of the last and round time grows super-linearly
-                  .repartition(16)
-                  .materialize())
     else:
         raise AssertionError(f"no fixpoint after {max_rounds} rounds")
 
-    return labels.map_batches(
-        lambda b: pa.table({"doc_id": b["u"], "cluster_id": b["lbl"]}),
-        batch_format="pyarrow").sort("doc_id")
+    tables = ray.get([a.labels_table.remote() for a in actors])
+    for a in actors:
+        ray.kill(a)
+    return (ray.data.from_arrow([t for t in tables if len(t)])
+            .sort("doc_id"))
 
 
 def dup_components_sql(tau: float = JACCARD_TAU, k: int = SHINGLE_K) -> str:
