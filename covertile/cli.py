@@ -156,6 +156,17 @@ def cmd_curate(args) -> int:
               f"use --overwrite to redo")
         return 0
     if os.path.isdir(args.output):
+        # only clear a directory we can attribute to this command: an
+        # explicit --overwrite, or the debris of a prior partial run
+        # (split=* subdirs / _DONE).  Anything else is someone else's
+        # data — refuse instead of deleting it.
+        import glob as _glob
+        ours = (os.path.exists(done_mark)
+                or _glob.glob(os.path.join(args.output, "split=*")))
+        if not (args.overwrite or ours):
+            print(f"refusing to clobber existing non-curate directory "
+                  f"{args.output}; pass --overwrite to delete it")
+            return 1
         shutil.rmtree(args.output)
 
     docs = rd.read_parquet(args.input, columns=["doc_id", "text"])

@@ -129,8 +129,6 @@ class CoverTree:
             self.niters += 1
             if nv + 4 * n > cap:  # regrow dense per-vertex maps
                 newcap = cap * 2
-                for name in ("hub_level", "chain_tail"):
-                    pass
                 hl = np.zeros(newcap, np.int64); hl[:cap] = hub_level; hub_level = hl
                 ct = np.full(newcap, -1, np.int64); ct[:cap] = chain_tail; chain_tail = ct
                 cap = newcap

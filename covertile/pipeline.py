@@ -21,7 +21,8 @@ import pyarrow as pa
 
 from . import cells, geometry, store
 from .covertree import CoverTree
-from .partition import HierarchicalPlan, make_plan, plan_from_json
+from .partition import (HierarchicalPlan, PartitionPlan, make_plan,
+                        plan_from_json)
 
 DEFAULT_BASE = 2.0
 DEFAULT_TARGET_PARTITION_POINTS = 200_000

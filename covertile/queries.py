@@ -301,9 +301,14 @@ def knn_join(index: Index, points_ds, k: int,
     parquet read of the spill with the phase-2 merge, so the job's
     largest intermediate never sits in memory end-to-end (scale fix for
     the round-1 full-phase-1 Materialize).  spill_dir defaults to a
-    fresh directory under /tmp (a per-run scratch intermediate, not a
-    resume unit — outputs.knn_self_to_store is the resumable sink); on
-    a cluster it must be shared storage, like Index.ckpt_dir.
+    fresh `knn-spill-*` directory under Index.ckpt_dir — the storage
+    every worker on a cluster already shares, so the default is
+    cluster-correct.  It is per-run scratch, not a resume unit
+    (outputs.knn_self_to_store is the resumable sink); callers may GC
+    `knn-spill-*` dirs after consuming the result.  Spill file names
+    derive from the done rows' content, so a Ray re-execution of a
+    phase-1 task rewrites the SAME file instead of double-counting
+    under a second random name.
 
     mode="groups"/"actors": see epsilon_graph.
     """
@@ -317,7 +322,8 @@ def knn_join(index: Index, points_ds, k: int,
     from .actors import KnnHomeActor
 
     if spill_dir is None:
-        spill_dir = f"/tmp/covertile-knn-spill-{uuid.uuid4().hex}"
+        spill_dir = os.path.join(index.ckpt_dir,
+                                 f"knn-spill-{uuid.uuid4().hex}")
     os.makedirs(spill_dir, exist_ok=True)
 
     def spill_done(t: pa.Table) -> pa.Table:
@@ -325,9 +331,22 @@ def knn_join(index: Index, points_ds, k: int,
         the pending sliver (rank==0).  Fused into the phase-1 task."""
         done_t = t.filter(pc.greater(t["rank"], 0))
         if len(done_t):
-            path = os.path.join(spill_dir,
-                                f"part-{uuid.uuid4().hex}.parquet")
-            tmp = f"{path}.tmp"
+            # content-derived name: re-executed tasks (lineage
+            # reconstruction, retries) os.replace the identical file
+            q = done_t["query_id"].to_numpy()
+            nb = done_t["neighbor_id"].to_numpy()
+            P1 = np.uint64(0x9E3779B97F4A7C15)
+            P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+            # per-ROW diffusion (multiply after the xor): a bare
+            # q*P ^ nb would cancel q's term in pairs whenever a query
+            # contributes an even number of rows (always true for even k)
+            ck = int(np.bitwise_xor.reduce(
+                ((q.astype(np.uint64) * P1) ^ (nb.astype(np.uint64) * P2))
+                * P1))
+            path = os.path.join(
+                spill_dir,
+                f"part-{q[0]}-{q[-1]}-{len(q)}-{ck:016x}.parquet")
+            tmp = f"{path}.tmp.{uuid.uuid4().hex}"
             pq.write_table(done_t, tmp, compression="zstd")
             os.replace(tmp, path)
         return t.filter(pc.equal(t["rank"], 0))

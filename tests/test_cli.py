@@ -99,3 +99,23 @@ def test_curate_idempotent_rerun(ray_session, tmp_path):
                      "-o", out]) == 0
     files2 = sorted(glob.glob(out + "/split=*/*.parquet"))
     assert files1 == files2
+
+
+def test_curate_refuses_foreign_directory(ray_session, tmp_path):
+    """curate must not rmtree a pre-existing directory it cannot
+    attribute to a prior curate run unless --overwrite is given."""
+    from covertile import cli
+
+    SF = "/root/testdata/sf0.001"
+    out = tmp_path / "precious"
+    out.mkdir()
+    keep = out / "data.txt"
+    keep.write_text("do not delete")
+    assert cli.main(["curate", "-i", f"{SF}/documents.parquet",
+                     "-o", str(out)]) == 1
+    assert keep.read_text() == "do not delete"
+    # explicit --overwrite clears it and completes
+    assert cli.main(["curate", "-i", f"{SF}/documents.parquet",
+                     "-o", str(out), "--overwrite"]) == 0
+    assert not keep.exists()
+    assert (out / "_DONE").exists()
