@@ -30,9 +30,8 @@ CKPT_ROOT = os.environ.get("COVERTILE_CKPT", "/tmp/covertile-ckpt")
 
 
 def _read_docs(sf_dir: str, columns=("doc_id",)):
-    import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=list(columns))
+    from .sources import read_table
+    return read_table(sf_dir, "documents", columns)
 
 
 def _index_for(sf_dir: str, radius: float | None):

@@ -9,9 +9,8 @@ from . import eventops
 
 def _events(sf_dir: str, columns=("event_id", "ts", "user_id",
                                   "event_type", "value")):
-    import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                           columns=list(columns))
+    from .sources import read_table
+    return read_table(sf_dir, "events", columns)
 
 
 def q_tumbling_window(sf_dir: str):

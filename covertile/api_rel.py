@@ -8,9 +8,8 @@ from . import relops
 
 
 def _t(sf_dir: str, name: str, columns):
-    import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
-                           columns=list(columns))
+    from .sources import read_table
+    return read_table(sf_dir, name, columns)
 
 
 def q_revenue_by_nation(sf_dir: str):

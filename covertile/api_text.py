@@ -15,9 +15,8 @@ from . import textops as T
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=list(columns))
+    from .sources import read_table
+    return read_table(sf_dir, "documents", columns)
 
 
 def q_token_stats(sf_dir: str):

@@ -15,16 +15,14 @@ from . import mediaops, vecops
 
 
 def _emb(sf_dir: str):
-    import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
+    from .sources import read_table
+    return read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
-    return rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "source", "n_chars"])
+    from .sources import read_table
+    return read_table(sf_dir, "documents",
+                      ["doc_id", "text", "source", "n_chars"])
 
 
 def _queries_of(sf_dir: str):

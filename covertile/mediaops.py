@@ -41,37 +41,227 @@ def _ascii_sum(refs: pa.Array) -> np.ndarray:
 
 
 def _require_codec():
-    """Import-gate for the real codec path.  Returns the PIL Image module
-    or raises NotImplementedError (this container ships no codecs; tests
-    assert the gate, the decode body runs wherever PIL is installed)."""
+    """Import-gate for formats beyond the built-in PNG/JPEG support.
+    Returns the PIL Image module or raises NotImplementedError (this
+    container ships no codec libraries; PNG decode/encode and JPEG
+    header parsing below need none)."""
     try:
         from PIL import Image
         return Image
     except ImportError as e:
         raise NotImplementedError(
-            "real media decode requires an image codec library (PIL); "
-            "this environment ships none — the deterministic fake "
-            "exercises the identical Ray plumbing") from e
+            "this media format needs an image codec library (PIL); "
+            "PNG and JPEG are handled natively (stdlib zlib + numpy)"
+        ) from e
+
+
+# ------------------------------ native PNG codec (stdlib zlib + numpy)
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8"
+# color type -> samples per pixel (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(buf: bytes):
+    pos = len(_PNG_MAGIC)
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        yield typ, buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IEND":
+            return
+
+
+def png_meta(buf: bytes) -> tuple[int, int, int, int]:
+    """PNG header parse (no decompression): -> (width, height, bit_depth,
+    color_type)."""
+    if buf[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    for typ, data in _png_chunks(buf):
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            return w, h, data[8], data[9]
+    raise ValueError("PNG missing IHDR")
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Full PNG pixel decode for 8-bit gray/RGB/RGBA (the formats our
+    encoder and any standard writer emit), pure stdlib zlib + numpy:
+    inflate the IDAT stream, then undo the per-scanline filters.  Filter
+    types up/none vectorize whole rows; sub/average/paeth carry an
+    in-row prefix dependency (inherent to the format — same reason
+    libpng is scalar there), which is why the decode stage stays an
+    actor-pool with small batches rather than pretending to be columnar.
+    -> (height, width, channels) uint8."""
+    import zlib
+
+    w, h, bit_depth, color_type = png_meta(buf)
+    if bit_depth != 8 or color_type not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type}; native "
+            f"path covers 8-bit gray/RGB/RGBA")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(
+        b"".join(d for t, d in _png_chunks(buf) if t == b"IDAT"))
+    stride = w * ch
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filt = lines[:, 0]
+    cur = lines[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), np.int64)
+    for y in range(h):
+        f = filt[y]
+        up = out[y - 1] if y else np.zeros(stride, np.int64)
+        if f == 0:
+            out[y] = cur[y]
+        elif f == 2:
+            out[y] = (cur[y] + up) & 0xFF
+        elif f == 1:
+            row = cur[y].reshape(w, ch)
+            acc = np.cumsum(row, axis=0) & 0xFF  # mod-256 prefix sum is
+            out[y] = acc.reshape(stride)         # associative per channel
+        else:  # average (3) / paeth (4): true sequential recurrence
+            row = out[y]
+            c = cur[y]
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = up[x]
+                if f == 3:
+                    row[x] = (c[x] + (a + b) // 2) & 0xFF
+                else:
+                    cc = up[x - ch] if x >= ch else 0
+                    p = a + b - cc
+                    pa_, pb, pcc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb and pa_ <= pcc) else (
+                        b if pb <= pcc else cc)
+                    row[x] = (c[x] + pred) & 0xFF
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """PNG encoder (filter 0 + zlib), stdlib-only.  Accepts (h, w) or
+    (h, w, {1,3,4}) uint8."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8),
+         np.ascontiguousarray(img).reshape(h, w * ch)], axis=1).tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return (len(data).to_bytes(4, "big") + typ + data
+                + crc.to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def jpeg_meta(buf: bytes) -> tuple[int, int]:
+    """JPEG dimensions from the SOFn marker (header scan, no decode):
+    -> (width, height)."""
+    if buf[:2] != _JPEG_MAGIC:
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(buf[pos + 5:pos + 7], "big")
+            w = int.from_bytes(buf[pos + 7:pos + 9], "big")
+            return w, h
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF marker")
 
 
 def _decode_real(payloads: pa.Array) -> dict:
     """Real decode over a BINARY payload column: encoded image bytes ->
-    (width, height, n_frames).  Per-image codec calls are inherently
-    per-item (libjpeg/libpng decode one buffer at a time), which is why
-    MEDIA_BATCH stays small and the stage is an actor pool; everything
-    around the codec loop is columnar."""
-    Image = _require_codec()
-    import io
+    (width, height, n_frames).  PNG and JPEG are handled natively
+    (header parse; no codec dependency); other formats fall through to
+    the PIL import gate.  Per-image calls are inherently per-item
+    (every codec decodes one buffer at a time), which is why MEDIA_BATCH
+    stays small and the stage is an actor pool; everything around the
+    loop is columnar."""
     n = len(payloads)
     w = np.empty(n, np.int64)
     h = np.empty(n, np.int64)
     nf = np.empty(n, np.int64)
     for i in range(n):
-        with Image.open(io.BytesIO(payloads[i].as_py())) as im:
-            w[i] = im.width
-            h[i] = im.height
-            nf[i] = int(getattr(im, "n_frames", 1))
+        buf = payloads[i].as_py()
+        if buf[:8] == _PNG_MAGIC:
+            w[i], h[i], _, _ = png_meta(buf)
+            nf[i] = 1
+        elif buf[:2] == _JPEG_MAGIC:
+            w[i], h[i] = jpeg_meta(buf)
+            nf[i] = 1
+        else:
+            Image = _require_codec()
+            import io
+            with Image.open(io.BytesIO(buf)) as im:
+                w[i] = im.width
+                h[i] = im.height
+                nf[i] = int(getattr(im, "n_frames", 1))
     return {"width": w, "height": h, "n_frames": nf}
+
+
+def letterbox_pixels(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Real letterbox resize: nearest-neighbor sample into a (th, tw)
+    canvas, centered, black padding.  Pure numpy take-gather (the
+    geometry matches MediaResizeActor's integer contract)."""
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if w * th <= h * tw:
+        out_w, out_h = max(1, (w * th) // h), th
+    else:
+        out_w, out_h = tw, max(1, (h * tw) // w)
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    resized = img[ys][:, xs]
+    canvas = np.zeros((th, tw, img.shape[2]), np.uint8)
+    py, px = (th - out_h) // 2, (tw - out_w) // 2
+    canvas[py:py + out_h, px:px + out_w] = resized
+    return canvas
+
+
+class MediaPixelResizeActor:
+    """Actor-pool REAL resize stage over a binary `payload` column:
+    decode PNG pixels (native codec above), letterbox to (tw, th),
+    re-encode PNG.  Output (doc_id, payload, out_w, out_h) — the shape a
+    training-data image-normalization stage ships at 100 TB (small
+    batches, actor state = target geometry, payload bytes never transit
+    a shuffle)."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224):
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        outs = []
+        for i in range(len(payload)):
+            img = decode_png(payload[i].as_py())
+            outs.append(encode_png(letterbox_pixels(img, self.tw, self.th)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(outs, pa.binary()),
+            "out_w": pa.array(np.full(len(outs), self.tw), pa.int64()),
+            "out_h": pa.array(np.full(len(outs), self.th), pa.int64()),
+        })
 
 
 def fake_decode(refs: pa.Array):
@@ -95,9 +285,17 @@ class MediaDecodeActor:
 
     def __init__(self, use_real_codec: bool = False):
         self.use_real = use_real_codec
-        # fail fast at actor start, not per batch; the loaded module is
-        # the per-actor codec handle (one import per actor, not per call)
-        self.codec = _require_codec() if use_real_codec else "fake-v1"
+        # per-actor one-time codec setup: PNG/JPEG are native (stdlib);
+        # probe the optional PIL handle once here — not per batch — for
+        # any other format reaching _decode_real
+        if use_real_codec:
+            try:
+                from PIL import Image
+                self.codec = Image
+            except ImportError:
+                self.codec = "native-png-jpeg"
+        else:
+            self.codec = "fake-v1"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.use_real:

@@ -24,7 +24,45 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["fvecs_dim_count", "read_fvecs", "write_fvecs_shards",
-           "write_graph_text_single", "write_graph_text_shards"]
+           "write_graph_text_single", "write_graph_text_shards",
+           "read_table"]
+
+
+def _lance_module():
+    """Optional Lance support (the north rule names 'Lance/Parquet
+    tables').  Returns the lance module or None; this container ships
+    parquet only, so the fallback is the default path in practice."""
+    try:
+        import lance
+        return lance
+    except ImportError:
+        return None
+
+
+def read_table(sf_dir: str, name: str, columns=None):
+    """Read table `name` from a dataset directory as a ray.data.Dataset,
+    dispatching on the on-disk format: `<name>.lance` (when present and
+    the lance library is importable) else `<name>.parquet`.  Column
+    pruning (`columns`) is honored on BOTH paths — projection pushdown is
+    the read-side scale discipline; never read all columns for a
+    two-column transform.
+
+    This is the single entry point the api layer reads through, closing
+    SURVEY §1.4's input contract: pointing sf_dir at a directory of
+    .lance datasets uses Lance's fragment-parallel scan; parquet files
+    use read_parquet's row-group parallelism."""
+    import ray.data as rd
+
+    lance_path = os.path.join(sf_dir, f"{name}.lance")
+    if os.path.exists(lance_path):
+        if _lance_module() is None:
+            raise NotImplementedError(
+                f"{lance_path} exists but the lance library is not "
+                f"installed; install pylance or provide {name}.parquet")
+        return rd.read_lance(lance_path, columns=list(columns)
+                             if columns else None)
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=list(columns) if columns else None)
 
 
 def fvecs_dim_count(path: str) -> tuple[int, int]:

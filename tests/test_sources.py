@@ -112,3 +112,37 @@ def test_graph_shards_unique_names_high_degree_src(ray_session, tmp_path):
     assert len(shards) == len(set(shards))
     total = sum(len(open(s).read().splitlines()) for s in shards)
     assert total == n
+
+
+def test_read_table_parquet_fallback(ray_session):
+    """read_table dispatches to parquet when no .lance dataset exists and
+    prunes columns on the way in."""
+    from covertile.sources import read_table
+
+    ds = read_table("/root/testdata/sf0.001", "documents",
+                    ["doc_id", "n_chars"])
+    assert set(ds.schema().names) == {"doc_id", "n_chars"}
+    assert ds.count() == 500
+
+
+def test_read_table_lance_requires_library(tmp_path, ray_session):
+    """A .lance path with no lance library errors clearly instead of
+    silently reading nothing; with the library present the test exercises
+    the real read path instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from covertile.sources import _lance_module, read_table
+
+    lance = _lance_module()
+    if lance is None:
+        (tmp_path / "t.lance").mkdir()
+        with pytest.raises(NotImplementedError):
+            read_table(str(tmp_path), "t", ["a"])
+        return
+    tbl = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                    "b": pa.array(["x", "y", "z"])})
+    lance.write_dataset(tbl, str(tmp_path / "t.lance"))
+    ds = read_table(str(tmp_path), "t", ["a"])
+    assert ds.schema().names == ["a"]
+    assert ds.count() == 3

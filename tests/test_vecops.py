@@ -91,10 +91,137 @@ def test_ivf_recall(ray_session):
     assert recall >= 0.7, f"IVF recall too low: {recall}"
 
 
-def test_media_decode_stub_gates_real_codec():
-    from covertile.mediaops import MediaDecodeActor
-    with pytest.raises(NotImplementedError):
-        MediaDecodeActor(use_real_codec=True)
+def test_png_roundtrip_and_filters():
+    """Native PNG codec (stdlib zlib + numpy): encode -> decode is exact
+    for gray/RGB/RGBA, and the decoder undoes all five scanline filters
+    (synthesized per-filter IDAT streams)."""
+    import zlib
+    from covertile.mediaops import decode_png, encode_png, png_meta
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, (13, 7, ch), dtype=np.uint8)
+        buf = encode_png(img)
+        w, h, depth, _ = png_meta(buf)
+        assert (w, h, depth) == (7, 13, 8)
+        assert np.array_equal(decode_png(buf), img)
+    # hand-built streams exercising filter types 1..4 against a
+    # reference unfilter (the spec recurrences, straight-line python)
+    w, h, ch = 5, 4, 3
+    img = rng.integers(0, 256, (h, w * ch), dtype=np.uint8)
+    for f in (1, 2, 3, 4):
+        recon = img.astype(np.int64)
+        raw = bytearray()
+        prev = np.zeros(w * ch, np.int64)
+        for y in range(h):
+            raw.append(f)
+            for x in range(w * ch):
+                a = recon[y][x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                        b if pb <= pc_ else c)
+                raw.append(int((recon[y][x] - pred) % 256))
+            prev = recon[y]
+        magic = b"\x89PNG\r\n\x1a\n"
+
+        def chunk(t, d):
+            crc = zlib.crc32(t + d) & 0xFFFFFFFF
+            return len(d).to_bytes(4, "big") + t + d + crc.to_bytes(4, "big")
+
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, 2, 0, 0, 0]))
+        buf = (magic + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(buf),
+                              img.reshape(h, w, ch)), f"filter {f}"
+
+
+def test_jpeg_meta_sof_scan():
+    from covertile.mediaops import jpeg_meta
+    # minimal JPEG skeleton: SOI, APP0, DQT (skipped), SOF0 with 31x17
+    sof = (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+           + (17).to_bytes(2, "big") + (31).to_bytes(2, "big")
+           + b"\x01\x11\x00")
+    buf = (b"\xff\xd8" + b"\xff\xe0" + (4).to_bytes(2, "big") + b"JF"
+           + sof + b"\xff\xd9")
+    assert jpeg_meta(buf) == (31, 17)
+
+
+def test_media_decode_real_branch(ray_session):
+    """Real-decode actor over synthesized PNG/JPEG payloads through the
+    actual map_batches actor-pool stage; non-PNG/JPEG formats still gate
+    on the codec library."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.mediaops import MediaDecodeActor, _decode_real, encode_png
+
+    rng = np.random.default_rng(5)
+    pngs = [encode_png(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+            for w, h in [(6, 4), (9, 2), (3, 11)]]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "media_ref": pa.array(["m/1", "m/2", "m/3"]),
+        "offset": pa.array([1, 1, 1], pa.int64()),
+        "payload": pa.array(pngs, pa.binary()),
+    })
+    out = (rd.from_arrow(tbl)
+           .map_batches(MediaDecodeActor,
+                        fn_constructor_kwargs={"use_real_codec": True},
+                        batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values("doc_id"))
+    assert out["width"].tolist() == [6, 9, 3]
+    assert out["height"].tolist() == [4, 2, 11]
+    assert out["n_frames"].tolist() == [1, 1, 1]
+    # unsupported container format -> PIL gate (absent here)
+    gif = pa.array([b"GIF89a" + bytes(20)], pa.binary())
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            _decode_real(gif)
+
+
+def test_media_pixel_resize_actor(ray_session):
+    """Real pixel path end-to-end: PNG decode -> letterbox -> re-encode
+    inside the actor-pool stage; output payloads decode to the exact
+    letterboxed pixels."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.mediaops import (MediaPixelResizeActor, decode_png,
+                                    encode_png, letterbox_pixels)
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (10, 20, 3), dtype=np.uint8),
+            rng.integers(0, 256, (16, 8, 3), dtype=np.uint8)]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([encode_png(i) for i in imgs], pa.binary()),
+    })
+    out = (rd.from_arrow(tbl)
+           .map_batches(MediaPixelResizeActor,
+                        fn_constructor_kwargs={"target_w": 12,
+                                               "target_h": 6},
+                        batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, img in enumerate(imgs):
+        want = letterbox_pixels(img, 12, 6)
+        got = decode_png(out["payload"][i])
+        assert np.array_equal(got, want)
+        assert got.shape == (6, 12, 3)
 
 
 def test_media_actor_batch_contract():
