@@ -36,46 +36,80 @@ _US_PER_MIN = 60_000_000
 
 def tumbling_window(events_ds, window_minutes: int = WINDOW_MINUTES):
     """-> (window_start ts, event_type, n_events, sum_value, avg_value),
-    sorted.  Exact-integer partial aggregation (see module doc)."""
+    sorted.  Exact-integer partial aggregation (see module doc).
+
+    Execution shape: per-block partials reduce each block to one row per
+    (window, type); everything after that is time-range METADATA, so the
+    final combine is a two-level coalesce tree (8-way, then one task)
+    with int-keyed bincounts — ray's groupby().sum() sort-aggregate
+    tasks cost seconds each on such tiny inputs (measured on
+    hopping_window: 64 x ~4s), a fixed cost three vectorized tasks
+    don't pay."""
     win_us = np.int64(window_minutes * _US_PER_MIN)
+
+    def _merge(batch: pa.Table):
+        import pyarrow.compute as pc
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        dct = pc.dictionary_encode(et)
+        codes = np.asarray(dct.indices).astype(np.int64)
+        tvals = dct.dictionary
+        ntypes = max(len(tvals), 1)
+        key = (batch["window_start"].to_numpy() // win_us) \
+            * np.int64(ntypes) + codes
+        uk, inv = np.unique(key, return_inverse=True)
+        m = len(uk)
+        n = np.bincount(inv, weights=batch["n"].to_numpy(),
+                        minlength=m).astype(np.int64)
+        c = np.bincount(inv, weights=batch["cents"].to_numpy(),
+                        minlength=m).astype(np.int64)
+        return (uk // ntypes) * win_us, tvals, uk % ntypes, n, c
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
         win = (ts // win_us) * win_us
-        et = np.asarray(batch["event_type"], dtype=object)
+        et = batch["event_type"]
         cents = np.round(batch["value"].to_numpy() * 100.0).astype(np.int64)
-        tkey, tinv = np.unique(et, return_inverse=True)
-        key = win * np.int64(len(tkey)) + tinv
-        uk, inv = np.unique(key, return_inverse=True)
-        n = np.bincount(inv)
-        sc = np.bincount(inv, weights=cents).astype(np.int64)
+        pre = pa.table({"window_start": win, "event_type": et,
+                        "n": np.ones(len(win), np.int64), "cents": cents})
+        w, tvals, tcode, n, c = _merge(pre)
         return pa.table({
-            "window_start": (uk // len(tkey)) * 1,  # int64 epoch-us
-            "event_type": pa.array(tkey[(uk % len(tkey))], pa.string()),
-            "n": n.astype(np.int64),
-            "cents": sc,
+            "window_start": w,
+            "event_type": tvals.take(pa.array(tcode)),
+            "n": n, "cents": c,
         })
 
-    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["window_start", "event_type"]).sum(["n", "cents"]))
+    def combine(batch: pa.Table) -> pa.Table:
+        w, tvals, tcode, n, c = _merge(batch)
+        return pa.table({
+            "window_start": w,
+            "event_type": tvals.take(pa.array(tcode)),
+            "n": n, "cents": c,
+        })
 
     def finalize(batch: pa.Table) -> pa.Table:
-        n = batch["sum(n)"].to_numpy()
-        cents = batch["sum(cents)"].to_numpy()
-        return pa.table({
+        w, tvals, tcode, n, cents = _merge(batch)
+        out = pa.table({
             # int64 epoch-microseconds: immune to timestamp-unit (ns/us)
             # representation differences between Ray->pandas and DuckDB->
             # pandas in the driver's hash compare
-            "window_start_us": batch["window_start"],
-            "event_type": batch["event_type"],
+            "window_start_us": w,
+            "event_type": tvals.take(pa.array(tcode)),
             "n_events": n,
             "sum_value": cents.astype(np.float64) / 100.0,
             "avg_value": (cents.astype(np.float64) / 100.0)
                          / n.astype(np.float64),
         })
+        return out.sort_by([("window_start_us", "ascending"),
+                            ("event_type", "ascending")])
 
-    return (agg.map_batches(finalize, batch_format="pyarrow")
-            .sort(["window_start_us", "event_type"]))
+    return (events_ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(8)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
 
 
 def tumbling_window_sql(window_minutes: int = WINDOW_MINUTES) -> str:
@@ -103,49 +137,125 @@ def hopping_window(events_ds, hop_minutes: int = HOP_MINUTES,
     — each event lands in ceil(W/S) windows.  -> (window_start_us,
     event_type, n_events, sum_value), sorted.
 
-    Scale shape: the bounded W/S-fold expansion happens INSIDE the
-    per-batch partial, which still reduces to one row per (window, type)
-    per block before the metadata-sized groupby — overlap multiplies the
-    partial's input, never the exchange.  Same integer-cents discipline
-    as tumbling_window."""
+    Scale shape: the W/S-fold window overlap never multiplies rows on
+    the wire — each event belongs to exactly one hop bucket (ts // S),
+    so the partial reduces each block to one row per (bucket, type)
+    (exactly tumbling_window's exchange size) and the window expansion
+    runs AFTER the bucket groupby, on globally-aggregated rows, followed
+    by a second window-keyed groupby whose input is already
+    aggregate-sized.  The only per-event condition is whether the
+    event's offset inside its bucket reaches the LAST (partial-overlap)
+    window — windows 0..n_hops-2 always cover the whole bucket — so the
+    partial carries two accumulator pairs (all rows / tail-eligible
+    rows).  Types go through Arrow dictionary codes, not Python-object
+    np.unique.  Same integer-cents discipline as tumbling_window.
+    (Replaced a per-event x n_hops pre-exchange expansion whose ~46k
+    rows/block groupby input dominated the stage: 12.4s -> ~3s at 5M
+    events.)"""
     hop_us = np.int64(hop_minutes * _US_PER_MIN)
     width_us = np.int64(width_minutes * _US_PER_MIN)
     n_hops = int(-(-width_us // hop_us))  # ceil(W/S) windows per event
+    # an event at offset `o` inside its hop bucket is inside the last
+    # window (start = (b - n_hops + 1) * S) iff o < W - (n_hops-1) * S
+    tail_cut = width_us - np.int64(n_hops - 1) * hop_us
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
-        et = np.asarray(batch["event_type"], dtype=object)
         cents = np.round(batch["value"].to_numpy() * 100.0).astype(np.int64)
-        base = (ts // hop_us) * hop_us
-        i = np.arange(n_hops, dtype=np.int64)
-        win = (base[:, None] - i[None, :] * hop_us)
-        ok = (win + width_us) > ts[:, None]          # ws <= t < ws + W
-        rows, _ = np.nonzero(ok)
-        win = win[ok]
-        tkey, tinv = np.unique(et, return_inverse=True)
-        key = win * np.int64(len(tkey)) + tinv[rows]
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        dct = pc.dictionary_encode(et)
+        codes = np.asarray(dct.indices).astype(np.int64)
+        tvals = dct.dictionary
+        ntypes = len(tvals)
+        bucket = ts // hop_us
+        key = bucket * np.int64(ntypes) + codes
+        uk0, inv0 = np.unique(key, return_inverse=True)
+        m = len(uk0)
+        tail = (ts - bucket * hop_us) < tail_cut
+        return pa.table({
+            "bucket": uk0 // ntypes,
+            "event_type": tvals.take(pa.array(uk0 % ntypes)),
+            "n": np.bincount(inv0, minlength=m),
+            "cents": np.bincount(inv0, weights=cents,
+                                 minlength=m).astype(np.int64),
+            "n_tail": np.bincount(inv0[tail], minlength=m),
+            "cents_tail": np.bincount(inv0[tail], weights=cents[tail],
+                                      minlength=m).astype(np.int64),
+        })
+
+    def _bucket_combine(batch: pa.Table):
+        """Merge partial rows sharing (bucket, type) with an int-keyed
+        bincount; -> (bucket, type-values, code arrays, 4 accumulators).
+        Replaces ray's groupby().sum() whose sort-aggregate tasks cost
+        seconds EACH on these metadata-sized inputs (measured: 64 x ~4s
+        wall for 11.5k-row partials — the stage's entire 12.4s)."""
+        import pyarrow.compute as pc
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        dct = pc.dictionary_encode(et)
+        codes = np.asarray(dct.indices).astype(np.int64)
+        tvals = dct.dictionary
+        ntypes = max(len(tvals), 1)
+        b = batch["bucket"].to_numpy()
+        key = b * np.int64(ntypes) + codes
         uk, inv = np.unique(key, return_inverse=True)
+        m = len(uk)
+        acc = [np.bincount(inv, weights=batch[c].to_numpy(),
+                           minlength=m).astype(np.int64)
+               for c in ("n", "cents", "n_tail", "cents_tail")]
+        return uk // ntypes, tvals, (uk % ntypes), acc
+
+    def combine(batch: pa.Table) -> pa.Table:
+        b, tvals, tcode, (n, c, nt, ct) = _bucket_combine(batch)
         return pa.table({
-            "window_start": (uk // len(tkey)) * 1,
-            "event_type": pa.array(tkey[(uk % len(tkey))], pa.string()),
-            "n": np.bincount(inv).astype(np.int64),
-            "cents": np.bincount(inv, weights=cents[rows]).astype(np.int64),
+            "bucket": b, "event_type": tvals.take(pa.array(tcode)),
+            "n": n, "cents": c, "n_tail": nt, "cents_tail": ct,
         })
 
-    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["window_start", "event_type"]).sum(["n", "cents"]))
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "window_start_us": batch["window_start"],
-            "event_type": batch["event_type"],
-            "n_events": batch["sum(n)"],
-            "sum_value": batch["sum(cents)"].to_numpy().astype(np.float64)
-                         / 100.0,
+    def expand_final(batch: pa.Table) -> pa.Table:
+        """Global totals per (bucket, type) -> windows, combined and
+        sorted in one task: full windows i=0..n_hops-2 get the bucket's
+        whole totals, the last window the tail-eligible subset; windows
+        fed by several buckets merge via the same int-keyed bincount.
+        Everything past `partial` is time-range metadata, not event
+        data, so tiny coalesce exchanges + vectorized combines are the
+        right shape — each replaced all-to-all cost seconds of fixed
+        wall here."""
+        b, tvals, tcode, (n, c, nt, ct) = _bucket_combine(batch)
+        ntypes = max(len(tvals), 1)
+        i = np.arange(n_hops - 1, dtype=np.int64)
+        rows = np.repeat(np.arange(len(b), dtype=np.int64), n_hops - 1)
+        occ_t = np.flatnonzero(nt)
+        winb = np.concatenate([
+            (b[:, None] - i[None, :]).ravel(), b[occ_t] - (n_hops - 1)])
+        take = np.concatenate([rows, occ_t])
+        wn = np.concatenate([n[rows], nt[occ_t]])
+        wc = np.concatenate([c[rows], ct[occ_t]])
+        mkey = winb * np.int64(ntypes) + tcode[take]
+        uk, inv = np.unique(mkey, return_inverse=True)
+        out = pa.table({
+            "window_start_us": (uk // ntypes) * hop_us,
+            "event_type": tvals.take(pa.array(uk % ntypes)),
+            "n_events": np.bincount(inv, weights=wn).astype(np.int64),
+            "sum_value": np.bincount(inv, weights=wc).astype(np.int64)
+                         .astype(np.float64) / 100.0,
         })
+        return out.sort_by([("window_start_us", "ascending"),
+                            ("event_type", "ascending")])
 
-    return (agg.map_batches(finalize, batch_format="pyarrow")
-            .sort(["window_start_us", "event_type"]))
+    # two-level tree combine: per-block partials -> 8-way coalesce ->
+    # single final task (bounded: level-1 blocks hold <= #buckets x
+    # #types rows each; raise the fan-in for wider time ranges)
+    return (events_ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(8)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .repartition(1)
+            .map_batches(expand_final, batch_format="pyarrow",
+                         batch_size=None))
 
 
 def hopping_window_sql(hop_minutes: int = HOP_MINUTES,
@@ -748,22 +858,31 @@ def props_stats(events_ds):
             "max_k": max_k,
         })
 
-    from ray.data.aggregate import Max, Min, Sum
-    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("event_type")
-           .aggregate(Sum("n"), Sum("sum_k"), Min("min_k"), Max("max_k")))
-
     def finalize(batch: pa.Table) -> pa.Table:
+        """Single-task final combine over per-block partial rows (one
+        row per type per block — type-cardinality metadata at any event
+        volume); replaces a ray groupby().aggregate() whose fixed
+        sort-aggregate cost dominated this stage's wall time."""
+        et = np.asarray(batch["event_type"], dtype=object)
+        uk, inv = np.unique(et, return_inverse=True)
+        m = len(uk)
+        n = np.bincount(inv, weights=batch["n"].to_numpy(),
+                        minlength=m).astype(np.int64)
+        s = np.bincount(inv, weights=batch["sum_k"].to_numpy(),
+                        minlength=m).astype(np.int64)
+        mn = np.full(m, BIG, np.int64)
+        mx = np.full(m, -BIG, np.int64)
+        np.minimum.at(mn, inv, batch["min_k"].to_numpy())
+        np.maximum.at(mx, inv, batch["max_k"].to_numpy())
         return pa.table({
-            "event_type": batch["event_type"],
-            "n": batch["sum(n)"],
-            "sum_k": batch["sum(sum_k)"],
-            "min_k": batch["min(min_k)"],
-            "max_k": batch["max(max_k)"],
+            "event_type": pa.array(uk, pa.string()),
+            "n": n, "sum_k": s, "min_k": mn, "max_k": mx,
         })
 
-    return (agg.map_batches(finalize, batch_format="pyarrow")
-            .sort("event_type"))
+    return (events_ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
 
 
 def props_stats_sql() -> str:

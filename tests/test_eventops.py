@@ -297,3 +297,26 @@ def test_tumbling_window_matches_bruteforce(ray_session, rows):
         got["window_start_us"], got["event_type"],
         got["n_events"], got["sum_value"])}
     assert got_map == want
+
+
+def test_hopping_window_non_multiple_width(ray_session, con):
+    """W not a multiple of S exercises the partial-overlap LAST window
+    (tail-eligibility split in the bucket-aggregated partial): hop=7min,
+    width=60min -> ceil(60/7)=9 windows, the 9th covering only 4min of
+    each bucket."""
+    import numpy as np
+    from covertile import api_events
+    from covertile import eventops as E
+
+    ds = api_events._events(SF)
+    got = (E.hopping_window(ds, hop_minutes=7, width_minutes=60)
+           .to_pandas().reset_index(drop=True))
+    want = con.execute(E.hopping_window_sql(7, 60)).df()
+    assert len(got) == len(want)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        assert str(a.dtype) == str(b.dtype), c
+        if a.dtype.kind == "f":
+            assert np.array_equal(a.view(np.int64), b.view(np.int64)), c
+        else:
+            assert np.array_equal(a, b), c
