@@ -70,6 +70,15 @@ def sql_props_stats() -> str:
     return eventops.props_stats_sql()
 
 
+def q_rolling_window(sf_dir: str):
+    return eventops.rolling_window(
+        _events(sf_dir, columns=("event_id", "ts", "user_id", "value")))
+
+
+def sql_rolling_window() -> str:
+    return eventops.rolling_window_sql()
+
+
 QUERIES = {
     "events_window": q_tumbling_window,
     "sessionize": q_sessionize,
@@ -78,6 +87,7 @@ QUERIES = {
     "funnel": q_funnel,
     "hopping_window": q_hopping_window,
     "props_stats": q_props_stats,
+    "rolling_window": q_rolling_window,
 }
 
 ORACLES = {
@@ -88,4 +98,5 @@ ORACLES = {
     "funnel": sql_funnel,
     "hopping_window": sql_hopping_window,
     "props_stats": sql_props_stats,
+    "rolling_window": sql_rolling_window,
 }

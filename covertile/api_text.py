@@ -167,6 +167,36 @@ def sql_corpus_filter() -> str:
     return T.corpus_filter_sql()
 
 
+def q_sequence_pack(sf_dir: str):
+    from . import curation
+    return curation.sequence_pack(_docs(sf_dir))
+
+
+def sql_sequence_pack() -> str:
+    from . import curation
+    return curation.sequence_pack_sql()
+
+
+def q_split_contamination(sf_dir: str):
+    from . import curation
+    return curation.split_contamination(_docs(sf_dir))
+
+
+def sql_split_contamination() -> str:
+    from . import curation
+    return curation.split_contamination_sql()
+
+
+def q_pii_scrub(sf_dir: str):
+    from . import curation
+    return curation.pii_scrub(_docs(sf_dir))
+
+
+def sql_pii_scrub() -> str:
+    from . import curation
+    return curation.pii_scrub_sql()
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
@@ -185,6 +215,9 @@ QUERIES = {
     "dup_components": q_dup_components,
     "grouped_topk": q_grouped_topk,
     "normalize_text": q_normalize,
+    "sequence_pack": q_sequence_pack,
+    "split_contamination": q_split_contamination,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLES = {
@@ -205,4 +238,7 @@ ORACLES = {
     "dup_components": sql_dup_components,
     "grouped_topk": sql_grouped_topk,
     "normalize_text": sql_normalize,
+    "sequence_pack": sql_sequence_pack,
+    "split_contamination": sql_split_contamination,
+    "pii_scrub": sql_pii_scrub,
 }

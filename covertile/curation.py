@@ -1,0 +1,336 @@
+"""Training-data curation operators beyond filtering/sampling:
+
+* sequence_pack — the concat-and-chop packing every LLM training run
+  performs: documents in doc_id order are laid end-to-end on a global
+  token axis and chopped into fixed-length sequences.  The engine-side
+  shape is a DISTRIBUTED PREFIX SCAN (an operator Ray Data lacks):
+  per-chunk token totals via per-block partials + driver combine
+  (the pipeline.compute_plan precedent), exclusive chunk offsets
+  broadcast, then ONE (chunk-bucket) exchange whose groups compute
+  within-chunk exclusive cumsums vectorized across many chunks.
+* split_contamination — train/test leakage audit: k-gram shingles that
+  occur in more than one split of the deterministic train/val/test
+  assignment.  One declared shuffle keyed by shingle hash with one-hot
+  split partials pre-summed per block.
+* pii_scrub — vectorized RE2 redaction (emails, phone numbers) with
+  match counts; pyarrow and DuckDB share the RE2 engine, so the
+  redacted text and counts are bitwise-mirrorable (same discipline as
+  textops.subword_stats).
+
+No reference analogue (the reference is a spatial index); these are
+north-rule training-data extensions like textops/eventops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import textops as T
+
+SEQ_LEN = 512          # tokens per packed training sequence
+PACK_CHUNK = 4096      # docs per prefix-scan chunk
+CONTAM_K = T.SHINGLE_K
+
+_PHI = np.uint64(0x9E3779B97F4A7C15)
+
+
+# ---------------------------------------------------------- sequence pack
+
+def sequence_pack(docs_ds, seq_len: int = SEQ_LEN,
+                  chunk: int = PACK_CHUNK):
+    """-> (doc_id, n_tokens, start_tok, first_seq, last_seq) sorted by
+    doc_id: each document's exclusive global token offset under doc_id
+    order and the packed-sequence range it lands in (seq = floor(token
+    offset / seq_len)).
+
+    Scale shape — a two-level prefix scan:
+      1. token counts per doc (pure map, whitespace tokenizer mirrored
+         by the SQL oracle) reduce per block to one row per doc-id
+         CHUNK (doc_id // chunk): the chunk-total table is metadata-
+         sized (n_docs / chunk rows) and combines on the driver, the
+         same partial+driver-combine shape as pipeline.compute_plan;
+         for corpora where even that table is too big, nest another
+         chunk level (the HierarchicalPlan precedent).
+      2. exclusive chunk offsets broadcast (ray.put); ONE 256-way
+         exchange on hash(chunk) where a vectorized multi-chunk pass
+         (lexsort + segment cumsum, the sessionize discipline) assigns
+         within-chunk offsets.
+    Token order is defined by doc_id, so the result is deterministic
+    and retry-safe."""
+    import ray
+    import pyarrow.compute as _pc
+
+    ck_of = lambda ids: ids // np.int64(chunk)  # noqa: E731
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = T._token_lists(T._text_col(batch))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": np.asarray(_pc.list_value_length(toks), np.int64),
+        })
+
+    # two consumers (chunk totals + the assignment pass): materialize the
+    # tiny (doc_id, n_tokens) projection once instead of re-tokenizing
+    counted = docs_ds.map_batches(counts,
+                                  batch_format="pyarrow").materialize()
+
+    def chunk_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        n = batch["n_tokens"].to_numpy()
+        ck = ck_of(ids)
+        uk, inv = np.unique(ck, return_inverse=True)
+        return pa.table({
+            "ck": uk,
+            "tot": np.bincount(inv, weights=n,
+                               minlength=len(uk)).astype(np.int64),
+        })
+
+    parts = counted.map_batches(
+        chunk_partial, batch_format="pyarrow").take_all()
+    ck_all = np.concatenate([[int(r["ck"])] for r in parts]) \
+        if parts else np.zeros(0, np.int64)
+    tot_all = np.concatenate([[int(r["tot"])] for r in parts]) \
+        if parts else np.zeros(0, np.int64)
+    uk, inv = np.unique(ck_all, return_inverse=True)
+    totals = np.bincount(inv, weights=tot_all,
+                         minlength=len(uk)).astype(np.int64)
+    # exclusive prefix over chunk totals, keyed by chunk id
+    offs = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    offsets_ref = ray.put((uk, offs))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        ck = ck_of(ids)
+        bk = ((ck.astype(np.uint64) * _PHI)
+              >> np.uint64(56)).astype(np.int64)
+        return pa.table({"bk": bk, "doc_id": ids,
+                         "n_tokens": batch["n_tokens"]})
+
+    def assign(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "start_tok": pa.array([], pa.int64()),
+            "first_seq": pa.array([], pa.int64()),
+            "last_seq": pa.array([], pa.int64()),
+        })
+        m = len(group)
+        if m == 0:
+            return empty
+        cuk, coffs = ray.get(offsets_ref)
+        ids = group["doc_id"].to_numpy()
+        n = group["n_tokens"].to_numpy()
+        order = np.argsort(ids, kind="stable")  # doc order within chunks
+        ids, n = ids[order], n[order]
+        ck = ck_of(ids)
+        # segment-reset exclusive cumsum: subtract each segment's first
+        # prefix value (the sessionize run idiom)
+        pref = np.concatenate(([0], np.cumsum(n)))[:-1]
+        new = np.empty(m, bool)
+        new[0] = True
+        new[1:] = ck[1:] != ck[:-1]
+        seg_base = pref[np.flatnonzero(new)]
+        seg = np.cumsum(new) - 1
+        local = pref - seg_base[seg]
+        start = local + coffs[np.searchsorted(cuk, ck)]
+        L = np.int64(seq_len)
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": n,
+            "start_tok": start,
+            "first_seq": start // L,
+            "last_seq": (start + np.maximum(n, 1) - 1) // L,
+        })
+
+    return (counted.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bk").map_groups(assign, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+def sequence_pack_sql(seq_len: int = SEQ_LEN) -> str:
+    L = int(seq_len)
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER
+             (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // {L} AS first_seq,
+       (start_tok + GREATEST(n_tokens, 1) - 1) // {L} AS last_seq
+FROM o ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------- split contamination
+
+def split_contamination(docs_ds, k: int = CONTAM_K,
+                        split_pct: dict | None = None):
+    """Leakage audit over the deterministic train/val/test assignment:
+    k-character shingles (md5_u64-keyed, the textops shingle identity)
+    that appear in documents of MORE THAN ONE split, with per-split doc
+    counts -> (shingle, n_test, n_train, n_val) sorted by shingle.
+
+    Scale shape: per-block partials pre-sum the one-hot split columns
+    per shingle, then ONE shuffle keyed by shingle hash; the final
+    filter keeps only multi-split shingles.  Shingle extraction reuses
+    the flat-buffer windowing of textops.shingle_batch but hashes the
+    actual substrings (md5_u64) so the keys are value-equal to the SQL
+    oracle, not just cardinality-equal."""
+    pct = dict(T.SPLIT_PCT if split_pct is None else split_pct)
+    names = sorted(pct)
+    edges = np.cumsum([pct[n] for n in names])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        text = T._text_col(batch)
+        if len(ids) == 0 or text.null_count == len(ids):
+            cols = {"sh": pa.array([], pa.int64())}
+            cols.update({f"n_{n}": pa.array([], pa.int64())
+                         for n in names})
+            return pa.table(cols)
+        ta = (text.combine_chunks()
+              if isinstance(text, pa.ChunkedArray) else text)
+        if not pa.types.is_large_string(ta.type):
+            ta = ta.cast(pa.large_string())
+        off = np.frombuffer(ta.buffers()[1], np.int64)[
+            ta.offset: ta.offset + len(ta) + 1]
+        data = np.frombuffer(ta.buffers()[2], np.uint8)
+        blen = np.diff(off)
+        n_sh = np.maximum(0, blen - k + 1)
+        tot = int(n_sh.sum())
+        rows = np.repeat(np.arange(len(ids)), n_sh)
+        excl = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+        starts = (np.repeat(off[:-1], n_sh)
+                  + (np.arange(tot) - np.repeat(excl, n_sh)))
+        # (tot, k) byte matrix -> batch-deduped substrings -> md5_u64
+        win = data[starts[:, None] + np.arange(k)[None, :]]
+        void = np.ascontiguousarray(win).view(
+            np.dtype((np.void, k))).ravel()
+        u_void, sub_inv = np.unique(void, return_inverse=True)
+        sub_strs = np.array([v.tobytes().decode("utf-8", "surrogateescape")
+                             for v in u_void], dtype=object)
+        h_uniq = T.md5_u64(sub_strs)
+        h = h_uniq[sub_inv]
+        # distinct (doc, shingle) pairs; the key rides the exchange as a
+        # SIGNED int64 view (ray's sort/groupby has no uint64 path — it
+        # would fall back to pickled python objects)
+        h = h.view(np.int64)
+        key_order = np.lexsort((h, rows))
+        rs, hs = rows[key_order], h[key_order]
+        keep = np.empty(tot, bool)
+        if tot:
+            keep[0] = True
+            keep[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+        rs, hs = rs[keep], hs[keep]
+        split_sel = np.searchsorted(edges, T._sample_bucket(ids),
+                                    side="right")
+        doc_split = split_sel[rs]
+        # pre-sum per (shingle, split) before the exchange
+        uk_h, inv_h = np.unique(hs, return_inverse=True)
+        cols = {"sh": pa.array(uk_h, pa.int64())}
+        for si, nm in enumerate(names):
+            cols[f"n_{nm}"] = np.bincount(
+                inv_h[doc_split == si],
+                minlength=len(uk_h)).astype(np.int64)
+        return pa.table(cols)
+
+    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("sh").sum([f"n_{n}" for n in names]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sums = [batch[f"sum(n_{n})"].to_numpy() for n in names]
+        hit = sum((s > 0).astype(np.int64) for s in sums) >= 2
+        cols = {"sh": batch["sh"].filter(pa.array(hit))}
+        for nm, s in zip(names, sums):
+            cols[f"n_{nm}"] = s[hit]
+        return pa.table(cols)
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("sh"))
+
+
+def split_contamination_sql(k: int = CONTAM_K,
+                            split_pct: dict | None = None) -> str:
+    pct = dict(T.SPLIT_PCT if split_pct is None else split_pct)
+    names = sorted(pct)
+    edges = np.cumsum([pct[n] for n in names])
+    b = T._sample_bucket_sql()
+    cases = " ".join(f"WHEN {b} < {int(e)} THEN '{n}'"
+                     for n, e in zip(names, edges))
+    sums = ",\n       ".join(
+        f"CAST(sum(CASE WHEN split = '{n}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{n}" for n in names)
+    hits = " + ".join(
+        f"CASE WHEN sum(CASE WHEN split = '{n}' THEN 1 ELSE 0 END) > 0"
+        f" THEN 1 ELSE 0 END" for n in names)
+    # mirror the engine's signed-int64 view of the uint64 md5 hash
+    # (two's complement via HUGEINT arithmetic)
+    sh_signed = ("CAST(CASE WHEN u >= 9223372036854775808 "
+                 "THEN CAST(u AS HUGEINT) - 18446744073709551616 "
+                 "ELSE CAST(u AS HUGEINT) END AS BIGINT)")
+    return f"""
+WITH s AS (
+  SELECT doc_id, CASE {cases} END AS split,
+         unnest({T.shingle_sql_expr(k)}) AS u
+  FROM documents
+),
+sg AS (SELECT doc_id, split, {sh_signed} AS sh FROM s)
+SELECT sh, {sums}
+FROM sg GROUP BY sh
+HAVING {hits} >= 2
+ORDER BY sh
+"""
+
+
+# ----------------------------------------------------------- PII scrub
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_scrub(docs_ds):
+    """-> (doc_id, n_emails, n_phones, clean_text) sorted by doc_id:
+    match counts and globally-redacted text ([EMAIL] / [PHONE], emails
+    replaced first).  Pure per-batch map over pyarrow's RE2 kernels;
+    DuckDB's regexp_replace(..., 'g') runs the same RE2 patterns, so
+    the redacted strings are bitwise-mirrorable."""
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = T._text_col(batch)
+        n_email = np.asarray(
+            pc.count_substring_regex(text, PII_EMAIL), np.int64)
+        cleaned = pc.replace_substring_regex(text, PII_EMAIL, "[EMAIL]")
+        n_phone = np.asarray(
+            pc.count_substring_regex(cleaned, PII_PHONE), np.int64)
+        cleaned = pc.replace_substring_regex(cleaned, PII_PHONE, "[PHONE]")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_emails": n_email,
+            "n_phones": n_phone,
+            "clean_text": cleaned,
+        })
+
+    return docs_ds.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+
+
+def pii_scrub_sql(table: str = "documents") -> str:
+    # single-quoted DuckDB literals pass backslashes through verbatim
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(
+           regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+           '{PII_PHONE}')) AS n_phones,
+       regexp_replace(
+           regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+           '{PII_PHONE}', '[PHONE]', 'g') AS clean_text
+FROM {table} ORDER BY doc_id
+"""

@@ -899,3 +899,96 @@ SELECT event_type, count(*) AS n, CAST(sum({k}) AS BIGINT) AS sum_k,
        min({k}) AS min_k, max({k}) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# --------------------------------------------------------- rolling window
+
+ROLLING_N = 8
+
+
+def rolling_window(events_ds, n: int = ROLLING_N):
+    """Per-event rolling aggregate over the user's last `n` events
+    (ordered by ts, then event_id), a per-row window function the
+    Dataset API lacks: -> (event_id, n_window, sum_value, avg_value),
+    sorted by event_id.  n_window < n at the start of a user's history,
+    exactly like SQL's ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW.
+
+    Scale shape: rows project to four columns before ONE 256-way
+    user-hash exchange (the funnel discipline); inside a group, ALL
+    users are processed in one vectorized pass — lexsort by (user, ts,
+    event_id), a global cents prefix sum, and the window lower bound
+    j = max(segment_start, i - n + 1) turns every window sum into
+    pref[i+1] - pref[j].  Value sums stay in integer cents so the
+    float division is bitwise equal to the SQL oracle."""
+    import pyarrow.compute as pc
+
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+
+    def route(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        cents = np.round(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({
+            "bk": ((uid.astype(np.uint64) * PHI)
+                   >> np.uint64(56)).astype(np.int64),
+            "user_id": uid, "ts": ts,
+            "event_id": batch["event_id"], "cents": cents,
+        })
+
+    def agg(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "n_window": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64()),
+            "avg_value": pa.array([], pa.float64()),
+        })
+        m = len(group)
+        if m == 0:
+            return empty
+        uid = group["user_id"].to_numpy()
+        ts = group["ts"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        cents = group["cents"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+        new = np.empty(m, bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        i = np.arange(m, dtype=np.int64)
+        j = np.maximum(starts[seg], i - np.int64(n) + 1)
+        pref = np.concatenate(([0], np.cumsum(cents)))
+        s = pref[i + 1] - pref[j]
+        nw = i - j + 1
+        return pa.table({
+            "event_id": eid,
+            "n_window": nw,
+            "sum_value": s.astype(np.float64) / 100.0,
+            "avg_value": (s.astype(np.float64) / 100.0)
+                         / nw.astype(np.float64),
+        })
+
+    return (events_ds.map_batches(route, batch_format="pyarrow")
+            .groupby("bk").map_groups(agg, batch_format="pyarrow")
+            .sort("event_id"))
+
+
+def rolling_window_sql(n: int = ROLLING_N) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE) / 100.0
+         AS sum_value,
+       (CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE) / 100.0)
+         / count(*) OVER w AS avg_value
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {int(n) - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""

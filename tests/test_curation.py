@@ -1,0 +1,140 @@
+"""Curation operators (sequence packing, split contamination, PII scrub)
+and the per-user rolling window vs DuckDB oracles."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "events"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _assert_frames_equal(got, want):
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        assert str(a.dtype) == str(b.dtype), (c, a.dtype, b.dtype)
+        if a.dtype.kind == "f":
+            assert np.array_equal(a.view(np.int64), b.view(np.int64)), c
+        else:
+            assert np.array_equal(a, b), c
+
+
+@pytest.mark.parametrize("name", ["sequence_pack", "split_contamination",
+                                  "pii_scrub"])
+def test_curation_query_matches_oracle(ray_session, con, name):
+    from covertile import api_text
+    got = api_text.QUERIES[name](SF).to_pandas().reset_index(drop=True)
+    want = con.execute(api_text.ORACLES[name]()).df()
+    _assert_frames_equal(got, want)
+
+
+def test_rolling_window_matches_oracle(ray_session, con):
+    from covertile import api_events
+    got = (api_events.QUERIES["rolling_window"](SF)
+           .to_pandas().reset_index(drop=True))
+    want = con.execute(api_events.ORACLES["rolling_window"]()).df()
+    _assert_frames_equal(got, want)
+
+
+def test_sequence_pack_is_a_prefix_scan(ray_session):
+    """start_tok is the exclusive cumsum of n_tokens in doc_id order and
+    sequences chain without gaps (the concat-and-chop contract)."""
+    from covertile import api_text
+    df = api_text.QUERIES["sequence_pack"](SF).to_pandas()
+    n = df["n_tokens"].to_numpy()
+    start = df["start_tok"].to_numpy()
+    assert np.array_equal(start, np.concatenate(([0], np.cumsum(n)[:-1])))
+    assert (df["first_seq"] <= df["last_seq"]).all()
+    assert int(df["first_seq"].iloc[0]) == 0
+
+
+def test_pii_scrub_redacts_synthetic_pii(ray_session):
+    """Engine vs DuckDB on a corpus that actually CONTAINS emails and
+    phone numbers (the sf tables have none, which makes the driver
+    query a passthrough check only)."""
+    import ray.data as rd
+    from covertile.curation import pii_scrub, pii_scrub_sql
+
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(6), pa.int64()),
+        "text": pa.array([
+            "reach me at alice.smith+spam@example.co.uk today",
+            "two mails a@b.io and c_d%e@f-g.org in one doc",
+            "call 555-123-4567 or +1 800.555.0199 now",
+            "email bob@corp.com then phone 212 555 7788",
+            "nothing sensitive here at all",
+            "a@b.io a@b.io a@b.io",
+        ]),
+    })
+    got = pii_scrub(rd.from_arrow(tbl)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("pii_docs", tbl)
+    want = con.execute(pii_scrub_sql(table="pii_docs")).df()
+    _assert_frames_equal(got, want)
+    assert got["n_emails"].sum() >= 5
+    assert got["n_phones"].sum() >= 2
+    assert "[EMAIL]" in got["clean_text"][0]
+    assert "@" not in " ".join(got["clean_text"])
+
+
+def test_split_contamination_finds_planted_leak(ray_session):
+    """A text duplicated across doc_ids that hash into different splits
+    must surface every one of its shingles as multi-split."""
+    import ray.data as rd
+    from covertile import textops as T
+    from covertile.curation import split_contamination
+
+    # find two doc ids in different splits under the standard rule
+    ids = np.arange(200, dtype=np.int64)
+    bk = T._sample_bucket(ids)
+    names = sorted(T.SPLIT_PCT)
+    edges = np.cumsum([T.SPLIT_PCT[n] for n in names])
+    sel = np.searchsorted(edges, bk, side="right")
+    a = int(ids[sel == names.index("train") if False else sel == 1][0])
+    b = int(ids[sel == 0][0])  # first 'test' doc
+    assert sel[a] != sel[b]
+    leak = "the exact same leaked passage of text"
+    tbl = pa.table({
+        "doc_id": pa.array([a, b], pa.int64()),
+        "text": pa.array([leak, leak]),
+    })
+    out = split_contamination(rd.from_arrow(tbl)).to_pandas()
+    n_shingles = len(leak) - T.SHINGLE_K + 1
+    # every distinct shingle of the duplicated text is contaminated
+    assert len(out) == len(set(
+        leak[i:i + T.SHINGLE_K] for i in range(n_shingles)))
+    assert (out[[c for c in out.columns if c != "sh"]].to_numpy()
+            .astype(bool).sum(axis=1) >= 2).all()
+
+
+def test_rolling_window_boundary_semantics(ray_session):
+    """Ties on ts break by event_id; windows shorter than N at the
+    start of a user's history; exact cents arithmetic."""
+    import ray.data as rd
+    from covertile.eventops import rolling_window, rolling_window_sql
+
+    ts = np.array([0, 1, 1, 2, 5, 0, 3], dtype="datetime64[us]")
+    tbl = pa.table({
+        "event_id": pa.array([10, 11, 12, 13, 14, 20, 21], pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "value": pa.array([1.01, 2.02, 3.03, 4.04, 5.05, 7.0, 9.0]),
+    })
+    got = (rolling_window(rd.from_arrow(tbl), n=3)
+           .to_pandas().reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(rolling_window_sql(n=3)).df()
+    _assert_frames_equal(got, want)
+    assert got["n_window"].tolist() == [1, 2, 3, 3, 3, 1, 2]
