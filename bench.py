@@ -537,6 +537,10 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("subword_stats", lambda: docs.map_batches(
         T.subword_stats_batch, batch_format="pyarrow").count())
     stage("dataset_split", lambda: T.dataset_split(docs).count())
+
+    from covertile import curation as C
+    stage("sequence_pack", lambda: C.sequence_pack(docs).count())
+    stage("pii_scrub", lambda: C.pii_scrub(docs).count())
     stage("exact_dedup", lambda: T.exact_dedup(docs).count())
     stage("simhash_dedup", lambda: T.simhash_dup_pairs(docs).count())
 
@@ -574,6 +578,7 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("events_window", lambda: E.tumbling_window(events).count())
     stage("sessionize", lambda: E.sessionize(events).count())
     stage("hopping_window", lambda: E.hopping_window(events).count())
+    stage("rolling_window", lambda: E.rolling_window(events).count())
     stage("funnel", lambda: E.funnel(
         events, first_type="view", then_type="buy").count())
     stage("asof_join", lambda: E.asof_join(events, right_type="buy").count())
