@@ -197,6 +197,16 @@ def sql_pii_scrub() -> str:
     return curation.pii_scrub_sql()
 
 
+def q_bm25_topk(sf_dir: str):
+    from . import search
+    return search.bm25_topk(_docs(sf_dir))
+
+
+def sql_bm25_topk() -> str:
+    from . import search
+    return search.bm25_topk_sql()
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
@@ -218,6 +228,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "split_contamination": q_split_contamination,
     "pii_scrub": q_pii_scrub,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES = {
@@ -241,4 +252,5 @@ ORACLES = {
     "sequence_pack": sql_sequence_pack,
     "split_contamination": sql_split_contamination,
     "pii_scrub": sql_pii_scrub,
+    "bm25_topk": sql_bm25_topk,
 }

@@ -138,3 +138,47 @@ def test_rolling_window_boundary_semantics(ray_session):
     want = con.execute(rolling_window_sql(n=3)).df()
     _assert_frames_equal(got, want)
     assert got["n_window"].tolist() == [1, 2, 3, 3, 3, 1, 2]
+
+
+def test_bm25_matches_oracle(ray_session, con):
+    from covertile import api_text
+    got = (api_text.QUERIES["bm25_topk"](SF)
+           .to_pandas().reset_index(drop=True))
+    want = con.execute(api_text.ORACLES["bm25_topk"]()).df()
+    _assert_frames_equal(got, want)
+    assert len(got) > 0 and got["rank"].tolist() == list(
+        range(1, len(got) + 1))
+
+
+def test_bm25_ln_parity_contract():
+    """The bitwise oracle relies on math.log == DuckDB ln (both libm);
+    pin it on the idf-shaped inputs so a platform change fails loudly
+    here instead of as a mystery hash mismatch."""
+    import math
+    import struct
+    c = duckdb.connect()
+    for n, df in [(500, 17), (500, 1), (10**9, 12345), (3, 1)]:
+        x = 1.0 + (n - df + 0.5) / (df + 0.5)
+        d = c.execute("SELECT ln(?)", [x]).fetchone()[0]
+        assert struct.pack("d", d) == struct.pack("d", math.log(x)), x
+
+
+def test_bm25_ranking_semantics(ray_session):
+    """A doc stuffed with a rare query term outranks docs with common
+    terms; zero-match docs never appear."""
+    import ray.data as rd
+    from covertile.search import bm25_topk
+
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(5), pa.int64()),
+        "text": pa.array([
+            "needle needle needle hay",
+            "hay hay hay hay hay hay",
+            "needle hay hay hay",
+            "hay barn field",
+            "barn field tractor",
+        ]),
+    })
+    out = bm25_topk(rd.from_arrow(tbl), terms=("needle",), k=3).to_pandas()
+    assert out["doc_id"].tolist() == [0, 2]  # only matching docs, best first
+    assert (out["score"] > 0).all()
