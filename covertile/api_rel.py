@@ -56,14 +56,26 @@ def sql_local_supplier_volume() -> str:
     return relops.local_supplier_volume_sql()
 
 
+def q_idle_customers(sf_dir: str):
+    return relops.idle_customers(
+        _t(sf_dir, "customer", ("c_custkey", "c_mktsegment", "c_acctbal")),
+        _t(sf_dir, "orders", ("o_custkey", "o_orderdate")))
+
+
+def sql_idle_customers() -> str:
+    return relops.idle_customers_sql()
+
+
 QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "pricing_summary": q_pricing_summary,
     "local_supplier_volume": q_local_supplier_volume,
+    "idle_customers": q_idle_customers,
 }
 
 ORACLES = {
     "revenue_by_nation": sql_revenue_by_nation,
     "pricing_summary": sql_pricing_summary,
     "local_supplier_volume": sql_local_supplier_volume,
+    "idle_customers": sql_idle_customers,
 }

@@ -288,3 +288,107 @@ WHERE c_nationkey = s_nationkey AND r_name = '{region}'
   AND o_orderdate < TIMESTAMP '{date_hi}'
 GROUP BY n_name ORDER BY n_name
 """
+
+
+IDLE_BUCKETS = 64
+IDLE_CUTOFF = "2000-01-01"
+
+
+def idle_customers(cu_ds, od_ds, cutoff: str = IDLE_CUTOFF,
+                   nbuckets: int = IDLE_BUCKETS):
+    """TPC-H-Q22-shaped ANTI-JOIN rollup: customers with NO order on or
+    after `cutoff` ("recently idle"), counted per market segment with
+    their cents-exact account-balance total -> (c_mktsegment,
+    n_customers, total_acctbal), sorted.  (The unfiltered variant is
+    empty on the synthetic tables — every customer has orders — so the
+    date predicate both makes the result non-trivial and demonstrates
+    filter-below-anti-join pushdown.)
+
+    Anti-join is a join class the Dataset API lacks.  Shape: the date
+    filter and a DISTINCT o_custkey collapse run per block BEFORE the
+    exchange (order-count-independent), both sides bucket by
+    hash(custkey) in ONE declared shuffle, and each bucket filters its
+    customers against the bucket's order-key set via np.isin.  The
+    per-segment rollup then follows the metadata-sized tree-combine
+    discipline (eventops.tumbling_window): segment cardinality is tiny,
+    so no ray groupby is paid."""
+    import pyarrow.compute as pc
+
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    cut_us = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def bk_of(keys: np.ndarray) -> np.ndarray:
+        return ((keys.astype(np.uint64) * PHI) >> np.uint64(40)
+                ).astype(np.int64) % np.int64(nbuckets)
+
+    def cust_route(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy()
+        return pa.table({
+            "bk": bk_of(key), "key": key,
+            "side": np.zeros(len(key), np.int8),
+            "seg": batch["c_mktsegment"],
+            "cents": _cents(batch["c_acctbal"]),
+        })
+
+    def ord_route(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        key = np.unique(batch["o_custkey"].to_numpy()[ts >= cut_us])
+        return pa.table({
+            "bk": bk_of(key), "key": key,
+            "side": np.ones(len(key), np.int8),
+            "seg": pa.array([""] * len(key), pa.string()),
+            "cents": np.zeros(len(key), np.int64),
+        })
+
+    def anti(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        key = group["key"].to_numpy()
+        cust = side == 0
+        okeys = np.unique(key[~cust])
+        keep = cust & ~np.isin(key, okeys)
+        seg = np.asarray(group["seg"], dtype=object)[keep]
+        cents = group["cents"].to_numpy()[keep]
+        uk, inv = np.unique(seg, return_inverse=True)
+        return pa.table({
+            "seg": pa.array(uk, pa.string()),
+            "n": np.bincount(inv, minlength=len(uk)).astype(np.int64),
+            "cents": np.bincount(inv, weights=cents,
+                                 minlength=len(uk)).astype(np.int64),
+        })
+
+    routed = (cu_ds.map_batches(cust_route, batch_format="pyarrow")
+              .union(od_ds.map_batches(ord_route, batch_format="pyarrow")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        seg = np.asarray(batch["seg"], dtype=object)
+        uk, inv = np.unique(seg, return_inverse=True)
+        n = np.bincount(inv, weights=batch["n"].to_numpy(),
+                        minlength=len(uk)).astype(np.int64)
+        cents = np.bincount(inv, weights=batch["cents"].to_numpy(),
+                            minlength=len(uk)).astype(np.int64)
+        return pa.table({
+            "c_mktsegment": pa.array(uk, pa.string()),
+            "n_customers": n,
+            "total_acctbal": cents.astype(np.float64) / 100.0,
+        })
+
+    return (routed.groupby("bk").map_groups(anti, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def idle_customers_sql(cutoff: str = IDLE_CUTOFF) -> str:
+    cents = "CAST(round(c_acctbal * 100.0) AS BIGINT)"
+    return f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(CAST(sum({cents}) AS BIGINT) AS DOUBLE) / 100.0
+         AS total_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '{cutoff}')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

@@ -31,3 +31,21 @@ def test_rel_query_matches_oracle(ray_session, con, name):
             assert np.array_equal(a.view(np.int64), b.view(np.int64)), c_
         else:
             assert np.array_equal(a, b), c_
+
+
+def test_idle_customers_matches_oracle(ray_session, con):
+    """Anti-join rollup: customers with no orders, per segment."""
+    from covertile import api_rel
+    got = (api_rel.QUERIES["idle_customers"](SF)
+           .to_pandas().reset_index(drop=True))
+    want = con.execute(api_rel.ORACLES["idle_customers"]()).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        assert str(a.dtype) == str(b.dtype), c
+        if a.dtype.kind == "f":
+            assert np.array_equal(a.view(np.int64), b.view(np.int64)), c
+        else:
+            assert np.array_equal(a, b), c
+    assert got["n_customers"].sum() > 0  # the sf tables do have idle customers
