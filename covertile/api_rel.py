@@ -66,11 +66,25 @@ def sql_idle_customers() -> str:
     return relops.idle_customers_sql()
 
 
+def q_shipping_priority(sf_dir: str):
+    return relops.shipping_priority(
+        _t(sf_dir, "lineitem",
+           ("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")),
+        _t(sf_dir, "orders",
+           ("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")),
+        _t(sf_dir, "customer", ("c_custkey", "c_mktsegment")))
+
+
+def sql_shipping_priority() -> str:
+    return relops.shipping_priority_sql()
+
+
 QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "pricing_summary": q_pricing_summary,
     "local_supplier_volume": q_local_supplier_volume,
     "idle_customers": q_idle_customers,
+    "shipping_priority": q_shipping_priority,
 }
 
 ORACLES = {
@@ -78,4 +92,5 @@ ORACLES = {
     "pricing_summary": sql_pricing_summary,
     "local_supplier_volume": sql_local_supplier_volume,
     "idle_customers": sql_idle_customers,
+    "shipping_priority": sql_shipping_priority,
 }

@@ -68,6 +68,18 @@ def hash_join_int_key(left_ds, right_ds, key: str, num_buckets: int = 32,
             return out
         lt = group.filter(pa.array(side == 0)).select(left_cols)
         rt = group.filter(pa.array(side == 1)).select([key] + right_cols)
+        # the column-presence checks above can't see an EMPTY side when
+        # one side's columns are a subset of the other's (both sides then
+        # carry every name); guard on actual row counts too
+        if len(lt) == 0:
+            return empty_out()
+        if len(rt) == 0:
+            if how == "inner":
+                return empty_out()
+            out = lt
+            for c in right_cols:
+                out = out.append_column(c, pa.nulls(len(out), rtypes[c]))
+            return out
         lk = lt[key].to_numpy()
         rk = rt[key].to_numpy()
         order = np.argsort(rk, kind="stable")

@@ -392,3 +392,134 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                     AND o.o_orderdate >= DATE '{cutoff}')
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-07-01"
+Q3_K = 10
+
+
+def shipping_priority(li_ds, od_ds, cu_ds, segment: str = Q3_SEGMENT,
+                      date: str = Q3_DATE, k: int = Q3_K):
+    """TPC-H-Q3-shaped top-k: unshipped-revenue per order for one market
+    segment -> (l_orderkey, revenue, o_orderdate_us, o_orderpriority),
+    the k highest-revenue orders (ties by orderdate then orderkey).
+
+    Shape: both date filters and the segment filter push below the
+    joins (per-block, before anything moves); lineitem pre-aggregates
+    revenue units per orderkey per block; two bucketed hash joins
+    (orders, then segment-filtered customers used as a semi-join);
+    per-orderkey merge via ONE groupby; then the top-k discipline — a
+    per-block top-k partial under the total order (units DESC,
+    orderdate ASC, orderkey ASC) so ≤ k rows per block reach the final
+    single-task merge.  Money in integer units (cents x (100-disc)) so
+    ordering and the final division are exact."""
+    import pyarrow.compute as pc
+
+    cut_us = np.datetime64(date, "us").astype(np.int64)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        keep = ship > cut_us
+        units = (_cents(batch["l_extendedprice"]) * (
+            100 - _cents(batch["l_discount"])))[keep]
+        ok, inv = np.unique(batch["l_orderkey"].to_numpy()[keep],
+                            return_inverse=True)
+        return pa.table({
+            "o_orderkey": ok,
+            "units": np.bincount(inv, weights=units,
+                                 minlength=len(ok)).astype(np.int64),
+        })
+
+    def od_filter(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        keep = pa.array(ts < cut_us)
+        sel = batch.filter(keep)
+        return pa.table({
+            "o_orderkey": sel["o_orderkey"],
+            "o_custkey": sel["o_custkey"],
+            "o_orderdate_us": ts[np.asarray(keep)],
+            "o_orderpriority": sel["o_orderpriority"],
+        })
+
+    def cu_filter(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["c_mktsegment"], segment))
+        return pa.table({"c_custkey": sel["c_custkey"]})
+
+    j1 = hash_join_int_key(
+        li_ds.map_batches(li_partial, batch_format="pyarrow"),
+        od_ds.map_batches(od_filter, batch_format="pyarrow"),
+        key="o_orderkey")
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["o_custkey"],
+            "o_orderkey": batch["o_orderkey"],
+            "units": batch["units"],
+            "o_orderdate_us": batch["o_orderdate_us"],
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    j2 = hash_join_int_key(
+        j1.map_batches(rekey, batch_format="pyarrow"),
+        cu_ds.map_batches(cu_filter, batch_format="pyarrow"),
+        key="c_custkey")
+
+    # per-orderkey merge of the per-block lineitem partials; orderdate /
+    # priority are functionally dependent on the key, so they ride as
+    # grouping columns
+    agg = (j2.groupby(["o_orderkey", "o_orderdate_us", "o_orderpriority"])
+           .sum("units"))
+
+    def topk_part(batch: pa.Table) -> pa.Table:
+        units = batch["sum(units)"].to_numpy()
+        ok = batch["o_orderkey"].to_numpy()
+        dt = batch["o_orderdate_us"].to_numpy()
+        order = np.lexsort((ok, dt, -units))[:k]
+        return pa.table({
+            "l_orderkey": ok[order],
+            "units": units[order],
+            "o_orderdate_us": dt[order],
+            "o_orderpriority": pc.take(batch["o_orderpriority"],
+                                       pa.array(order)),
+        })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        units = batch["units"].to_numpy()
+        ok = batch["l_orderkey"].to_numpy()
+        dt = batch["o_orderdate_us"].to_numpy()
+        order = np.lexsort((ok, dt, -units))[:k]
+        return pa.table({
+            "l_orderkey": ok[order],
+            "revenue": units[order].astype(np.float64) / 10000.0,
+            "o_orderdate_us": dt[order],
+            "o_orderpriority": pc.take(batch["o_orderpriority"],
+                                       pa.array(order)),
+        })
+
+    return (agg.map_batches(topk_part, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None))
+
+
+def shipping_priority_sql(segment: str = Q3_SEGMENT,
+                          date: str = Q3_DATE, k: int = Q3_K) -> str:
+    p = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    d = "CAST(round(l_discount * 100.0) AS BIGINT)"
+    return f"""
+SELECT l_orderkey,
+       CAST(sum({p} * (100 - {d})) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < DATE '{date}'
+  AND l_shipdate > DATE '{date}'
+GROUP BY l_orderkey, o_orderdate_us, o_orderpriority
+ORDER BY revenue DESC, o_orderdate_us, l_orderkey
+LIMIT {int(k)}
+"""

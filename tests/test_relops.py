@@ -49,3 +49,44 @@ def test_idle_customers_matches_oracle(ray_session, con):
         else:
             assert np.array_equal(a, b), c
     assert got["n_customers"].sum() > 0  # the sf tables do have idle customers
+
+
+def test_shipping_priority_matches_oracle(ray_session, con):
+    """Q3-shaped top-k: filters below joins, per-block top-k partials."""
+    from covertile import api_rel
+    got = (api_rel.QUERIES["shipping_priority"](SF)
+           .to_pandas().reset_index(drop=True))
+    want = con.execute(api_rel.ORACLES["shipping_priority"]()).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        assert str(a.dtype) == str(b.dtype), c
+        if a.dtype.kind == "f":
+            assert np.array_equal(a.view(np.int64), b.view(np.int64)), c
+        else:
+            assert np.array_equal(a, b), c
+    # descending revenue with deterministic tie-break
+    r = got["revenue"].to_numpy()
+    assert (r[:-1] >= r[1:]).all()
+
+
+def test_hash_join_right_subset_columns_empty_bucket(ray_session):
+    """Regression: when the right side's columns are a subset of the
+    left's, a bucket holding only left rows used to crash (side
+    detection by column presence saw both sides as present and indexed
+    an empty array)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.joins import hash_join_int_key
+
+    left = pa.table({"k": pa.array([1, 2, 33], pa.int64()),
+                     "v": pa.array([10, 20, 30], pa.int64())})
+    right = pa.table({"k": pa.array([2], pa.int64())})  # cols ⊂ left cols
+    out = hash_join_int_key(rd.from_arrow(left), rd.from_arrow(right),
+                            key="k", num_buckets=4).to_pandas()
+    assert out["k"].tolist() == [2] and out["v"].tolist() == [20]
+    out_l = (hash_join_int_key(rd.from_arrow(left), rd.from_arrow(right),
+                               key="k", num_buckets=4, how="left")
+             .to_pandas().sort_values("k"))
+    assert len(out_l) == 3
