@@ -207,6 +207,18 @@ def sql_bm25_topk() -> str:
     return search.bm25_topk_sql()
 
 
+def q_table_profile(sf_dir: str):
+    from . import curation
+    from .sources import read_table
+    return curation.table_profile(
+        read_table(sf_dir, "documents", list(curation.PROFILE_COLUMNS)))
+
+
+def sql_table_profile() -> str:
+    from . import curation
+    return curation.table_profile_sql()
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
@@ -229,6 +241,7 @@ QUERIES = {
     "split_contamination": q_split_contamination,
     "pii_scrub": q_pii_scrub,
     "bm25_topk": q_bm25_topk,
+    "table_profile": q_table_profile,
 }
 
 ORACLES = {
@@ -253,4 +266,5 @@ ORACLES = {
     "split_contamination": sql_split_contamination,
     "pii_scrub": sql_pii_scrub,
     "bm25_topk": sql_bm25_topk,
+    "table_profile": sql_table_profile,
 }

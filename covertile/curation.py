@@ -334,3 +334,154 @@ SELECT doc_id,
            '{PII_PHONE}', '[PHONE]', 'g') AS clean_text
 FROM {table} ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------- table profile
+
+PROFILE_COLUMNS = ("doc_id", "lang", "n_chars", "source", "text")
+
+
+def table_profile(ds, columns: tuple[str, ...] = PROFILE_COLUMNS):
+    """Data-quality profile of a table: one row per column ->
+    (column, n_rows, n_nulls, n_distinct), sorted by column name.
+    The ingest-validation pass a training pipeline runs before anything
+    else touches new data.
+
+    Scale shape: counts/nulls reduce per block to one row per column
+    (metadata) and tree-combine; EXACT distinct goes through ONE
+    shuffle of per-block-deduped (column, key) pairs — string values
+    key by md5_u64, integers by value, floats/timestamps by bit view,
+    so the exchange carries two int64s per distinct-value-per-block
+    regardless of value width — then a metadata-sized per-column count.
+    NULLs are excluded from distinct (SQL count(DISTINCT) semantics)
+    and counted separately."""
+    import pyarrow.compute as pc
+
+    cols = tuple(columns)
+
+    def _keys(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(valid mask, int64 key per valid value)."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = np.asarray(pc.is_valid(arr))
+        dropped = arr.drop_null()
+        t = dropped.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            k = T.md5_u64(np.asarray(dropped, dtype=object)
+                          ).view(np.int64)
+        elif pa.types.is_timestamp(t):
+            k = dropped.cast(pa.int64()).to_numpy()
+        elif pa.types.is_floating(t):
+            k = dropped.to_numpy().astype(np.float64).view(np.int64)
+        else:
+            k = dropped.cast(pa.int64()).to_numpy()
+        return valid, k
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        nulls = [n - int(np.asarray(pc.is_valid(
+            batch[c].combine_chunks()
+            if isinstance(batch[c], pa.ChunkedArray) else batch[c])).sum())
+            for c in cols]
+        return pa.table({
+            "column": pa.array(list(cols), pa.string()),
+            "n_rows": np.full(len(cols), n, np.int64),
+            "n_nulls": np.array(nulls, np.int64),
+        })
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        out_c, out_k = [], []
+        for ci, c in enumerate(cols):
+            _, k = _keys(batch[c])
+            u = np.unique(k)
+            out_c.append(np.full(len(u), ci, np.int64))
+            out_k.append(u)
+        return pa.table({"col": np.concatenate(out_c),
+                         "k": np.concatenate(out_k)})
+
+    def count_per_col(batch: pa.Table) -> pa.Table:
+        col = batch["col"].to_numpy()
+        return pa.table({
+            "col": np.arange(len(cols), dtype=np.int64),
+            "nd": np.bincount(col, minlength=len(cols)).astype(np.int64),
+        })
+
+    distinct = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+                .groupby(["col", "k"]).count()
+                .map_batches(count_per_col, batch_format="pyarrow")
+                .repartition(1))
+
+    base = (ds.map_batches(counts_partial, batch_format="pyarrow")
+            .repartition(1))
+
+    def base_final(batch: pa.Table) -> pa.Table:
+        cn = np.asarray(batch["column"], dtype=object)
+        uk, inv = np.unique(cn, return_inverse=True)
+        return pa.table({
+            "column": pa.array(uk, pa.string()),
+            "n_rows": np.bincount(
+                inv, weights=batch["n_rows"].to_numpy(),
+                minlength=len(uk)).astype(np.int64),
+            "n_nulls": np.bincount(
+                inv, weights=batch["n_nulls"].to_numpy(),
+                minlength=len(uk)).astype(np.int64),
+        })
+
+    def nd_final(batch: pa.Table) -> pa.Table:
+        col = batch["col"].to_numpy()
+        nd = np.bincount(col, weights=batch["nd"].to_numpy(),
+                         minlength=len(cols)).astype(np.int64)
+        names = np.array(sorted(cols), dtype=object)
+        order = np.argsort(np.array(cols, dtype=object), kind="stable")
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "n_distinct": nd[order],
+        })
+
+    b = base.map_batches(base_final, batch_format="pyarrow",
+                         batch_size=None)
+    d = distinct.map_batches(nd_final, batch_format="pyarrow",
+                             batch_size=None)
+
+    def zip_final(batch: pa.Table) -> pa.Table:
+        # both inputs are |columns|-row tables keyed by column name;
+        # combine via a union + per-name merge (no join machinery for a
+        # metadata-sized result)
+        cn = np.asarray(batch["column"], dtype=object)
+        uk, inv = np.unique(cn, return_inverse=True)
+
+        def m(col):
+            if col not in batch.column_names:
+                v = np.zeros(len(cn), np.int64)
+            else:
+                c_ = batch[col]
+                if isinstance(c_, pa.ChunkedArray):
+                    c_ = c_.combine_chunks()
+                # union null-fills the columns the other side lacks;
+                # a bare to_numpy would turn those NULLs into int64 min
+                v = np.asarray(pc.fill_null(c_, 0)).astype(np.int64)
+            return np.bincount(inv, weights=v,
+                               minlength=len(uk)).astype(np.int64)
+
+        return pa.table({
+            "column": pa.array(uk, pa.string()),
+            "n_rows": m("n_rows"),
+            "n_nulls": m("n_nulls"),
+            "n_distinct": m("n_distinct"),
+        })
+
+    merged = (b.union(d)
+              .repartition(1)
+              .map_batches(zip_final, batch_format="pyarrow",
+                           batch_size=None))
+    return merged
+
+
+def table_profile_sql(table: str = "documents",
+                      columns: tuple[str, ...] = PROFILE_COLUMNS) -> str:
+    selects = " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+            count(*) - count({c}) AS n_nulls,
+            count(DISTINCT {c}) AS n_distinct FROM {table}"""
+        for c in sorted(columns))
+    return f'{selects} ORDER BY "column"'

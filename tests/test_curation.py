@@ -182,3 +182,30 @@ def test_bm25_ranking_semantics(ray_session):
     out = bm25_topk(rd.from_arrow(tbl), terms=("needle",), k=3).to_pandas()
     assert out["doc_id"].tolist() == [0, 2]  # only matching docs, best first
     assert (out["score"] > 0).all()
+
+
+def test_table_profile_matches_oracle(ray_session, con):
+    from covertile import api_text
+    got = (api_text.QUERIES["table_profile"](SF)
+           .to_pandas().reset_index(drop=True))
+    want = con.execute(api_text.ORACLES["table_profile"]()).df()
+    _assert_frames_equal(got, want)
+
+
+def test_table_profile_counts_nulls_and_distinct(ray_session):
+    """Nulls are counted per column and excluded from distinct; float
+    values key by bit pattern; duplicates collapse."""
+    import ray.data as rd
+    from covertile.curation import table_profile
+
+    tbl = pa.table({
+        "a": pa.array([1, 1, 2, None, None], pa.int64()),
+        "b": pa.array([1.5, 1.5, None, 2.5, 0.0], pa.float64()),
+        "c": pa.array(["x", "x", "y", None, "z"]),
+    })
+    out = (table_profile(rd.from_arrow(tbl).repartition(3),
+                         columns=("a", "b", "c"))
+           .to_pandas().set_index("column"))
+    assert out.loc["a"].tolist() == [5, 2, 2]
+    assert out.loc["b"].tolist() == [5, 1, 3]
+    assert out.loc["c"].tolist() == [5, 1, 3]
