@@ -1423,10 +1423,12 @@ def dup_components(pairs_ds, max_rounds: int = 50, nbuckets: int = 8,
         raise AssertionError(f"no fixpoint after {max_rounds} rounds")
 
     tables = ray.get([a.labels_table.remote() for a in actors])
+    # from_arrow first: it copies the tables into driver-owned objects,
+    # so killing the owning actors afterwards can never unpin buffers
+    out = ray.data.from_arrow([t for t in tables if len(t)])
     for a in actors:
         ray.kill(a)
-    return (ray.data.from_arrow([t for t in tables if len(t)])
-            .sort("doc_id"))
+    return out.sort("doc_id")
 
 
 def dup_components_sql(tau: float = JACCARD_TAU, k: int = SHINGLE_K) -> str:
