@@ -39,6 +39,24 @@ def sql_ann_topk() -> str:
     return vecops.ann_topk_sql()
 
 
+def q_sq_stats(sf_dir: str):
+    return vecops.sq_stats(_emb(sf_dir))
+
+
+def sql_sq_stats() -> str:
+    return vecops.sq_stats_sql()
+
+
+def q_sq_ann_topk(sf_dir: str):
+    qid, qm = _queries_of(sf_dir)
+    return vecops.sq_ann_topk(_emb(sf_dir), qid, qm).sort(
+        ["query_id", "rank"])
+
+
+def sql_sq_ann_topk() -> str:
+    return vecops.sq_ann_topk_sql()
+
+
 def _centroids_of(sf_dir: str) -> "np.ndarray":
     """Deterministic centroids from a bounded head sample (O(4096) driver
     memory regardless of corpus size)."""
@@ -147,6 +165,8 @@ QUERIES = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
+    "sq_stats": q_sq_stats,
+    "sq_ann_topk": q_sq_ann_topk,
 }
 
 ORACLES = {
@@ -158,4 +178,6 @@ ORACLES = {
     "media_features": sql_media_features,
     "media_resize": sql_media_resize,
     "frame_sample": sql_frame_sample,
+    "sq_stats": sql_sq_stats,
+    "sq_ann_topk": sql_sq_ann_topk,
 }

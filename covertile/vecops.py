@@ -682,3 +682,120 @@ def ivf_topk_store(store_dir: str, query_ids: np.ndarray,
     return _topk_merge_bucketed(
         rd.read_parquet(files).map_batches(partial, batch_format="pyarrow"),
         k)
+
+
+# ------------------------------------------- int8 scalar quantization (SQ)
+
+def _sq_codes(m32: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    code = clip(floor(x/scale + 0.5), -127, 127) — every arithmetic step
+    (float32 abs/max, exact cast to float64, floor) is bitwise-mirrorable
+    in SQL, which is why round() is avoided (numpy rounds half-to-even,
+    DuckDB half-away).  Returns (scale float64 (n,), codes float64 (n,d)
+    integer-valued)."""
+    s = np.abs(m32).max(axis=1).astype(np.float64) / 127.0
+    x = m32.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.floor(x / s[:, None] + 0.5)
+    c = np.clip(c, -127.0, 127.0)
+    return s, np.where(s[:, None] > 0.0, c, 0.0)
+
+
+def sq_stats(emb_ds):
+    """Quantization audit -> (vec_id, scale, code_sum, code_min,
+    code_max) sorted by vec_id: the driver-checkable projection of the
+    int8 codes (full code arrays are asserted element-wise in pytest —
+    a list<int8> column would not survive the driver's hash compare).
+    Pure per-batch map; at 100 TB this is the compression pass that cuts
+    vector storage 4x before ANN serving."""
+    def part(batch: pa.Table) -> pa.Table:
+        ids, m = _raw_matrix(batch)
+        s, c = _sq_codes(m)
+        return pa.table({
+            "vec_id": ids,
+            "scale": s,
+            "code_sum": c.sum(1).astype(np.int64),
+            "code_min": c.min(1).astype(np.int64),
+            "code_max": c.max(1).astype(np.int64),
+        })
+
+    return emb_ds.map_batches(part, batch_format="pyarrow").sort("vec_id")
+
+
+_SQ_CODE = ("COALESCE(LEAST(GREATEST(floor(CAST(v AS DOUBLE) / "
+            "NULLIF(s, 0) + 0.5), -127), 127), 0)")
+_SQ_SCALE = ("CAST(list_max(list_transform(embedding, v -> abs(v))) "
+             "AS DOUBLE) / 127.0")
+
+
+def sq_stats_sql() -> str:
+    code = _SQ_CODE
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {_SQ_SCALE} AS s FROM embeddings)
+SELECT vec_id, s AS scale,
+       CAST(list_sum(list_transform(embedding, v -> {code}))
+            AS BIGINT) AS code_sum,
+       CAST(list_min(list_transform(embedding, v -> {code}))
+            AS BIGINT) AS code_min,
+       CAST(list_max(list_transform(embedding, v -> {code}))
+            AS BIGINT) AS code_max
+FROM d ORDER BY vec_id
+"""
+
+
+def sq_ann_topk(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                k: int = ANN_K):
+    """Cosine top-k where the CORPUS side is int8-dequantized (queries
+    stay full precision) — search over the 4x-compressed representation,
+    the serving shape at 100 TB of vectors.  Same broadcast-query /
+    tie-safe-partial / bucketed-merge machinery as ann_topk; ids-only
+    oracle (quantization error ~1e-2 dominates float-op ulp noise, and
+    ranking gaps are asserted in pytest the same way as ann_topk)."""
+    import ray
+
+    q_ref = ray.put((np.asarray(query_ids, np.int64), query_mat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(q_ref)
+        ids, m = _raw_matrix(batch)
+        s, c = _sq_codes(m)
+        deq = c * s[:, None]
+        nrm = np.sqrt((deq * deq).sum(1))
+        nrm[nrm == 0.0] = 1.0
+        deq /= nrm[:, None]
+        cos = qm @ deq.T
+        cos[qids[:, None] == ids[None, :]] = -np.inf
+        return _tie_safe_block_topk(qids, ids, cos, k)
+
+    return _topk_merge_bucketed(
+        emb_ds.map_batches(partial, batch_format="pyarrow"), k)
+
+
+def sq_ann_topk_sql(nq: int = ANN_NUM_QUERIES, k: int = ANN_K) -> str:
+    code = _SQ_CODE
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {nq}
+),
+d AS (SELECT vec_id, embedding, {_SQ_SCALE} AS s FROM embeddings),
+dq AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> {code} * s) AS deq
+  FROM d
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.deq) AS cos
+  FROM q, dq e WHERE e.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

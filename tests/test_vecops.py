@@ -372,3 +372,45 @@ def test_ivf_store_equals_inmemory_at_pruned_probes(ray_session, tmp_path):
                     axis=1)[:, : vecops.IVF_PROBES]
     probe = {f"bucket={int(b)}" for b in np.unique(pr)}
     assert probe <= all_b and (len(probe) < len(all_b) or len(all_b) <= 6)
+
+
+def test_sq_quantization_roundtrip_and_oracle(ray_session):
+    """int8 scalar quantization: codes match the DuckDB list expression
+    ELEMENT-WISE (the driver query only sees the checksum projection),
+    reconstruction error is bounded by scale/2, and codes stay in
+    [-127, 127]."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from covertile.vecops import _SQ_CODE, _SQ_SCALE, _raw_matrix, _sq_codes
+
+    SF = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids, m = _raw_matrix(t)
+    s, c = _sq_codes(m)
+    assert np.abs(c).max() <= 127
+    deq = c * s[:, None]
+    assert np.abs(deq - m.astype(np.float64)).max() <= (s.max() / 2) + 1e-12
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    sql = (f"WITH d AS (SELECT vec_id, embedding, {_SQ_SCALE} AS s "
+           f"FROM embeddings) "
+           f"SELECT vec_id, list_transform(embedding, v -> {_SQ_CODE}) "
+           f"AS codes FROM d ORDER BY vec_id")
+    want = con.execute(sql).df()
+    order = np.argsort(ids)
+    for row, codes in zip(order, want["codes"]):
+        assert np.array_equal(c[row], np.asarray(codes, np.float64)), ids[row]
+
+
+def test_sq_ann_recall_vs_exact(ray_session):
+    """Search over 4x-compressed vectors keeps high overlap with the
+    exact full-precision top-k (quantization noise ~1e-2 on unit
+    vectors)."""
+    from covertile import api_vec
+    SF = "/root/testdata/sf0.001"
+    exact = api_vec.QUERIES["ann_topk"](SF).to_pandas()
+    sq = api_vec.QUERIES["sq_ann_topk"](SF).to_pandas()
+    ek = set(zip(exact["query_id"], exact["neighbor_id"]))
+    sk = set(zip(sq["query_id"], sq["neighbor_id"]))
+    assert len(ek & sk) / len(ek) >= 0.8
