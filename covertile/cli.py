@@ -195,6 +195,37 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Data-quality profile of a parquet table: per-column rows / nulls /
+    exact distinct (curation.table_profile), printed as a table."""
+    _ray_session()
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from . import curation
+
+    cols = (args.columns.split(",") if args.columns
+            else pq.ParquetFile(args.input).schema_arrow.names)
+    ds = rd.read_parquet(args.input, columns=list(cols))
+    df = curation.table_profile(ds, columns=tuple(cols)).to_pandas()
+    print(df.to_string(index=False))
+    return 0
+
+
+def cmd_bm25(args) -> int:
+    """BM25 top-k lexical search over a documents parquet."""
+    _ray_session()
+    import ray.data as rd
+
+    from . import search
+
+    docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    df = search.bm25_topk(docs, terms=tuple(args.query.split()),
+                          k=args.k).to_pandas()
+    print(df.to_string(index=False))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m covertile.cli")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -230,6 +261,20 @@ def main(argv=None) -> int:
     p.add_argument("--min-tokens", type=size_int, default=40)
     p.add_argument("--overwrite", action="store_true")
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("profile")
+    p.add_argument("-i", "--input", required=True, help="parquet file")
+    p.add_argument("-c", "--columns", default=None,
+                   help="comma-separated column subset (default: all)")
+    p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("bm25")
+    p.add_argument("-i", "--input", required=True,
+                   help="documents parquet (doc_id, text)")
+    p.add_argument("-q", "--query", required=True,
+                   help="space-separated query terms")
+    p.add_argument("-k", type=size_int, default=10)
+    p.set_defaults(fn=cmd_bm25)
 
     args = ap.parse_args(argv)
     rc = args.fn(args)

@@ -119,3 +119,19 @@ def test_curate_refuses_foreign_directory(ray_session, tmp_path):
                      "-o", str(out), "--overwrite"]) == 0
     assert not keep.exists()
     assert (out / "_DONE").exists()
+
+
+def test_cli_profile_and_bm25(ray_session, capsys):
+    """The profile and bm25 subcommands run end-to-end and print their
+    result tables."""
+    from covertile import cli
+
+    SF = "/root/testdata/sf0.001"
+    assert cli.main(["profile", "-i", f"{SF}/documents.parquet",
+                     "-c", "doc_id,lang"]) == 0
+    out = capsys.readouterr().out
+    assert "doc_id" in out and "n_distinct" in out
+    assert cli.main(["bm25", "-i", f"{SF}/documents.parquet",
+                     "-q", "fast window", "-k", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "score" in out and "doc_id" in out
