@@ -269,13 +269,17 @@ def _knn_merge(group: pa.Table, k: int) -> pa.Table:
     return res
 
 
+KNN_SPILL_THRESHOLD_ROWS = 32_000_000
+
+
 def knn_join(index: Index, points_ds, k: int,
              concurrency: int | tuple = (2, 8),
              batch_size: int = 8192,
              init_radius: float | None = None,
              n_points_hint: int | None = None,
              mode: str = "groups",
-             spill_dir: str | None = None):
+             spill_dir: str | None = None,
+             spill: str | bool = "auto"):
     """Exact k-nearest-neighbor self-join (self excluded by doc id).
 
     North-rule extension (SURVEY.md J7, no reference implementation).
@@ -310,6 +314,14 @@ def knn_join(index: Index, points_ds, k: int,
     phase-1 task rewrites the SAME file instead of double-counting
     under a second random name.
 
+    spill="auto" (default): the parquet spill engages only when the
+    expected n*k done rows exceed KNN_SPILL_THRESHOLD_ROWS — below
+    that the whole intermediate is a few hundred MB and holding it as
+    object-store blocks skips a parquet write+read round trip measured
+    at ~2.3s of the 500k-point bench stage.  Unknown size (no
+    n_points_hint) spills, the safe-at-scale default.  True/False
+    force.  Results are bitwise identical either way.
+
     mode="groups"/"actors": see epsilon_graph.
     """
     import os
@@ -321,10 +333,14 @@ def knn_join(index: Index, points_ds, k: int,
 
     from .actors import KnnHomeActor
 
-    if spill_dir is None:
-        spill_dir = os.path.join(index.ckpt_dir,
-                                 f"knn-spill-{uuid.uuid4().hex}")
-    os.makedirs(spill_dir, exist_ok=True)
+    if spill == "auto":
+        spill = (n_points_hint is None
+                 or n_points_hint * k > KNN_SPILL_THRESHOLD_ROWS)
+    if spill:
+        if spill_dir is None:
+            spill_dir = os.path.join(index.ckpt_dir,
+                                     f"knn-spill-{uuid.uuid4().hex}")
+        os.makedirs(spill_dir, exist_ok=True)
 
     def spill_done(t: pa.Table) -> pa.Table:
         """Write this task's done rows (rank>0) to the spill, return only
@@ -407,18 +423,32 @@ def knn_join(index: Index, points_ds, k: int,
         )
 
     # done rows carry rank 1..k; the single pending row per undecided query
-    # has rank == 0 (dist = its d_k search bound).  The materialize here
-    # pins ONLY the pending sliver (and runs the spill side effect exactly
-    # once — the sliver must not be lazily re-executed per consumer).
-    pending = phase1.map_batches(
-        spill_done, batch_format="pyarrow").materialize()
+    # has rank == 0 (dist = its d_k search bound).
+    if spill:
+        # the materialize pins ONLY the pending sliver (and runs the
+        # spill side effect exactly once — the sliver must not be lazily
+        # re-executed per consumer)
+        pending = phase1.map_batches(
+            spill_done, batch_format="pyarrow").materialize()
 
-    def read_spill():
-        files = [os.path.join(spill_dir, f) for f in os.listdir(spill_dir)
-                 if f.endswith(".parquet")]
-        return rd.read_parquet(files) if files else None
+        def read_spill():
+            files = [os.path.join(spill_dir, f)
+                     for f in os.listdir(spill_dir)
+                     if f.endswith(".parquet")]
+            return rd.read_parquet(files) if files else None
 
-    done = read_spill()
+        done = read_spill()
+    else:
+        # sub-threshold job: the whole phase-1 output fits comfortably in
+        # the object store; filters over the materialized blocks replace
+        # the parquet round trip
+        full = phase1.materialize()
+        done = full.map_batches(
+            lambda t: t.filter(pc.greater(t["rank"], 0)),
+            batch_format="pyarrow")
+        pending = full.map_batches(
+            lambda t: t.filter(pc.equal(t["rank"], 0)),
+            batch_format="pyarrow").materialize()
     # count on the tiny materialized sliver is free (block metadata)
     if pending.count() == 0:
         return done if done is not None else pending.select_columns(

@@ -81,3 +81,23 @@ def test_knn_actors_equals_groups(built):
         assert np.array_equal(a[c].to_numpy(), b[c].to_numpy())
     assert np.array_equal(a["dist"].to_numpy().view(np.int64),
                           b["dist"].to_numpy().view(np.int64))
+
+
+def test_knn_spill_paths_identical(built):
+    """spill=True (parquet round trip) and spill=False (object-store
+    blocks) must produce bitwise-identical results."""
+    import numpy as np
+    from covertile.queries import knn_join
+
+    idx, pts = built
+    a = _sorted_df(knn_join(idx, pts, 8, spill=True),
+                   ["query_id", "rank"])
+    b = _sorted_df(knn_join(idx, pts, 8, spill=False),
+                   ["query_id", "rank"])
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.array_equal(av.view(np.int64), bv.view(np.int64)), c
+        else:
+            assert np.array_equal(av, bv), c
