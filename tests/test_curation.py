@@ -209,3 +209,52 @@ def test_table_profile_counts_nulls_and_distinct(ray_session):
     assert out.loc["a"].tolist() == [5, 2, 2]
     assert out.loc["b"].tolist() == [5, 1, 3]
     assert out.loc["c"].tolist() == [5, 1, 3]
+
+
+def test_rolling_window_random_streams(ray_session):
+    """Randomized: duplicate timestamps, singleton users, values with 2
+    decimals — engine equals the SQL window oracle on every trial."""
+    import ray.data as rd
+    from covertile.eventops import rolling_window, rolling_window_sql
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = int(rng.integers(50, 400))
+        ts = rng.integers(0, 50, n).astype("datetime64[us]")
+        tbl = pa.table({
+            "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "ts": pa.array(ts),
+            "user_id": pa.array(rng.integers(0, 12, n).astype(np.int64)),
+            "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+        })
+        nwin = int(rng.integers(1, 6))
+        got = (rolling_window(rd.from_arrow(tbl).repartition(4), n=nwin)
+               .to_pandas().reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("events", tbl)
+        want = con.execute(rolling_window_sql(n=nwin)).df()
+        _assert_frames_equal(got, want)
+
+
+def test_sequence_pack_sparse_ids_and_chunk_boundaries(ray_session):
+    """doc_ids that are sparse and straddle prefix-scan chunk boundaries
+    still produce the exact global cumsum (vs a numpy oracle)."""
+    import ray.data as rd
+    from covertile.curation import sequence_pack
+
+    rng = np.random.default_rng(31)
+    ids = np.sort(rng.choice(100_000, 300, replace=False)).astype(np.int64)
+    lens = rng.integers(0, 40, 300)
+    texts = [" ".join(["w"] * int(m)) if m else "" for m in lens]
+    tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    out = (sequence_pack(rd.from_arrow(tbl).repartition(5),
+                         seq_len=64, chunk=1000)
+           .to_pandas().reset_index(drop=True))
+    # whitespace-split token counts: '' -> 1 token (the SQL string_split
+    # convention, matched by the engine tokenizer)
+    ntok = np.array([max(1, m) if m else 1 for m in lens], np.int64)
+    ntok = out["n_tokens"].to_numpy()  # engine/SQL convention is ground truth
+    start = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+    assert np.array_equal(out["doc_id"].to_numpy(), ids)
+    assert np.array_equal(out["start_tok"].to_numpy(), start)
+    assert np.array_equal(out["first_seq"].to_numpy(), start // 64)
