@@ -557,6 +557,15 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
         pa.concat_tables(vecs.limit(V.ANN_NUM_QUERIES).iter_batches(
             batch_size=None, batch_format="pyarrow")))
     stage("ann_topk", lambda: V.ann_topk(vecs, qid, qm).count())
+    stage("sq_ann_topk", lambda: V.sq_ann_topk(vecs, qid, qm).count())
+
+    def run_bm25():
+        from covertile import search as S
+        # query with real vocabulary tokens (the corpus's hex-suffixed
+        # compounds — bare english words never occur in it)
+        return S.bm25_topk(docs, terms=tuple(vocab[:3])).count()
+
+    stage("bm25_topk", run_bm25)
 
     def run_emb_knn():
         qt = pa.concat_tables(vecs.limit(V.ANN_NUM_QUERIES).iter_batches(
