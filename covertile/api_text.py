@@ -219,6 +219,14 @@ def sql_table_profile() -> str:
     return curation.table_profile_sql()
 
 
+def q_dedup_corpus(sf_dir: str):
+    return T.dedup_corpus(_docs(sf_dir))
+
+
+def sql_dedup_corpus() -> str:
+    return T.dedup_corpus_sql()
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
@@ -242,6 +250,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "bm25_topk": q_bm25_topk,
     "table_profile": q_table_profile,
+    "dedup_corpus": q_dedup_corpus,
 }
 
 ORACLES = {
@@ -267,4 +276,5 @@ ORACLES = {
     "pii_scrub": sql_pii_scrub,
     "bm25_topk": sql_bm25_topk,
     "table_profile": sql_table_profile,
+    "dedup_corpus": sql_dedup_corpus,
 }

@@ -1536,3 +1536,45 @@ SELECT doc_id,
        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> text AS changed
 FROM documents ORDER BY doc_id
 """
+
+
+def dedup_corpus(docs_ds, tau: float = JACCARD_TAU, k: int = SHINGLE_K):
+    """End-to-end near-dup canonicalization — the composition a corpus
+    owner actually runs: exact n-gram Jaccard pairs -> connected
+    components -> keep each cluster's minimum doc_id, drop the rest.
+    -> surviving (doc_id) rows, sorted.
+
+    Scale shape: the component label table is node-sized (pair
+    endpoints only), so the drop set broadcasts via ray.put and the
+    corpus filter is a pure per-batch np.isin — the corpus itself never
+    shuffles.  Swap the pair source for minhash_lsh_pairs at scales
+    where exact Jaccard's candidate bound bites (module doc)."""
+    import ray
+
+    comp = dup_components(ngram_jaccard_pairs(docs_ds, tau, k))
+    drops = []
+    for b in comp.iter_batches(batch_size=None, batch_format="pyarrow"):
+        d = b["doc_id"].to_numpy()
+        c = b["cluster_id"].to_numpy()
+        drops.append(d[d != c])
+    drop = np.unique(np.concatenate(drops)) if drops else \
+        np.zeros(0, np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        mask = ~np.isin(ids, ray.get(drop_ref))
+        return pa.table({"doc_id": ids[mask]})
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_corpus_sql(tau: float = JACCARD_TAU, k: int = SHINGLE_K) -> str:
+    comp = dup_components_sql(tau, k).strip()
+    return f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({comp}) c WHERE c.doc_id != c.cluster_id
+)
+ORDER BY doc_id
+"""

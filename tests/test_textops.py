@@ -281,3 +281,21 @@ def test_normalize_parity_edge_cases():
         r"""SELECT trim(regexp_replace(lower(t), '\s+', ' ', 'g'))
             FROM (SELECT unnest(?) t)""", [texts]).df().iloc[:, 0].tolist()
     assert got == want
+
+
+def test_dedup_corpus_keeps_cluster_minimum(ray_session, con):
+    """Composition contract: survivors = all docs minus non-minimum
+    members of each near-dup cluster; matches the NOT IN oracle."""
+    from covertile import api_text
+    got = (api_text.QUERIES["dedup_corpus"](SF)
+           .to_pandas().reset_index(drop=True))
+    want = con.execute(api_text.ORACLES["dedup_corpus"]()).df()
+    assert len(got) == len(want)
+    assert np.array_equal(got["doc_id"].to_numpy(),
+                          want["doc_id"].to_numpy())
+    comp = (api_text.QUERIES["dup_components"](SF)
+            .to_pandas())
+    dropped = set(comp[comp.doc_id != comp.cluster_id]["doc_id"])
+    assert dropped.isdisjoint(set(got["doc_id"]))
+    assert set(comp[comp.doc_id == comp.cluster_id]["doc_id"]) <= set(
+        got["doc_id"])
