@@ -38,8 +38,11 @@ _PHI = np.uint64(0x9E3779B97F4A7C15)
 
 # ---------------------------------------------------------- sequence pack
 
+PACK_MAX_CHUNKS = 1_000_000  # driver offset-table bound (8 MB of int64s)
+
+
 def sequence_pack(docs_ds, seq_len: int = SEQ_LEN,
-                  chunk: int = PACK_CHUNK):
+                  chunk: int | None = None):
     """-> (doc_id, n_tokens, start_tok, first_seq, last_seq) sorted by
     doc_id: each document's exclusive global token offset under doc_id
     order and the packed-sequence range it lands in (seq = floor(token
@@ -48,11 +51,12 @@ def sequence_pack(docs_ds, seq_len: int = SEQ_LEN,
     Scale shape — a two-level prefix scan:
       1. token counts per doc (pure map, whitespace tokenizer mirrored
          by the SQL oracle) reduce per block to one row per doc-id
-         CHUNK (doc_id // chunk): the chunk-total table is metadata-
-         sized (n_docs / chunk rows) and combines on the driver, the
-         same partial+driver-combine shape as pipeline.compute_plan;
-         for corpora where even that table is too big, nest another
-         chunk level (the HierarchicalPlan precedent).
+         CHUNK (doc_id // chunk): the chunk-total table combines on the
+         driver, the same partial+driver-combine shape as
+         pipeline.compute_plan.  `chunk` auto-sizes from the id range
+         so the driver never holds more than PACK_MAX_CHUNKS offsets —
+         a trillion-doc corpus gets million-doc chunks (8 MB of
+         offsets), each still far below a group task's working set.
       2. exclusive chunk offsets broadcast (ray.put); ONE 256-way
          exchange on hash(chunk) where a vectorized multi-chunk pass
          (lexsort + segment cumsum, the sessionize discipline) assigns
@@ -61,8 +65,6 @@ def sequence_pack(docs_ds, seq_len: int = SEQ_LEN,
     and retry-safe."""
     import ray
     import pyarrow.compute as _pc
-
-    ck_of = lambda ids: ids // np.int64(chunk)  # noqa: E731
 
     def counts(batch: pa.Table) -> pa.Table:
         toks = T._token_lists(T._text_col(batch))
@@ -75,6 +77,13 @@ def sequence_pack(docs_ds, seq_len: int = SEQ_LEN,
     # tiny (doc_id, n_tokens) projection once instead of re-tokenizing
     counted = docs_ds.map_batches(counts,
                                   batch_format="pyarrow").materialize()
+
+    if chunk is None:
+        id_hi = counted.max("doc_id")
+        id_hi = int(id_hi) if id_hi is not None else 0
+        chunk = max(PACK_CHUNK, -(-(id_hi + 1) // PACK_MAX_CHUNKS))
+
+    ck_of = lambda ids: ids // np.int64(chunk)  # noqa: E731
 
     def chunk_partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
