@@ -79,6 +79,16 @@ def sql_rolling_window() -> str:
     return eventops.rolling_window_sql()
 
 
+def q_transition_counts(sf_dir: str):
+    return eventops.transition_counts(
+        _events(sf_dir, columns=("event_id", "ts", "user_id",
+                                 "event_type")))
+
+
+def sql_transition_counts() -> str:
+    return eventops.transition_counts_sql()
+
+
 QUERIES = {
     "events_window": q_tumbling_window,
     "sessionize": q_sessionize,
@@ -88,6 +98,7 @@ QUERIES = {
     "hopping_window": q_hopping_window,
     "props_stats": q_props_stats,
     "rolling_window": q_rolling_window,
+    "transition_counts": q_transition_counts,
 }
 
 ORACLES = {
@@ -99,4 +110,5 @@ ORACLES = {
     "hopping_window": sql_hopping_window,
     "props_stats": sql_props_stats,
     "rolling_window": sql_rolling_window,
+    "transition_counts": sql_transition_counts,
 }

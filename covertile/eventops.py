@@ -992,3 +992,106 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN {int(n) - 1} PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------- transition counts
+
+def transition_counts(events_ds):
+    """Per-user behavioral transitions: count of consecutive event-type
+    pairs under (ts, event_id) order -> (prev_type, next_type, n),
+    sorted.  The Markov-matrix aggregate a behavioral-analytics pipeline
+    derives before modeling; SQL mirrors it with lead() over the user
+    partition.
+
+    Scale shape: one 256-way user-hash exchange of a 3-column
+    projection (the funnel discipline); inside a group ALL users'
+    transitions count in one vectorized pass (lexsort + adjacent-pair
+    dictionary codes), reducing to one row per (type, type) pair —
+    type-cardinality-squared metadata — before the coalesce-tree
+    combine.  No ray groupby (see tumbling_window)."""
+    import pyarrow.compute as pc
+
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+
+    def route(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            "bk": ((uid.astype(np.uint64) * PHI)
+                   >> np.uint64(56)).astype(np.int64),
+            "user_id": uid, "ts": ts,
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    def agg(group: pa.Table) -> pa.Table:
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "next_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        m = len(group)
+        if m < 2:
+            return empty
+        uid = group["user_id"].to_numpy()
+        ts = group["ts"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        et = group["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        dct = pc.dictionary_encode(et)
+        codes = np.asarray(dct.indices).astype(np.int64)
+        tvals = dct.dictionary
+        ntypes = max(len(tvals), 1)
+        order = np.lexsort((eid, ts, uid))
+        uid, codes = uid[order], codes[order]
+        same_user = uid[1:] == uid[:-1]
+        key = codes[:-1][same_user] * np.int64(ntypes) \
+            + codes[1:][same_user]
+        if len(key) == 0:
+            return empty
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "prev_type": tvals.take(pa.array(uk // ntypes)),
+            "next_type": tvals.take(pa.array(uk % ntypes)),
+            "n": cnt.astype(np.int64),
+        })
+
+    def combine(batch: pa.Table) -> pa.Table:
+        # integer pair keys via per-column uniques (numpy fixed-width
+        # strings silently drop separator characters — never build
+        # composite string keys)
+        a = np.asarray(batch["prev_type"], dtype=object)
+        b = np.asarray(batch["next_type"], dtype=object)
+        ua, ia = np.unique(a, return_inverse=True)
+        ub, ib = np.unique(b, return_inverse=True)
+        nb = max(len(ub), 1)
+        key = ia * np.int64(nb) + ib
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, weights=batch["n"].to_numpy(),
+                        minlength=len(uk)).astype(np.int64)
+        out = pa.table({
+            "prev_type": pa.array(ua[uk // nb], pa.string()),
+            "next_type": pa.array(ub[uk % nb], pa.string()),
+            "n": n,
+        })
+        return out.sort_by([("prev_type", "ascending"),
+                            ("next_type", "ascending")])
+
+    return (events_ds.map_batches(route, batch_format="pyarrow")
+            .groupby("bk").map_groups(agg, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def transition_counts_sql() -> str:
+    return """
+WITH nxt AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, count(*) AS n
+FROM nxt WHERE next_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""

@@ -320,3 +320,36 @@ def test_hopping_window_non_multiple_width(ray_session, con):
             assert np.array_equal(a.view(np.int64), b.view(np.int64)), c
         else:
             assert np.array_equal(a, b), c
+
+
+def test_transition_counts_matches_oracle(ray_session, con):
+    from covertile import api_events
+    got = (api_events.QUERIES["transition_counts"](SF)
+           .to_pandas().reset_index(drop=True))
+    want = con.execute(api_events.ORACLES["transition_counts"]()).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert str(got[c].dtype) == str(want[c].dtype), c
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_transition_counts_ordering_semantics(ray_session):
+    """Ties on ts order by event_id; users never mix; single-event users
+    contribute nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.eventops import transition_counts
+
+    ts = np.array([0, 1, 1, 2, 9], dtype="datetime64[us]")
+    tbl = pa.table({
+        "event_id": pa.array([1, 3, 2, 4, 9], pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["a", "c", "b", "a", "z"]),
+    })
+    out = (transition_counts(rd.from_arrow(tbl).repartition(3))
+           .to_pandas())
+    # user 1 order: (0,id1)a (1,id2)b (1,id3)c (2,id4)a -> ab, bc, ca
+    got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}
