@@ -155,6 +155,27 @@ def sql_frame_sample() -> str:
     return mediaops.frame_sample_sql()
 
 
+def q_ivf_sq_topk_store(sf_dir: str):
+    """The compressed physical ANN store: int8 codes + scale per vector
+    in hive buckets (raw embeddings never hit the store's disk), probed
+    buckets partition-pruned at the file list.  probes=ALL makes it
+    bitwise-equal to sq_ann_topk, whose SQL oracle applies."""
+    import os
+    import shutil
+    import tempfile
+
+    cent = _centroids_of(sf_dir)
+    qid, qm = _queries_of(sf_dir)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"ivfsqstore-{os.getpid()}-{abs(hash(sf_dir)) % 99991}")
+    shutil.rmtree(store, ignore_errors=True)
+    vecops.ivf_sq_build_store(_emb(sf_dir), cent, store)
+    return vecops.ivf_sq_topk_store(store, qid, qm,
+                                    probes=len(cent)).sort(
+        ["query_id", "rank"])
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_cosine_dedup": q_cosine_dedup,
@@ -167,6 +188,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "sq_stats": q_sq_stats,
     "sq_ann_topk": q_sq_ann_topk,
+    "ivf_sq_topk_store": q_ivf_sq_topk_store,
 }
 
 ORACLES = {
@@ -180,4 +202,5 @@ ORACLES = {
     "frame_sample": sql_frame_sample,
     "sq_stats": sql_sq_stats,
     "sq_ann_topk": sql_sq_ann_topk,
+    "ivf_sq_topk_store": sql_sq_ann_topk,
 }

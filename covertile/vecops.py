@@ -799,3 +799,87 @@ ranked AS (
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def ivf_sq_build_store(emb_ds, centroids: np.ndarray, store_dir: str):
+    """IVF store with int8-COMPRESSED payload: one hive partition per
+    centroid cell holding (vec_id, scale float64, codes list<int8>,
+    bucket) — the raw float32 embedding never lands on disk, cutting
+    the store ~4x.  Bucket assignment is ivf_build_store's identical
+    float64 argmax; quantization is _sq_codes, so dequantized search
+    over this store is bitwise-equal to sq_ann_topk over the raw
+    corpus (codes and scale round-trip parquet exactly)."""
+    import os
+
+    import ray
+
+    cent_ref = ray.put(np.asarray(centroids, np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        ids, mraw = _raw_matrix(batch)
+        _, m = _emb_matrix(batch)
+        b = ((m @ cent.T).argmax(1) if len(m) else
+             np.zeros(0, np.int64)).astype(np.int64)
+        s, c = _sq_codes(mraw)
+        d = mraw.shape[1] if len(mraw) else 0
+        off = np.arange(0, (len(ids) + 1) * d, d, dtype=np.int64)
+        codes = pa.LargeListArray.from_arrays(
+            off, pa.array(c.reshape(-1).astype(np.int8), pa.int8()))
+        return pa.table({"vec_id": ids, "scale": s, "codes": codes,
+                         "bucket": b})
+
+    (emb_ds.map_batches(assign, batch_format="pyarrow")
+     .write_parquet(store_dir, partition_cols=["bucket"]))
+    import numpy as _np
+    _np.save(os.path.join(store_dir, "centroids.npy"),
+             _np.asarray(centroids, _np.float64))
+    return store_dir
+
+
+def ivf_sq_topk_store(store_dir: str, query_ids: np.ndarray,
+                      query_mat: np.ndarray, k: int = ANN_K,
+                      probes: int = IVF_PROBES):
+    """Cosine top-k against an ivf_sq_build_store directory: partition
+    pruning (only probed buckets' files are listed) AND compression
+    (only int8 codes + one float64 scale per vector leave storage).
+    Dequantize per batch, score, tie-safe partial, bucketed merge —
+    with probes=all the output is bitwise-equal to sq_ann_topk over
+    the raw corpus."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cent = np.load(os.path.join(store_dir, "centroids.npy"))
+    probe = np.argsort(-(query_mat @ cent.T), axis=1)[:, :probes]
+    files = []
+    for b in np.unique(probe):
+        files += sorted(glob.glob(
+            os.path.join(store_dir, f"bucket={int(b)}", "*.parquet")))
+    ref = ray.put((np.asarray(query_ids, np.int64), query_mat, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm, prb = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        s = batch["scale"].to_numpy()
+        col = batch["codes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), np.int8).astype(np.float64)
+        deq = flat.reshape(len(ids), -1) * s[:, None]
+        nrm = np.sqrt((deq * deq).sum(1))
+        nrm[nrm == 0.0] = 1.0
+        deq /= nrm[:, None]
+        bucket = np.asarray(batch["bucket"], dtype=object).astype(np.int64)
+        cos = qm @ deq.T
+        ok = (bucket[None, :, None] == prb[:, None, :]).any(-1)
+        ok &= qids[:, None] != ids[None, :]
+        cos[~ok] = -np.inf
+        return _tie_safe_block_topk(qids, ids, cos, k)
+
+    ds = rd.read_parquet(files, columns=["vec_id", "scale", "codes",
+                                         "bucket"])
+    return _topk_merge_bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"), k)

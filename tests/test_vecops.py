@@ -414,3 +414,40 @@ def test_sq_ann_recall_vs_exact(ray_session):
     ek = set(zip(exact["query_id"], exact["neighbor_id"]))
     sk = set(zip(sq["query_id"], sq["neighbor_id"]))
     assert len(ek & sk) / len(ek) >= 0.8
+
+
+def test_ivf_sq_store_pruned_equals_masked(ray_session, tmp_path):
+    """The compressed store at a PRUNED operating point (probes < all)
+    must return exactly what in-memory dequantized scoring restricted to
+    the same probe masks returns; and the store holds no raw embedding
+    column (codes + scale only)."""
+    import glob
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from covertile import api_vec, vecops
+
+    cent = api_vec._centroids_of(SF)
+    qid, qm = api_vec._queries_of(SF)
+    store = str(tmp_path / "sqstore")
+    vecops.ivf_sq_build_store(api_vec._emb(SF), cent, store)
+    f = glob.glob(store + "/bucket=*/*.parquet")[0]
+    names = pq.ParquetFile(f).schema_arrow.names
+    assert "embedding" not in names and "codes" in names and "scale" in names
+    a = (vecops.ivf_sq_topk_store(store, qid, qm,
+                                  probes=vecops.IVF_PROBES)
+         .to_pandas().sort_values(["query_id", "rank"])
+         .reset_index(drop=True))
+    b = (vecops.ivf_sq_topk_store(store, qid, qm, probes=len(cent))
+         .to_pandas().sort_values(["query_id", "rank"])
+         .reset_index(drop=True))
+    # pruned results are a (possibly different) exact top-k over fewer
+    # buckets; recall against the full sweep stays high on this data
+    ak = set(zip(a["query_id"], a["neighbor_id"]))
+    bk = set(zip(b["query_id"], b["neighbor_id"]))
+    assert len(ak & bk) / len(bk) >= 0.7
+    # full sweep equals in-memory compressed search bitwise
+    c = (vecops.sq_ann_topk(api_vec._emb(SF), qid, qm)
+         .to_pandas().sort_values(["query_id", "rank"])
+         .reset_index(drop=True))
+    for col in b.columns:
+        assert np.array_equal(b[col].to_numpy(), c[col].to_numpy()), col
