@@ -23,6 +23,8 @@ north-rule training-data extensions like textops/eventops.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -190,10 +192,11 @@ def split_contamination(docs_ds, k: int = CONTAM_K,
 
     Scale shape: per-block partials pre-sum the one-hot split columns
     per shingle, then ONE shuffle keyed by shingle hash; the final
-    filter keeps only multi-split shingles.  Shingle extraction reuses
-    the flat-buffer windowing of textops.shingle_batch but hashes the
-    actual substrings (md5_u64) so the keys are value-equal to the SQL
-    oracle, not just cardinality-equal."""
+    filter keeps only multi-split shingles.  Shingle extraction windows
+    the flat UTF-8 buffer at CODEPOINT boundaries (character windows,
+    not byte windows) and md5-hashes each window's raw bytes — exactly
+    what DuckDB's md5(substr(text, i, k)) hashes — so the keys are
+    value-equal to the SQL oracle for arbitrary non-ASCII text."""
     pct = dict(T.SPLIT_PCT if split_pct is None else split_pct)
     names = sorted(pct)
     edges = np.cumsum([pct[n] for n in names])
@@ -213,21 +216,38 @@ def split_contamination(docs_ds, k: int = CONTAM_K,
         off = np.frombuffer(ta.buffers()[1], np.int64)[
             ta.offset: ta.offset + len(ta) + 1]
         data = np.frombuffer(ta.buffers()[2], np.uint8)
-        blen = np.diff(off)
-        n_sh = np.maximum(0, blen - k + 1)
+        # CHARACTER-based k-windows (not byte windows): window boundaries
+        # sit on UTF-8 codepoint starts, so every window is valid UTF-8
+        # and its raw bytes are exactly what DuckDB's md5(substr(text,i,k))
+        # hashes — bitwise oracle parity for arbitrary non-ASCII text.
+        seg = data[off[0]: off[-1]]
+        char_pos = off[0] + np.flatnonzero((seg & 0xC0) != 0x80)
+        char_pos_ext = np.append(char_pos, off[-1])
+        char_cnt = np.searchsorted(char_pos, off)   # chars before each doc
+        n_sh = np.maximum(0, np.diff(char_cnt) - k + 1)
         tot = int(n_sh.sum())
         rows = np.repeat(np.arange(len(ids)), n_sh)
         excl = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
-        starts = (np.repeat(off[:-1], n_sh)
+        w_char = (np.repeat(char_cnt[:-1], n_sh)
                   + (np.arange(tot) - np.repeat(excl, n_sh)))
-        # (tot, k) byte matrix -> batch-deduped substrings -> md5_u64
-        win = data[starts[:, None] + np.arange(k)[None, :]]
+        b_start = char_pos_ext[w_char]
+        wlen = char_pos_ext[w_char + k] - b_start
+        # padded (tot, maxw) byte matrix; 0xFF never occurs in valid UTF-8
+        # so padding cannot collide with real window bytes
+        maxw = int(wlen.max()) if tot else k
+        j = np.arange(maxw)[None, :]
+        win = np.full((tot, maxw), 0xFF, np.uint8)
+        valid = j < wlen[:, None]
+        gather = np.minimum(b_start[:, None] + j, len(data) - 1)
+        win[valid] = data[gather][valid]
         void = np.ascontiguousarray(win).view(
-            np.dtype((np.void, k))).ravel()
+            np.dtype((np.void, maxw))).ravel()
         u_void, sub_inv = np.unique(void, return_inverse=True)
-        sub_strs = np.array([v.tobytes().decode("utf-8", "surrogateescape")
-                             for v in u_void], dtype=object)
-        h_uniq = T.md5_u64(sub_strs)
+        h_uniq = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(v.tobytes().rstrip(b"\xff")).digest()[:8],
+                "big") for v in u_void),
+            dtype=np.uint64, count=len(u_void))
         h = h_uniq[sub_inv]
         # distinct (doc, shingle) pairs; the key rides the exchange as a
         # SIGNED int64 view (ray's sort/groupby has no uint64 path — it

@@ -837,11 +837,14 @@ def props_stats(events_ds):
         # sum/min/max skip NULLs while count(*) does not — mirror that
         # (an unfiltered to_numpy would turn NULL into NaN and silently
         # poison bincount/reduceat)
-        kf = ks.field("k")
-        valid = np.asarray(pc.is_valid(kf).combine_chunks()
-                           if isinstance(kf, pa.ChunkedArray)
-                           else pc.is_valid(kf))
-        k = np.asarray(pc.fill_null(kf, "0").cast(pa.int64()))
+        # validity lives on the STRUCT slot — this pyarrow's .field() of a
+        # null struct row yields "" (non-null), so is_valid on the child
+        # would claim every row matched
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        valid = np.asarray(pc.is_valid(ks))
+        kf = pc.if_else(pa.array(valid), ks.field("k"), "0")
+        k = np.asarray(kf.cast(pa.int64()))
         uk, inv = np.unique(et, return_inverse=True)
         nk = len(uk)
         invv, kv = inv[valid], k[valid]
@@ -852,6 +855,7 @@ def props_stats(events_ds):
         return pa.table({
             "event_type": pa.array(uk, pa.string()),
             "n": np.bincount(inv, minlength=nk).astype(np.int64),
+            "n_k": np.bincount(invv, minlength=nk).astype(np.int64),
             "sum_k": np.bincount(invv, weights=kv,
                                  minlength=nk).astype(np.int64),
             "min_k": min_k,
@@ -870,13 +874,25 @@ def props_stats(events_ds):
                         minlength=m).astype(np.int64)
         s = np.bincount(inv, weights=batch["sum_k"].to_numpy(),
                         minlength=m).astype(np.int64)
+        nk = np.bincount(inv, weights=batch["n_k"].to_numpy(),
+                         minlength=m).astype(np.int64)
         mn = np.full(m, BIG, np.int64)
         mx = np.full(m, -BIG, np.int64)
         np.minimum.at(mn, inv, batch["min_k"].to_numpy())
         np.maximum.at(mx, inv, batch["max_k"].to_numpy())
+        # SQL aggregate NULL semantics: a group whose every row lacks a
+        # valid "k" yields NULL sum/min/max (count(*) is unaffected) —
+        # not the BIG/-BIG/0 running sentinels
+        mask = pa.array(nk == 0)
         return pa.table({
             "event_type": pa.array(uk, pa.string()),
-            "n": n, "sum_k": s, "min_k": mn, "max_k": mx,
+            "n": n,
+            "sum_k": pc.if_else(mask, pa.nulls(m, pa.int64()),
+                                pa.array(s, pa.int64())),
+            "min_k": pc.if_else(mask, pa.nulls(m, pa.int64()),
+                                pa.array(mn, pa.int64())),
+            "max_k": pc.if_else(mask, pa.nulls(m, pa.int64()),
+                                pa.array(mx, pa.int64())),
         })
 
     return (events_ds.map_batches(partial, batch_format="pyarrow")

@@ -83,6 +83,10 @@ def png_meta(buf: bytes) -> tuple[int, int, int, int]:
         if typ == b"IHDR":
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
+            if data[12] != 0:
+                raise NotImplementedError(
+                    "Adam7-interlaced PNG (IHDR interlace=1); native "
+                    "path covers non-interlaced images only")
             return w, h, data[8], data[9]
     raise ValueError("PNG missing IHDR")
 

@@ -1293,6 +1293,11 @@ def dup_components(pairs_ds, max_rounds: int = 50, nbuckets: int = 8,
             self._eu, self._ev = [], []
 
         def add_edges(self, u: np.ndarray, v: np.ndarray) -> None:
+            if self._eu is None:
+                # lineage-re-executed push arriving after finalize():
+                # the edge tables are already built and a duplicate
+                # edge batch cannot change the components — drop it
+                return
             self._eu.append(u)
             self._ev.append(v)
 

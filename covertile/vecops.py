@@ -818,11 +818,17 @@ def ivf_sq_build_store(emb_ds, centroids: np.ndarray, store_dir: str):
     def assign(batch: pa.Table) -> pa.Table:
         cent = ray.get(cent_ref)
         ids, mraw = _raw_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "scale": pa.array([], pa.float64()),
+                "codes": pa.array([], pa.large_list(pa.int8())),
+                "bucket": pa.array([], pa.int64()),
+            })
         _, m = _emb_matrix(batch)
-        b = ((m @ cent.T).argmax(1) if len(m) else
-             np.zeros(0, np.int64)).astype(np.int64)
+        b = (m @ cent.T).argmax(1).astype(np.int64)
         s, c = _sq_codes(mraw)
-        d = mraw.shape[1] if len(mraw) else 0
+        d = mraw.shape[1]
         off = np.arange(0, (len(ids) + 1) * d, d, dtype=np.int64)
         codes = pa.LargeListArray.from_arrays(
             off, pa.array(c.reshape(-1).astype(np.int8), pa.int8()))
@@ -863,6 +869,10 @@ def ivf_sq_topk_store(store_dir: str, query_ids: np.ndarray,
     def partial(batch: pa.Table) -> pa.Table:
         qids, qm, prb = ray.get(ref)
         ids = batch["vec_id"].to_numpy()
+        if len(ids) == 0:
+            return _tie_safe_block_topk(
+                qids, ids.astype(np.int64),
+                np.zeros((len(qids), 0), np.float64), k)
         s = batch["scale"].to_numpy()
         col = batch["codes"]
         if isinstance(col, pa.ChunkedArray):

@@ -118,6 +118,35 @@ def test_split_contamination_finds_planted_leak(ray_session):
             .astype(bool).sum(axis=1) >= 2).all()
 
 
+def test_split_contamination_non_ascii_matches_oracle(ray_session):
+    """Shingle windows are CHARACTER-based (UTF-8 codepoint boundaries),
+    bitwise-equal to DuckDB's md5(substr(text, i, k)) on multibyte text —
+    the round-3 byte-window implementation crashed (UnicodeEncodeError)
+    and diverged from the char-based oracle here."""
+    import ray.data as rd
+    from covertile.curation import split_contamination, split_contamination_sql
+
+    from covertile import textops as T
+
+    leak = "héllo wörld — caffé 日本語テキスト naïve"
+    # pick doc ids that land in three different splits
+    cand = np.arange(200, dtype=np.int64)
+    names = sorted(T.SPLIT_PCT)
+    edges = np.cumsum([T.SPLIT_PCT[n] for n in names])
+    sel = np.searchsorted(edges, T._sample_bucket(cand), side="right")
+    ids = np.array([cand[sel == s][0] for s in range(len(names))]
+                   + [cand[sel == 0][1], cand[sel == 1][1]], dtype=np.int64)
+    texts = [leak, leak + " tail", "prefix " + leak, leak, "unrelated text"]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    got = split_contamination(rd.from_arrow(tbl)).to_pandas()
+    c = duckdb.connect()
+    c.register("documents", tbl)
+    want = c.sql(split_contamination_sql()).df()
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+
+
 def test_rolling_window_boundary_semantics(ray_session):
     """Ties on ts break by event_id; windows shorter than N at the
     start of a user's history; exact cents arithmetic."""

@@ -32,6 +32,34 @@ def test_event_query_matches_oracle(ray_session, con, name):
             assert np.array_equal(a, b), c_
 
 
+def test_props_stats_all_null_group_yields_nulls(ray_session):
+    """An event_type whose every row lacks a valid "k" must emit NULL
+    sum/min/max (SQL aggregate semantics), not BIG/-BIG/0 sentinels."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.eventops import props_stats, props_stats_sql
+
+    tbl = pa.table({
+        "event_type": pa.array(["a", "a", "b", "b", "c"]),
+        "props": pa.array(['{"k": 3}', '{"k": 7}',
+                           '{"x": 1}', "{}", '{"k": 11}']),
+    })
+    got = props_stats(rd.from_arrow(tbl)).to_pandas()
+    c = duckdb.connect()
+    c.register("events", tbl)
+    want = c.sql(props_stats_sql()).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == 3
+    for col in got.columns:
+        a, b = got[col].to_numpy(), want[col].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.array_equal(a, b, equal_nan=True), col
+        else:
+            assert np.array_equal(a, b), col
+    b_row = got[got["event_type"] == "b"].iloc[0]
+    assert np.isnan(b_row["sum_k"]) and np.isnan(b_row["min_k"])
+
+
 def test_sessionize_gap_semantics(ray_session):
     """Synthetic: one user, events at 0, 10, 50, 95 min with 30-min gap ->
     sessions {0,10}, {50}, {95}."""

@@ -416,6 +416,27 @@ def test_sq_ann_recall_vs_exact(ray_session):
     assert len(ek & sk) / len(ek) >= 0.8
 
 
+def test_ivf_sq_store_handles_empty_blocks(ray_session, tmp_path):
+    """A zero-row block through ivf_sq_build_store.assign (np.arange step
+    d=0) or ivf_sq_topk_store.partial (reshape(0,-1)) must not crash —
+    streaming pipelines routinely produce empty blocks after filters."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import api_vec, vecops
+
+    cent = api_vec._centroids_of(SF)
+    qid, qm = api_vec._queries_of(SF)
+    emb = api_vec._emb(SF)
+    tbl = emb.take_batch(64, batch_format="pyarrow")
+    empty = tbl.slice(0, 0)
+    ds = rd.from_arrow([empty, tbl, empty])
+    store = str(tmp_path / "sqstore_empty")
+    vecops.ivf_sq_build_store(ds, cent, store)
+    out = (vecops.ivf_sq_topk_store(store, qid, qm, probes=len(cent))
+           .to_pandas())
+    assert len(out) > 0
+
+
 def test_ivf_sq_store_pruned_equals_masked(ray_session, tmp_path):
     """The compressed store at a PRUNED operating point (probes < all)
     must return exactly what in-memory dequantized scoring restricted to
