@@ -13,6 +13,14 @@ def _events(sf_dir: str, columns=("event_id", "ts", "user_id",
     return read_table(sf_dir, "events", columns)
 
 
+def _fanout(sf_dir: str) -> int:
+    """Row-count-aware bucket count for the user-hash exchanges: parquet
+    footer metadata (free) caps rows-per-bucket at scale; cluster CPUs
+    floor the parallelism (sizing.fanout)."""
+    from . import sizing
+    return sizing.fanout(sizing.table_rows(sf_dir, "events"))
+
+
 def q_tumbling_window(sf_dir: str):
     return eventops.tumbling_window(_events(sf_dir))
 
@@ -22,7 +30,8 @@ def sql_tumbling_window() -> str:
 
 
 def q_sessionize(sf_dir: str):
-    return eventops.sessionize(_events(sf_dir))
+    return eventops.sessionize(_events(sf_dir),
+                     nbuckets=_fanout(sf_dir))
 
 
 def sql_sessionize() -> str:
@@ -30,7 +39,8 @@ def sql_sessionize() -> str:
 
 
 def q_asof_join(sf_dir: str):
-    return eventops.asof_join(_events(sf_dir))
+    return eventops.asof_join(_events(sf_dir),
+                     nbuckets=_fanout(sf_dir))
 
 
 def sql_asof_join() -> str:
@@ -38,7 +48,8 @@ def sql_asof_join() -> str:
 
 
 def q_range_join(sf_dir: str):
-    return eventops.range_join(_events(sf_dir))
+    return eventops.range_join(_events(sf_dir),
+                     nbuckets=_fanout(sf_dir))
 
 
 def sql_range_join() -> str:
@@ -54,7 +65,8 @@ def sql_hopping_window() -> str:
 
 
 def q_funnel(sf_dir: str):
-    return eventops.funnel(_events(sf_dir))
+    return eventops.funnel(_events(sf_dir),
+                     nbuckets=_fanout(sf_dir))
 
 
 def sql_funnel() -> str:
@@ -72,7 +84,8 @@ def sql_props_stats() -> str:
 
 def q_rolling_window(sf_dir: str):
     return eventops.rolling_window(
-        _events(sf_dir, columns=("event_id", "ts", "user_id", "value")))
+        _events(sf_dir, columns=("event_id", "ts", "user_id", "value")),
+        nbuckets=_fanout(sf_dir))
 
 
 def sql_rolling_window() -> str:
@@ -82,7 +95,8 @@ def sql_rolling_window() -> str:
 def q_transition_counts(sf_dir: str):
     return eventops.transition_counts(
         _events(sf_dir, columns=("event_id", "ts", "user_id",
-                                 "event_type")))
+                                 "event_type")),
+        nbuckets=_fanout(sf_dir))
 
 
 def sql_transition_counts() -> str:

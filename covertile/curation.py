@@ -111,11 +111,13 @@ def sequence_pack(docs_ds, seq_len: int = SEQ_LEN,
     offs = np.concatenate(([0], np.cumsum(totals)[:-1]))
     offsets_ref = ray.put((uk, offs))
 
+    from .sizing import bucket_shift
+    _shift = bucket_shift()
+
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         ck = ck_of(ids)
-        bk = ((ck.astype(np.uint64) * _PHI)
-              >> np.uint64(56)).astype(np.int64)
+        bk = ((ck.astype(np.uint64) * _PHI) >> _shift).astype(np.int64)
         return pa.table({"bk": bk, "doc_id": ids,
                          "n_tokens": batch["n_tokens"]})
 

@@ -34,6 +34,14 @@ SESSION_GAP_MINUTES = 30
 _US_PER_MIN = 60_000_000
 
 
+def _bucket_shift(nbuckets: int | None) -> np.uint64:
+    """sizing.bucket_shift — bucket count never changes results, only
+    task granularity (tests/test_sizing.py); the api layer passes a
+    row-count-aware value, tests pin small counts."""
+    from . import sizing
+    return sizing.bucket_shift(nbuckets)
+
+
 def tumbling_window(events_ds, window_minutes: int = WINDOW_MINUTES):
     """-> (window_start ts, event_type, n_events, sum_value, avg_value),
     sorted.  Exact-integer partial aggregation (see module doc).
@@ -284,7 +292,8 @@ SESSION_CHUNK_HOURS = 24
 
 
 def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MINUTES,
-               chunk_hours: int = SESSION_CHUNK_HOURS):
+               chunk_hours: int = SESSION_CHUNK_HOURS,
+               nbuckets: int | None = None):
     """-> per-user (user_id, n_events, n_sessions, max_session_events),
     sessions split where the gap to the previous event exceeds the
     timeout.
@@ -311,13 +320,14 @@ def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MINUTES,
     gap_us = np.int64(gap_minutes * _US_PER_MIN)
     chunk_us = np.int64(chunk_hours) * np.int64(60) * np.int64(_US_PER_MIN)
     PHI = np.uint64(0x9E3779B97F4A7C15)
+    SHIFT = _bucket_shift(nbuckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy()
         ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
         ck = ts // chunk_us
         h = (uid.astype(np.uint64) * PHI + ck.astype(np.uint64)) * PHI
-        return pa.table({"bk": (h >> np.uint64(56)).astype(np.int64),
+        return pa.table({"bk": (h >> SHIFT).astype(np.int64),
                          "user_id": uid, "ts": ts})
 
     def parts(group: pa.Table) -> pa.Table:
@@ -352,7 +362,7 @@ def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MINUTES,
 
     def user_bucket(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy()
-        bk = ((uid.astype(np.uint64) * PHI) >> np.uint64(56)).astype(np.int64)
+        bk = ((uid.astype(np.uint64) * PHI) >> SHIFT).astype(np.int64)
         return batch.append_column("bk2", pa.array(bk))
 
     def stitch(group: pa.Table) -> pa.Table:
@@ -431,7 +441,8 @@ ASOF_CHUNK_HOURS = 24
 
 
 def asof_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
-              chunk_hours: int = ASOF_CHUNK_HOURS):
+              chunk_hours: int = ASOF_CHUNK_HOURS,
+              nbuckets: int | None = None):
     """Backward as-of join the Dataset API lacks: for every non-right
     event, the user's LATEST `right_type` event with ts_r <= ts_l
     (ties at equal ts resolved to the max event_id).  Output
@@ -463,6 +474,7 @@ def asof_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
     Per-group work is O(n log n) numpy."""
     chunk_us = np.int64(chunk_hours) * np.int64(60) * np.int64(_US_PER_MIN)
     PHI = np.uint64(0x9E3779B97F4A7C15)
+    SHIFT = _bucket_shift(nbuckets)
     KIND_MATCH, KIND_PEND, KIND_RMAX = 0, 1, 2
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -472,7 +484,7 @@ def asof_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
         ck = ts // chunk_us
         h = (uid.astype(np.uint64) * PHI + ck.astype(np.uint64)) * PHI
         return pa.table({
-            "bk": (h >> np.uint64(56)).astype(np.int64),
+            "bk": (h >> SHIFT).astype(np.int64),
             "user_id": uid, "ck": ck, "ts": ts,
             "event_id": batch["event_id"],
             "is_right": np.asarray(
@@ -528,7 +540,7 @@ def asof_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
 
     def user_bucket(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy()
-        bk = ((uid.astype(np.uint64) * PHI) >> np.uint64(56)).astype(np.int64)
+        bk = ((uid.astype(np.uint64) * PHI) >> SHIFT).astype(np.int64)
         return batch.append_column("bk2", pa.array(bk))
 
     def stitch(group: pa.Table) -> pa.Table:
@@ -599,7 +611,8 @@ RANGE_LOOKBACK_MINUTES = 30
 def range_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
                left_type: str = RANGE_LEFT_TYPE,
                lookback_minutes: int = RANGE_LOOKBACK_MINUTES,
-               chunk_hours: int = ASOF_CHUNK_HOURS):
+               chunk_hours: int = ASOF_CHUNK_HOURS,
+               nbuckets: int | None = None):
     """Interval/range join as a bounded-halo aggregation: for every
     `right_type` event, the count and cents-exact value sum of the user's
     `left_type` events inside the lookback window (ts_r − Δ, ts_r].
@@ -618,6 +631,7 @@ def range_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
     look_us = np.int64(lookback_minutes) * np.int64(_US_PER_MIN)
     assert look_us <= chunk_us, "lookback must fit one chunk"
     PHI = np.uint64(0x9E3779B97F4A7C15)
+    SHIFT = _bucket_shift(nbuckets)
 
     def route(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -635,7 +649,7 @@ def range_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
         u = uid[src]
         h = (u.astype(np.uint64) * PHI + out_ck.astype(np.uint64)) * PHI
         return pa.table({
-            "bk": (h >> np.uint64(56)).astype(np.int64),
+            "bk": (h >> SHIFT).astype(np.int64),
             "user_id": u, "ck": out_ck, "ts": ts[src],
             "event_id": eid[src], "cents": cents[src],
             "is_right": np.concatenate(
@@ -724,20 +738,38 @@ FUNNEL_THEN = "purchase"
 
 
 def funnel(events_ds, first_type: str = FUNNEL_FIRST,
-           then_type: str = FUNNEL_THEN):
+           then_type: str = FUNNEL_THEN,
+           chunk_hours: int = SESSION_CHUNK_HOURS,
+           nbuckets: int | None = None):
     """Per-user conversion funnel: earliest `first_type` event, then the
     earliest `then_type` event AT OR AFTER it.  Output (user_id,
     signup_us, first_purchase_us, latency_us) — int64 epoch-microseconds
     (immune to timestamp-unit drift in the compare) — for users who
     completed both steps, sorted by user_id.
 
-    Scale shape: rows filter to the two event types before the single
-    256-way user-hash exchange; one vectorized multi-user pass per group
-    (sort by (user, ts), per-segment min of step 1, then min of step 2
-    within the qualifying suffix via cummin-from-the-right)."""
+    Hot-user-proof two-stage scheme (the sessionize discipline applied to
+    an order-dependent aggregate):
+
+    1. Rows filter to the two step types, then bucket by a size-derived
+       hash of (user_id, ts-chunk) — a hot user's events spread across
+       chunks instead of pinning one task.  Inside a coarse group every
+       (user, chunk) run reduces to ONE partial row of three mins:
+       min1 (earliest step-1 ts), min2_ge (earliest step-2 ts at-or-after
+       the chunk's OWN min1) and min2 (earliest step-2 ts overall).
+    2. Partials — one row per (user, chunk) with funnel events, metadata-
+       sized — re-bucket by user hash and stitch exactly: chunks are
+       disjoint ascending ts ranges, so with c* the chunk holding the
+       global earliest step-1 (su = min1[c*], unique because equal ts
+       land in the same chunk), the qualifying purchase is
+       min(min2_ge[c*], min over chunks AFTER c* of min2) — chunks
+       before c* hold only ts < su, chunks after hold only ts > su.
+    """
     import pyarrow.compute as pc
 
+    chunk_us = np.int64(chunk_hours) * np.int64(60) * np.int64(_US_PER_MIN)
     PHI = np.uint64(0x9E3779B97F4A7C15)
+    SHIFT = _bucket_shift(nbuckets)
+    BIG = np.iinfo(np.int64).max
 
     def route(batch: pa.Table) -> pa.Table:
         et = batch["event_type"]
@@ -747,13 +779,45 @@ def funnel(events_ds, first_type: str = FUNNEL_FIRST,
         uid = batch["user_id"].to_numpy()[keep]
         ts = batch["ts"].to_numpy().astype(
             "datetime64[us]").view(np.int64)[keep]
+        ck = ts // chunk_us
+        h = (uid.astype(np.uint64) * PHI + ck.astype(np.uint64)) * PHI
         return pa.table({
-            "bk": ((uid.astype(np.uint64) * PHI)
-                   >> np.uint64(56)).astype(np.int64),
-            "user_id": uid, "ts": ts, "is_first": is1[keep],
+            "bk": (h >> SHIFT).astype(np.int64),
+            "user_id": uid, "ck": ck, "ts": ts, "is_first": is1[keep],
         })
 
-    def agg(group: pa.Table) -> pa.Table:
+    def _partial_schema(uid, ck, m1, m2g, m2):
+        return pa.table({"user_id": uid, "ck": ck, "min1": m1,
+                         "min2_ge": m2g, "min2": m2})
+
+    def parts(group: pa.Table) -> pa.Table:
+        n = len(group)
+        z = np.zeros(0, np.int64)
+        if n == 0:
+            return _partial_schema(z, z, z, z, z)
+        uid = group["user_id"].to_numpy()
+        ck = group["ck"].to_numpy()
+        ts = group["ts"].to_numpy()
+        is1 = group["is_first"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, ck, uid))
+        uid, ck, ts, is1 = uid[order], ck[order], ts[order], is1[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (ck[1:] != ck[:-1])
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        min1 = np.minimum.reduceat(np.where(is1, ts, BIG), starts)
+        min2 = np.minimum.reduceat(np.where(is1, BIG, ts), starts)
+        qual = (~is1) & (ts >= min1[seg])
+        min2_ge = np.minimum.reduceat(np.where(qual, ts, BIG), starts)
+        return _partial_schema(uid[starts], ck[starts], min1, min2_ge, min2)
+
+    def user_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        bk2 = ((uid.astype(np.uint64) * PHI) >> SHIFT).astype(np.int64)
+        return batch.append_column("bk2", pa.array(bk2))
+
+    def stitch(group: pa.Table) -> pa.Table:
         empty = pa.table({
             "user_id": pa.array([], pa.int64()),
             "signup_us": pa.array([], pa.int64()),
@@ -764,33 +828,42 @@ def funnel(events_ds, first_type: str = FUNNEL_FIRST,
         if n == 0:
             return empty
         uid = group["user_id"].to_numpy()
-        ts = group["ts"].to_numpy()
-        is1 = group["is_first"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ts, uid))
-        uid, ts, is1 = uid[order], ts[order], is1[order]
+        ck = group["ck"].to_numpy()
+        min1 = group["min1"].to_numpy()
+        min2_ge = group["min2_ge"].to_numpy()
+        min2 = group["min2"].to_numpy()
+        order = np.lexsort((ck, uid))
+        uid, ck, min1, min2_ge, min2 = (uid[order], ck[order], min1[order],
+                                        min2_ge[order], min2[order])
         new = np.empty(n, bool)
         new[0] = True
         new[1:] = uid[1:] != uid[:-1]
         starts = np.flatnonzero(new)
         seg = np.cumsum(new) - 1
-        BIG = np.iinfo(np.int64).max
-        # per-segment earliest step-1 ts; a segment with no step-1 events
-        # minimizes to BIG, which disqualifies every row below
-        first = np.minimum.reduceat(np.where(is1, ts, BIG), starts)
-        # earliest step-2 event at-or-after the segment's first step-1
-        qual = (~is1) & (ts >= first[seg])
-        then = np.minimum.reduceat(np.where(qual, ts, BIG), starts)
-        ok = (first < BIG) & (then < BIG)
-        su, pu = first[ok], then[ok]
+        su = np.minimum.reduceat(min1, starts)
+        idx = np.arange(n, dtype=np.int64)
+        # first (and only — equal ts share a chunk) row achieving su
+        star = np.where((min1 == su[seg]) & (su[seg] < BIG), idx, n)
+        istar = np.minimum.reduceat(star, starts)
+        has1 = istar < n
+        ck_star = np.where(has1, ck[np.minimum(istar, n - 1)], BIG)
+        after = np.where(ck > ck_star[seg], min2, BIG)
+        pu_after = np.minimum.reduceat(after, starts)
+        pu_star = np.where(has1, min2_ge[np.minimum(istar, n - 1)], BIG)
+        pu = np.minimum(pu_after, pu_star)
+        ok = has1 & (pu < BIG)
+        su_o, pu_o = su[ok], pu[ok]
         return pa.table({
             "user_id": uid[starts][ok],
-            "signup_us": su,
-            "first_purchase_us": pu,
-            "latency_us": pu - su,
+            "signup_us": su_o,
+            "first_purchase_us": pu_o,
+            "latency_us": pu_o - su_o,
         })
 
     return (events_ds.map_batches(route, batch_format="pyarrow")
-            .groupby("bk").map_groups(agg, batch_format="pyarrow")
+            .groupby("bk").map_groups(parts, batch_format="pyarrow")
+            .map_batches(user_bucket, batch_format="pyarrow")
+            .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
             .sort("user_id"))
 
 
@@ -922,71 +995,156 @@ FROM events GROUP BY event_type ORDER BY event_type
 ROLLING_N = 8
 
 
-def rolling_window(events_ds, n: int = ROLLING_N):
+def rolling_window(events_ds, n: int = ROLLING_N,
+                   chunk_hours: int = SESSION_CHUNK_HOURS,
+                   nbuckets: int | None = None):
     """Per-event rolling aggregate over the user's last `n` events
     (ordered by ts, then event_id), a per-row window function the
     Dataset API lacks: -> (event_id, n_window, sum_value, avg_value),
     sorted by event_id.  n_window < n at the start of a user's history,
     exactly like SQL's ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW.
 
-    Scale shape: rows project to four columns before ONE 256-way
-    user-hash exchange (the funnel discipline); inside a group, ALL
-    users are processed in one vectorized pass — lexsort by (user, ts,
-    event_id), a global cents prefix sum, and the window lower bound
-    j = max(segment_start, i - n + 1) turns every window sum into
-    pref[i+1] - pref[j].  Value sums stay in integer cents so the
-    float division is bitwise equal to the SQL oracle."""
-    import pyarrow.compute as pc
+    Hot-user-proof two-stage scheme (sessionize's chunking with an
+    (n-1)-row halo):
 
+    1. Rows project to five columns and bucket by a size-derived hash of
+       (user_id, ts-chunk) — a hot user's events spread across chunks
+       instead of pinning one task.  Inside a coarse group ALL (user,
+       chunk) runs process in one vectorized pass — lexsort by (user,
+       chunk, ts, event_id) + a cents prefix sum; an event at chunk
+       position p >= n-1 has its whole window inside the chunk and
+       RESOLVES here.  Events at p < n-1 (HEAD — the window may reach
+       the previous chunk) and the last n-1 events of each chunk (TAIL —
+       the halo the next chunk's head needs) stay unresolved.
+    2. Everything re-buckets by user hash (the asof_join trade: resolved
+       rows ride the second exchange as three int64s — strictly cheaper
+       than re-running the first exchange to split the stream) and the
+       heads stitch: sorted by (user, ts, event_id), the n-1 boundary
+       rows preceding a head are exactly its true immediate predecessors
+       (a chunk's tail is its LAST n-1 events, and any chunk short
+       enough to be consumed past its tail contributes ALL its events as
+       boundary rows), so the same prefix-sum window formula applies.
+
+    Value sums stay in integer cents end-to-end so the one float
+    division is bitwise equal to the SQL oracle regardless of chunking
+    (asserted vs a 1-chunk run and vs the oracle in tests)."""
     PHI = np.uint64(0x9E3779B97F4A7C15)
+    SHIFT = _bucket_shift(nbuckets)
+    chunk_us = np.int64(chunk_hours) * np.int64(60) * np.int64(_US_PER_MIN)
+    h_n = np.int64(n)
 
     def route(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy()
         ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
         cents = np.round(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        ck = ts // chunk_us
+        h = (uid.astype(np.uint64) * PHI + ck.astype(np.uint64)) * PHI
         return pa.table({
-            "bk": ((uid.astype(np.uint64) * PHI)
-                   >> np.uint64(56)).astype(np.int64),
-            "user_id": uid, "ts": ts,
+            "bk": (h >> SHIFT).astype(np.int64),
+            "user_id": uid, "ck": ck, "ts": ts,
             "event_id": batch["event_id"], "cents": cents,
         })
 
-    def agg(group: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "event_id": pa.array([], pa.int64()),
-            "n_window": pa.array([], pa.int64()),
-            "sum_value": pa.array([], pa.float64()),
-            "avg_value": pa.array([], pa.float64()),
-        })
+    # mid-stage rows: resolved events carry (event_id, sum_cents in
+    # `cents`, head=False, done=True); boundary events carry their raw
+    # cents and head/tail roles.  One schema so one stream rides the
+    # user-hash exchange.
+    def _mid(uid, ts, eid, cents, head, done):
+        return pa.table({"user_id": uid, "ts": ts, "event_id": eid,
+                         "cents": cents, "head": head, "done": done})
+
+    def parts(group: pa.Table) -> pa.Table:
         m = len(group)
+        z = np.zeros(0, np.int64)
+        zb = np.zeros(0, bool)
         if m == 0:
-            return empty
+            return _mid(z, z, z, z, zb, zb)
         uid = group["user_id"].to_numpy()
+        ck = group["ck"].to_numpy()
         ts = group["ts"].to_numpy()
         eid = group["event_id"].to_numpy()
         cents = group["cents"].to_numpy()
-        order = np.lexsort((eid, ts, uid))
-        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+        order = np.lexsort((eid, ts, ck, uid))
+        uid, ck, ts, eid, cents = (uid[order], ck[order], ts[order],
+                                   eid[order], cents[order])
         new = np.empty(m, bool)
         new[0] = True
-        new[1:] = uid[1:] != uid[:-1]
+        new[1:] = (uid[1:] != uid[:-1]) | (ck[1:] != ck[:-1])
         starts = np.flatnonzero(new)
         seg = np.cumsum(new) - 1
         i = np.arange(m, dtype=np.int64)
-        j = np.maximum(starts[seg], i - np.int64(n) + 1)
+        pos = i - starts[seg]
+        seg_len = np.diff(np.append(starts, m))[seg]
+        done = pos >= h_n - 1  # window entirely inside the chunk
         pref = np.concatenate(([0], np.cumsum(cents)))
-        s = pref[i + 1] - pref[j]
-        nw = i - j + 1
+        # clamp: non-done positions would index pref negatively (they
+        # are discarded by the [done] mask, but must not wrap)
+        s = (pref[i + 1] - pref[np.maximum(i - h_n + 1, 0)])[done]
+        nd = int(done.sum())
+        head = pos < h_n - 1
+        tail = (pos >= seg_len - (h_n - 1)) & ~head
+        # a done event can also be a tail (halo for the next chunk's
+        # head): it then emits BOTH rows — the resolved one and the
+        # raw-cents boundary one (head=False, so no duplicate output)
+        b = head | tail
+        return pa.concat_tables([
+            _mid(uid[done], ts[done], eid[done], s,
+                 np.zeros(nd, bool), np.ones(nd, bool)),
+            _mid(uid[b], ts[b], eid[b], cents[b], head[b],
+                 np.zeros(int(b.sum()), bool)),
+        ])
+
+    def user_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        bk2 = ((uid.astype(np.uint64) * PHI) >> SHIFT).astype(np.int64)
+        return batch.append_column("bk2", pa.array(bk2))
+
+    def _finish(eid, nw, s):
         return pa.table({
-            "event_id": eid,
-            "n_window": nw,
+            "event_id": eid, "n_window": nw,
             "sum_value": s.astype(np.float64) / 100.0,
             "avg_value": (s.astype(np.float64) / 100.0)
                          / nw.astype(np.float64),
         })
 
+    def stitch(group: pa.Table) -> pa.Table:
+        m = len(group)
+        if m == 0:
+            return _finish(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                           np.zeros(0, np.int64))
+        uid = group["user_id"].to_numpy()
+        ts = group["ts"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        cents = group["cents"].to_numpy()
+        head = group["head"].to_numpy(zero_copy_only=False)
+        done = group["done"].to_numpy(zero_copy_only=False)
+        out_done = _finish(eid[done], np.full(int(done.sum()), h_n),
+                           cents[done])
+        bm = ~done
+        uid, ts, eid, cents, head = (uid[bm], ts[bm], eid[bm], cents[bm],
+                                     head[bm])
+        k = len(uid)
+        if k == 0:
+            return out_done
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents, head = (uid[order], eid[order], cents[order],
+                                 head[order])
+        new = np.empty(k, bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        i = np.arange(k, dtype=np.int64)
+        j = np.maximum(starts[seg], i - h_n + 1)
+        pref = np.concatenate(([0], np.cumsum(cents)))
+        s = (pref[i + 1] - pref[j])[head]
+        nw = (i - j + 1)[head]
+        return pa.concat_tables([out_done, _finish(eid[head], nw, s)])
+
     return (events_ds.map_batches(route, batch_format="pyarrow")
-            .groupby("bk").map_groups(agg, batch_format="pyarrow")
+            .groupby("bk").map_groups(parts, batch_format="pyarrow")
+            .map_batches(user_bucket, batch_format="pyarrow")
+            .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
             .sort("event_id"))
 
 
@@ -1012,42 +1170,78 @@ ORDER BY event_id
 
 # ---------------------------------------------------- transition counts
 
-def transition_counts(events_ds):
+def transition_counts(events_ds, chunk_hours: int = SESSION_CHUNK_HOURS,
+                      nbuckets: int | None = None):
     """Per-user behavioral transitions: count of consecutive event-type
     pairs under (ts, event_id) order -> (prev_type, next_type, n),
     sorted.  The Markov-matrix aggregate a behavioral-analytics pipeline
     derives before modeling; SQL mirrors it with lead() over the user
     partition.
 
-    Scale shape: one 256-way user-hash exchange of a 3-column
-    projection (the funnel discipline); inside a group ALL users'
-    transitions count in one vectorized pass (lexsort + adjacent-pair
-    dictionary codes), reducing to one row per (type, type) pair —
-    type-cardinality-squared metadata — before the coalesce-tree
-    combine.  No ray groupby (see tumbling_window)."""
+    Hot-user-proof two-stage scheme (sessionize's chunking with a 1-row
+    halo):
+
+    1. Rows project to four columns and bucket by a size-derived hash of
+       (user_id, ts-chunk).  Inside a coarse group, within-(user, chunk)
+       adjacent pairs reduce to (prev_type, next_type, n) partials —
+       type-cardinality-squared metadata — and each (user, chunk) run
+       emits its FIRST and LAST event as boundary rows (<= 2 per run).
+    2. Partial counts and boundary rows ride one user-hash exchange
+       (counts are metadata; they pass through).  Boundary rows sorted by
+       (user, ts, event_id) recover exactly the cross-chunk transitions:
+       a row flagged last-of-chunk followed by the same user's
+       first-of-next-nonempty-chunk is a true adjacent pair, and no other
+       boundary adjacency is (first->last of a >2-event chunk has
+       last=False on the left row).
+    3. The union of partials reduces in one final task — input is
+       #buckets x #types^2 rows, true metadata (the tumbling_window
+       coalesce argument)."""
     import pyarrow.compute as pc
 
     PHI = np.uint64(0x9E3779B97F4A7C15)
+    SHIFT = _bucket_shift(nbuckets)
+    chunk_us = np.int64(chunk_hours) * np.int64(60) * np.int64(_US_PER_MIN)
 
     def route(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy()
         ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        ck = ts // chunk_us
+        h = (uid.astype(np.uint64) * PHI + ck.astype(np.uint64)) * PHI
         return pa.table({
-            "bk": ((uid.astype(np.uint64) * PHI)
-                   >> np.uint64(56)).astype(np.int64),
-            "user_id": uid, "ts": ts,
+            "bk": (h >> SHIFT).astype(np.int64),
+            "user_id": uid, "ck": ck, "ts": ts,
             "event_id": batch["event_id"],
             "event_type": batch["event_type"],
         })
 
-    def agg(group: pa.Table) -> pa.Table:
-        empty = pa.table({"prev_type": pa.array([], pa.string()),
-                          "next_type": pa.array([], pa.string()),
-                          "n": pa.array([], pa.int64())})
+    # mid-stage union schema: count rows (is_cnt=True) carry the pair in
+    # (a, b) and its count in n; boundary rows carry the event and its
+    # first/last-of-chunk roles.
+    def _mid(is_cnt, a, b, n, uid, ck, ts, eid, first, last):
+        return pa.table({"is_cnt": is_cnt, "a": a, "b": b, "n": n,
+                         "user_id": uid, "ck": ck, "ts": ts,
+                         "event_id": eid, "first": first, "last": last})
+
+    def _empty_mid():
+        z = np.zeros(0, np.int64)
+        zb = np.zeros(0, bool)
+        zs = pa.array([], pa.string())
+        return _mid(zb, zs, zs, z, z, z, z, z, zb, zb)
+
+    def _pair_counts(codes_l, codes_r, tvals):
+        ntypes = max(len(tvals), 1)
+        key = codes_l * np.int64(ntypes) + codes_r
+        uk, cnt = np.unique(key, return_counts=True)
+        return (tvals.take(pa.array(uk // ntypes)),
+                tvals.take(pa.array(uk % ntypes)),
+                cnt.astype(np.int64))
+
+    def parts(group: pa.Table) -> pa.Table:
         m = len(group)
-        if m < 2:
-            return empty
+        if m == 0:
+            return _empty_mid()
         uid = group["user_id"].to_numpy()
+        ck = group["ck"].to_numpy()
         ts = group["ts"].to_numpy()
         eid = group["event_id"].to_numpy()
         et = group["event_type"]
@@ -1056,20 +1250,77 @@ def transition_counts(events_ds):
         dct = pc.dictionary_encode(et)
         codes = np.asarray(dct.indices).astype(np.int64)
         tvals = dct.dictionary
-        ntypes = max(len(tvals), 1)
-        order = np.lexsort((eid, ts, uid))
-        uid, codes = uid[order], codes[order]
-        same_user = uid[1:] == uid[:-1]
-        key = codes[:-1][same_user] * np.int64(ntypes) \
-            + codes[1:][same_user]
-        if len(key) == 0:
-            return empty
-        uk, cnt = np.unique(key, return_counts=True)
-        return pa.table({
-            "prev_type": tvals.take(pa.array(uk // ntypes)),
-            "next_type": tvals.take(pa.array(uk % ntypes)),
-            "n": cnt.astype(np.int64),
-        })
+        order = np.lexsort((eid, ts, ck, uid))
+        uid, ck, ts, eid, codes = (uid[order], ck[order], ts[order],
+                                   eid[order], codes[order])
+        new = np.empty(m, bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (ck[1:] != ck[:-1])
+        starts = np.flatnonzero(new)
+        # within-(user, chunk) adjacent pairs
+        adj = ~new[1:]
+        tabs = []
+        if adj.any():
+            a, b, n = _pair_counts(codes[:-1][adj], codes[1:][adj], tvals)
+            k = len(n)
+            z = np.zeros(k, np.int64)
+            tabs.append(_mid(np.ones(k, bool), a, b, n, z, z, z, z,
+                             np.zeros(k, bool), np.zeros(k, bool)))
+        first = new
+        last = np.append(new[1:], True)
+        bm = first | last
+        k = int(bm.sum())
+        tabs.append(_mid(np.zeros(k, bool),
+                         tvals.take(pa.array(codes[bm])),
+                         pa.nulls(k, pa.string()),
+                         np.zeros(k, np.int64),
+                         uid[bm], ck[bm], ts[bm], eid[bm],
+                         first[bm], last[bm]))
+        return pa.concat_tables(tabs)
+
+    def user_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        bk2 = ((uid.astype(np.uint64) * PHI) >> SHIFT).astype(np.int64)
+        return batch.append_column("bk2", pa.array(bk2))
+
+    def _cnt_schema(a, b, n):
+        return pa.table({"prev_type": a, "next_type": b, "n": n})
+
+    def stitch(group: pa.Table) -> pa.Table:
+        m = len(group)
+        if m == 0:
+            return _cnt_schema(pa.array([], pa.string()),
+                               pa.array([], pa.string()),
+                               np.zeros(0, np.int64))
+        is_cnt = group["is_cnt"].to_numpy(zero_copy_only=False)
+        out = [_cnt_schema(group["a"].filter(pa.array(is_cnt)),
+                           group["b"].filter(pa.array(is_cnt)),
+                           group["n"].to_numpy()[is_cnt])]
+        bm = ~is_cnt
+        k = int(bm.sum())
+        if k >= 2:
+            uid = group["user_id"].to_numpy()[bm]
+            ts = group["ts"].to_numpy()[bm]
+            eid = group["event_id"].to_numpy()[bm]
+            first = group["first"].to_numpy(zero_copy_only=False)[bm]
+            last = group["last"].to_numpy(zero_copy_only=False)[bm]
+            et = group["a"].filter(pa.array(bm))
+            if isinstance(et, pa.ChunkedArray):
+                et = et.combine_chunks()
+            dct = pc.dictionary_encode(et)
+            codes = np.asarray(dct.indices).astype(np.int64)
+            tvals = dct.dictionary
+            order = np.lexsort((eid, ts, uid))
+            uid, codes = uid[order], codes[order]
+            first, last = first[order], last[order]
+            # cross-chunk adjacency: last-of-chunk -> same user's
+            # first-of-next-nonempty-chunk
+            pair = (uid[1:] == uid[:-1]) & last[:-1] & first[1:]
+            if pair.any():
+                a, b, n = _pair_counts(codes[:-1][pair], codes[1:][pair],
+                                       tvals)
+                out.append(_cnt_schema(a, b, n))
+        return pa.concat_tables(out)
 
     def combine(batch: pa.Table) -> pa.Table:
         # integer pair keys via per-column uniques (numpy fixed-width
@@ -1093,7 +1344,9 @@ def transition_counts(events_ds):
                             ("next_type", "ascending")])
 
     return (events_ds.map_batches(route, batch_format="pyarrow")
-            .groupby("bk").map_groups(agg, batch_format="pyarrow")
+            .groupby("bk").map_groups(parts, batch_format="pyarrow")
+            .map_batches(user_bucket, batch_format="pyarrow")
+            .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
             .repartition(1)
             .map_batches(combine, batch_format="pyarrow",
                          batch_size=None))

@@ -19,14 +19,20 @@ import pyarrow as pa
 __all__ = ["hash_join_int_key"]
 
 
-def hash_join_int_key(left_ds, right_ds, key: str, num_buckets: int = 32,
+def hash_join_int_key(left_ds, right_ds, key: str,
+                      num_buckets: int | None = None,
                       how: str = "inner"):
     """Equi-join two Datasets on an int64 key (unique on the right side).
 
     how: "inner" or "left" (left rows with no match get nulls).
     Output columns: all left columns then right columns minus the key.
+    num_buckets=None derives the fan-out from cluster size
+    (sizing.fanout); bucket count never changes the join result.
     """
     assert how in ("inner", "left")
+    if num_buckets is None:
+        from .sizing import fanout
+        num_buckets = fanout()
     lsch = left_ds.schema()
     rsch = right_ds.schema()
     left_cols = list(lsch.names)

@@ -892,18 +892,21 @@ def topk_terms(docs_ds, k: int = TOPK_TERMS_K):
 
     Scale shape: per-block pc.value_counts partials, so the ONE exchange
     carries one row per distinct token per block (vocab-sized, not
-    occurrence-sized), keyed by a 256-way token-hash bucket — a string
+    occurrence-sized), keyed by a size-derived token-hash bucket (sizing.fanout) — a string
     groupby key plus a vocab-wide distributed sort measured 10× slower
     than this int-keyed shuffle with per-bucket vectorized combine.  Every
     occurrence of a token hashes to one bucket, so bucket-local top-k is
-    exact; the final sort+limit sees ≤256·k rows.  Exact under ties: both
+    exact; the final sort+limit sees ≤buckets·k rows.  Exact under ties: both
     sides rank by the identical (n DESC, token ASC) total order."""
+    from .sizing import bucket_shift
+    _shift = bucket_shift()
+
     def part(batch: pa.Table) -> pa.Table:
         flat = _token_lists(_text_col(batch)).flatten()
         vc = pc.value_counts(flat)  # hash-based C++ count, no np.unique
         tok = vc.field("values")
         bk = (md5_u64(np.asarray(tok, dtype=object))
-              >> np.uint64(56)).astype(np.int64)
+              >> _shift).astype(np.int64)
         return pa.table({"token": tok,
                          "c": vc.field("counts").cast(pa.int64()),
                          "bk": bk})
@@ -1243,7 +1246,8 @@ def _cc_bucket_of(ids: np.ndarray, nbuckets: int) -> np.ndarray:
             ).astype(np.int64) % np.int64(nbuckets)
 
 
-def dup_components(pairs_ds, max_rounds: int = 50, nbuckets: int = 8,
+def dup_components(pairs_ds, max_rounds: int = 50,
+                   nbuckets: int | None = None,
                    round_stats: list | None = None):
     """Connected components over near-duplicate PAIR edges — the step
     that turns any pair-producing dedup (exact/Jaccard/MinHash/SimHash/
@@ -1284,6 +1288,12 @@ def dup_components(pairs_ds, max_rounds: int = 50, nbuckets: int = 8,
     import pyarrow as pa
     import ray
 
+    if nbuckets is None:
+        # one label-holding actor per ~4 CPUs: enough buckets that no
+        # actor's label table outgrows a node at scale, few enough that
+        # the per-round B^2 inter-actor exchange stays cheap
+        from .sizing import cluster_cpus
+        nbuckets = max(4, cluster_cpus() // 4)
     B = int(nbuckets)
 
     @ray.remote(num_cpus=0)

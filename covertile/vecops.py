@@ -181,15 +181,18 @@ def _topk_merge_bucketed(scored_ds, k: int, value_col: str = "cos",
                          ascending: bool = False):
     """(query_id, neighbor_id, <value_col>) partials -> exact top-k per
     query, rank 1..k by (value desc|asc, neighbor_id asc).  ONE groupby on
-    a 256-way hash of query_id; ALL queries in a coarse group are merged
+    a size-derived hash of query_id (sizing.fanout); ALL queries in a coarse group are merged
     in a single lexsort pass — a map_groups UDF per query costs ~1ms of
     Python each and dominates once queries number in the thousands
     (same lesson as textops._candidate_pairs)."""
 
+    from .sizing import bucket_shift
+    _shift = bucket_shift()
+
     def bucket(batch: pa.Table) -> pa.Table:
         q = batch["query_id"].to_numpy()
         bk = ((q.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-              >> np.uint64(56)).astype(np.int64)
+              >> _shift).astype(np.int64)
         return batch.append_column("bk", pa.array(bk))
 
     def merge_bucket(group: pa.Table) -> pa.Table:

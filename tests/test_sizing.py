@@ -1,0 +1,125 @@
+"""Size-derived fan-out: unit rules + the bucket-count / chunk-size
+invariance contract (bucket count and ts-chunking change task granularity
+only, never results — VERDICT r03 'derive every fan-out from data/cluster
+size' + 'hot-user chunking')."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fanout_rules():
+    from covertile import sizing
+
+    b = sizing.fanout()
+    assert b & (b - 1) == 0 and b >= 8          # power of two, floor
+    assert sizing.fanout(rows=10) == b          # tiny input: CPU floor
+    big = sizing.fanout(rows=10_000_000_000)    # 10G rows: row-bounded
+    assert big >= 10_000_000_000 // sizing.TARGET_ROWS_PER_BUCKET
+    assert big <= 1 << 16                       # clamp
+    assert int(sizing.bucket_shift(8)) == 61    # 2^3 buckets -> top 3 bits
+    assert int(sizing.bucket_shift(256)) == 56
+
+
+def test_table_rows_metadata_only():
+    from covertile import sizing
+
+    n = sizing.table_rows(SF, "events")
+    assert n is not None and n > 0
+    assert sizing.table_rows(SF, "no_such_table") is None
+
+
+def _df(ds):
+    return ds.to_pandas().reset_index(drop=True)
+
+
+def _assert_frames_equal(a, b):
+    assert len(a) == len(b) and len(a) > 0
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        x, y = a[c].to_numpy(), b[c].to_numpy()
+        if x.dtype.kind == "f":
+            assert np.array_equal(x.view(np.int64), y.view(np.int64)), c
+        else:
+            assert np.array_equal(x, y), c
+
+
+def _events(columns):
+    import ray.data as rd
+    return rd.read_parquet(f"{SF}/events.parquet", columns=list(columns))
+
+
+@pytest.mark.parametrize("op,cols,kw", [
+    ("funnel", ("event_id", "ts", "user_id", "event_type", "value"), {}),
+    ("rolling_window", ("event_id", "ts", "user_id", "value"), {}),
+    ("transition_counts", ("event_id", "ts", "user_id", "event_type"), {}),
+    ("sessionize", ("user_id", "ts"), {}),
+])
+def test_bucket_count_invariance(ray_session, op, cols, kw):
+    """Same operator at 4 and 64 buckets: bitwise-identical output."""
+    from covertile import eventops
+
+    fn = getattr(eventops, op)
+    a = _df(fn(_events(cols), nbuckets=4, **kw))
+    b = _df(fn(_events(cols), nbuckets=64, **kw))
+    _assert_frames_equal(a, b)
+
+
+@pytest.mark.parametrize("op,cols", [
+    ("funnel", ("event_id", "ts", "user_id", "event_type", "value")),
+    ("rolling_window", ("event_id", "ts", "user_id", "value")),
+    ("transition_counts", ("event_id", "ts", "user_id", "event_type")),
+])
+def test_chunking_invariance(ray_session, op, cols):
+    """1-hour chunks force most windows/transitions through the boundary
+    stitch path; results must equal the default 24h-chunk run."""
+    from covertile import eventops
+
+    fn = getattr(eventops, op)
+    a = _df(fn(_events(cols), chunk_hours=1))
+    b = _df(fn(_events(cols), chunk_hours=24))
+    _assert_frames_equal(a, b)
+
+
+def test_hot_user_synthetic_chunk_split(ray_session):
+    """One pathological user owning 99% of events: with 1h chunks the
+    user's history fragments across many (user, chunk) groups, and the
+    stitched rolling window still matches the single-group answer."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.eventops import rolling_window
+
+    rng = np.random.default_rng(7)
+    m = 5000
+    uid = np.where(rng.random(m) < 0.99, 1, rng.integers(2, 5, m))
+    ts = (np.datetime64("2024-01-01", "us")
+          + rng.integers(0, 14 * 24 * 3600, m).astype("timedelta64[s]"))
+    tbl = pa.table({
+        "event_id": np.arange(m, dtype=np.int64),
+        "user_id": uid.astype(np.int64),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "value": np.round(rng.random(m) * 100, 2),
+    })
+    a = _df(rolling_window(rd.from_arrow(tbl), chunk_hours=1, nbuckets=16))
+    b = _df(rolling_window(rd.from_arrow(tbl), chunk_hours=10**6,
+                           nbuckets=1))
+    _assert_frames_equal(a, b)
+
+
+def test_hash_join_bucket_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.joins import hash_join_int_key
+
+    def run(nb):
+        left = rd.from_arrow(pa.table({
+            "k": np.arange(100, dtype=np.int64),
+            "x": np.arange(100, dtype=np.int64) * 2}))
+        right = rd.from_arrow(pa.table({
+            "k": np.arange(0, 100, 3, dtype=np.int64),
+            "y": np.arange(0, 100, 3, dtype=np.int64) + 7}))
+        return (hash_join_int_key(left, right, "k", num_buckets=nb)
+                .sort("k").to_pandas().reset_index(drop=True))
+
+    _assert_frames_equal(run(2), run(None))
