@@ -314,6 +314,9 @@ def _prefix_len(n: np.ndarray, tau: float) -> np.ndarray:
 # --------------------------------------------- candidate pairs -> verified
 
 VERIFY_BROADCAST_MAX = 64_000_000  # hashes (512MB); past this, hash join
+CAND_ID_COLLECT_MAX = 16_000_000  # ids (128MB driver); past this, the
+# candidate-doc semi-join runs as a hash shuffle instead of a driver
+# np.unique + ray.put broadcast (_verify_jaccard)
 
 
 def _jacc_core(la: np.ndarray, lb: np.ndarray,
@@ -445,13 +448,24 @@ def _verify_jaccard(pairs_ds, docs_ds, tau: float, k: int):
     loop.
 
     Semi-join pruning: the candidate pair list is small by construction
-    (LSH buckets / prefix filter already ran), so it is materialized and
-    its distinct doc ids broadcast via ray.put.  Shingle sets for the
-    verify are then RE-DERIVED from a filtered docs scan — only candidate
-    docs are shingled.  This keeps the whole pipeline at ONE full-corpus
-    shingle pass (fused into the candidate-generation scan); Ray Data
-    cannot share a lazy subplan across consumers, so handing the full
-    sets dataset to the join would re-shingle the corpus once per side.
+    (LSH buckets / prefix filter already ran).  Its distinct doc ids are
+    the semi-join key against docs; shingle sets for the verify are then
+    RE-DERIVED from that filtered docs scan — only candidate docs are
+    shingled.  This keeps the whole pipeline at ONE full-corpus shingle
+    pass (fused into the candidate-generation scan); Ray Data cannot
+    share a lazy subplan across consumers, so handing the full sets
+    dataset to the join would re-shingle the corpus once per side.
+
+    The semi-join itself has two executions, switched on the pair count
+    (known for free — pairs are already materialized):
+    * driver collect (default, 2*n_pairs <= CAND_ID_COLLECT_MAX ids):
+      distinct ids are np.unique'd on the driver and ray.put once; the
+      docs scan filters with np.isin.  Zero extra shuffles.
+    * hash-shuffle semi-join (past the cap): distinct ids are computed
+      with a coarse-bucket groupby and the docs side is inner-joined
+      against them (joins.hash_join_int_key, ids unique ⇒ a semi-join).
+      Under pathological duplication (everything is a candidate) the
+      driver never holds the id set — only tasks do, bucket-sized.
 
     Two verify executions:
     * broadcast (default): candidate sets up to VERIFY_BROADCAST_MAX
@@ -472,19 +486,38 @@ def _verify_jaccard(pairs_ds, docs_ds, tau: float, k: int):
 
     pairs = pairs_ds.map_batches(
         split_pair, batch_format="pyarrow").materialize()
-    cand_ids = np.unique(np.concatenate(
-        [np.concatenate([b["a_id"].to_numpy(), b["b_id"].to_numpy()])
-         for b in pairs.iter_batches(batch_size=None,
-                                     batch_format="pyarrow")]
-        or [np.zeros(0, np.int64)]))
-    ids_ref = _ray.put(cand_ids)
 
-    def cand_sets_fn(batch: pa.Table) -> pa.Table:
-        m = np.isin(batch["doc_id"].to_numpy(), _ray.get(ids_ref))
-        return _shingle_table(batch.filter(pa.array(m)), k)
+    if 2 * pairs.count() <= CAND_ID_COLLECT_MAX:
+        cand_ids = np.unique(np.concatenate(
+            [np.concatenate([b["a_id"].to_numpy(), b["b_id"].to_numpy()])
+             for b in pairs.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")]
+            or [np.zeros(0, np.int64)]))
+        ids_ref = _ray.put(cand_ids)
 
-    cand_sets = docs_ds.map_batches(
-        cand_sets_fn, batch_format="pyarrow").materialize()
+        def cand_sets_fn(batch: pa.Table) -> pa.Table:
+            m = np.isin(batch["doc_id"].to_numpy(), _ray.get(ids_ref))
+            return _shingle_table(batch.filter(pa.array(m)), k)
+
+        cand_sets = docs_ds.map_batches(
+            cand_sets_fn, batch_format="pyarrow").materialize()
+    else:
+        def explode_ids(batch: pa.Table) -> pa.Table:
+            ids = np.unique(np.concatenate(
+                [batch["a_id"].to_numpy(), batch["b_id"].to_numpy()]))
+            return pa.table({"doc_id": ids, "bk": _coarse_bucket(ids)})
+
+        def uniq_ids(g: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": pa.array(
+                np.unique(g["doc_id"].to_numpy()), pa.int64())})
+
+        ids_ds = (pairs.map_batches(explode_ids, batch_format="pyarrow")
+                  .groupby("bk").map_groups(uniq_ids,
+                                            batch_format="pyarrow"))
+        cand_docs = hash_join_int_key(docs_ds, ids_ds, "doc_id")
+        cand_sets = cand_docs.map_batches(
+            lambda b: _shingle_table(b, k),
+            batch_format="pyarrow").materialize()
 
     n_hashes = cand_sets.sum("n_sh") or 0
     if n_hashes <= VERIFY_BROADCAST_MAX:

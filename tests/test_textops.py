@@ -162,6 +162,26 @@ def test_jaccard_exact_under_truncated_df(ray_session):
     assert full.equals(trunc)
 
 
+def test_jaccard_verify_semijoin_fallback(ray_session, monkeypatch):
+    """Past CAND_ID_COLLECT_MAX the candidate-doc semi-join switches from
+    a driver np.unique + ray.put broadcast to a hash-shuffle semi-join;
+    the execution path must never change the pairs."""
+    import ray.data as rd
+
+    from covertile import textops
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    full = fetch(textops.ngram_jaccard_pairs(docs).sort(["a_id", "b_id"]))
+
+    monkeypatch.setattr(textops, "CAND_ID_COLLECT_MAX", 0)
+    docs2 = rd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"])
+    shuf = fetch(textops.ngram_jaccard_pairs(docs2).sort(["a_id", "b_id"]))
+    assert len(full) > 0
+    assert full.equals(shuf)
+
+
 def test_quantile_disc_semantics_pinned(con):
     """group_quantiles assumes quantile_disc = sorted element at the
     1-indexed ceil(q*n); pin that against an explicit window-function
