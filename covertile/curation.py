@@ -398,8 +398,7 @@ def table_profile(ds, columns: tuple[str, ...] = PROFILE_COLUMNS):
         dropped = arr.drop_null()
         t = dropped.type
         if pa.types.is_string(t) or pa.types.is_large_string(t):
-            k = T.md5_u64(np.asarray(dropped, dtype=object)
-                          ).view(np.int64)
+            k = T.md5_u64(dropped).view(np.int64)
         elif pa.types.is_timestamp(t):
             k = dropped.cast(pa.int64()).to_numpy()
         elif pa.types.is_floating(t):

@@ -63,15 +63,35 @@ _PAIR_SHIFT = np.int64(1) << np.int64(32)  # doc ids < 2^31
 
 # --------------------------------------------------------------- primitives
 
-def md5_u64(strings: np.ndarray) -> np.ndarray:
-    """uint64 = first 8 big-endian bytes of md5, deduped before hashing
-    (shared vocab means most strings repeat within a batch)."""
-    uniq, inv = np.unique(np.asarray(strings, dtype=object), return_inverse=True)
-    h = np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-         for s in uniq),
-        dtype=np.uint64, count=len(uniq))
-    return h[inv]
+_MD5_CACHE: dict[str, int] = {}
+_MD5_CACHE_MAX = 1 << 22  # vocab-bounded per worker process (~4M terms)
+
+
+def md5_u64(strings) -> np.ndarray:
+    """uint64 = first 8 big-endian bytes of md5.  Accepts a pyarrow
+    string array (preferred — zero conversion) or a numpy object array.
+    Dedup runs as Arrow dictionary_encode (C++ hash, no object-array
+    sort); md5 itself runs only on the in-batch vocabulary, and a
+    per-worker-process cache skips re-hashing vocab shared across
+    batches.  md5 is kept (vs a numpy hash) so oracle SQL can mirror the
+    column exactly (md5_u64_sql)."""
+    if not isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        strings = pa.array(np.asarray(strings, dtype=object), pa.string())
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    d = strings.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    cache = _MD5_CACHE
+    if len(cache) + len(uniq) > _MD5_CACHE_MAX:
+        cache.clear()
+    h = np.empty(len(uniq), np.uint64)
+    for i, s in enumerate(uniq):
+        v = cache.get(s)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+            cache[s] = v
+        h[i] = v
+    return h[d.indices.to_numpy()] if len(uniq) else np.zeros(0, np.uint64)
 
 
 def md5_u64_sql(expr: str) -> str:
@@ -114,7 +134,7 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
     n_stop = _segment_sum(stop.astype(np.int64), off)
     sum_len = _segment_sum(tlen, off)
     # unique tokens per doc: sort (doc, hash) pairs, count boundaries
-    th = md5_u64(np.asarray(flat, dtype=object))
+    th = md5_u64(flat)
     doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
     order = np.lexsort((th, doc_of))
     d_s, h_s = doc_of[order], th[order]
@@ -938,8 +958,7 @@ def topk_terms(docs_ds, k: int = TOPK_TERMS_K):
         flat = _token_lists(_text_col(batch)).flatten()
         vc = pc.value_counts(flat)  # hash-based C++ count, no np.unique
         tok = vc.field("values")
-        bk = (md5_u64(np.asarray(tok, dtype=object))
-              >> _shift).astype(np.int64)
+        bk = (md5_u64(tok) >> _shift).astype(np.int64)
         return pa.table({"token": tok,
                          "c": vc.field("counts").cast(pa.int64()),
                          "bk": bk})
