@@ -206,26 +206,42 @@ def write_graph_text_single(edges_ds, path: str, n_verts: int) -> int:
 
 
 def write_tree_gml(ckpt_dir: str, pid: int, path: str) -> int:
-    """GML dump of one partition's cover tree for inspection — the S8
-    debug sink (/root/reference/src/OldCoverTree.cpp:383-417): nodes carry
-    (id, pt, level, cover radius), edges carry the normalized
-    parent-child distance.  Driver-side, test-sized trees only."""
+    """GML dump of one partition's cover tree — the S8 debug sink, in the
+    reference's EXACT output layout (/root/reference/src/OldCoverTree.cpp
+    :383-417): node blocks [id, pt, level, cover = base^-level, %.3f] in
+    vertex-id order, then parent->child edge blocks emitted by a
+    root-rooted DFS with a pop-back stack (children pushed in child-list
+    order — the reference's traversal), each carrying
+    distance = d(source, target) / max_radius, %.3f.  `pt` is the global
+    doc_id (our analogue of the reference's point index).  A per-partition
+    debug dump, bounded by one partition tree — never a hot path."""
     from . import store
 
     tree, doc_ids = store.load_tree(ckpt_dir, pid)
     vx = tree.xy[tree.pt].astype(np.float64)
-    lines = ["graph [", "  directed 1"]
+    lvl = tree.level
+    cover = np.power(tree.base, -lvl.astype(np.float64))
+    out = ["graph\n[\n"]
     for v in range(tree.num_vertices):
-        lines.append(
-            f"  node [ id {v} pt {int(doc_ids[tree.pt[v]])} "
-            f"level {int(tree.level[v])} cover {tree._ball[v]:.6f} ]")
-    for v in range(tree.num_vertices):
-        for c in tree.child_ids[tree.child_off[v]:tree.child_off[v + 1]]:
-            d = float(np.sqrt(((vx[v] - vx[c]) ** 2).sum()))
-            nd = d / tree.max_radius if tree.max_radius else 0.0
-            lines.append(f"  edge [ source {v} target {int(c)} "
-                         f"dist {nd:.6f} ]")
-    lines.append("]")
+        out.append(
+            "\tnode\n\t[\n\t\tid %d\n\t\tpt %d\n\t\tlevel %d\n"
+            "\t\tcover %.3f\n\t]\n"
+            % (v, doc_ids[tree.pt[v]], lvl[v], cover[v]))
+    coff, cids = tree.child_off, tree.child_ids
+    inv_r = 1.0 / tree.max_radius if tree.max_radius else 0.0
+    stack = [0] if tree.num_vertices else []
+    while stack:
+        vtx = stack.pop()
+        kids = cids[coff[vtx]:coff[vtx + 1]]
+        if len(kids) == 0:
+            continue
+        d = np.sqrt(((vx[kids] - vx[vtx]) ** 2).sum(1)) * inv_r
+        for child, dist in zip(kids.tolist(), d):
+            out.append(
+                "\tedge\n\t[\n\t\tsource %d\n\t\ttarget %d\n"
+                "\t\tdistance %.3f\n\t]\n" % (vtx, child, dist))
+        stack.extend(kids.tolist())
+    out.append("]\n")
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("".join(out))
     return tree.num_vertices

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 ANN_K = 5
 ANN_NUM_QUERIES = 8
@@ -41,6 +42,17 @@ IVF_CLUSTERS = 16
 IVF_PROBES = 6  # 6/16 buckets probed: >=0.7 top-k recall on the weakly
                 # clustered synthetic embeddings (recall/cost is the knob)
 EMBED_DIM = 64
+
+
+def _hive_int64(col) -> np.ndarray:
+    """Decode a hive-partition column (dictionary<string> or plain string,
+    depending on the reader) to int64 via Arrow casts — no object-dtype
+    round trip."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        col = col.cast(col.type.value_type)
+    return pc.cast(col, pa.int64()).to_numpy()
 
 
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -675,7 +687,7 @@ def ivf_topk_store(store_dir: str, query_ids: np.ndarray,
     def partial(batch: pa.Table) -> pa.Table:
         qids, qm, prb = ray.get(ref)
         ids, m = _emb_matrix(batch)
-        bucket = np.asarray(batch["bucket"], dtype=object).astype(np.int64)
+        bucket = _hive_int64(batch["bucket"])
         cos = qm @ m.T
         ok = (bucket[None, :, None] == prb[:, None, :]).any(-1)
         ok &= qids[:, None] != ids[None, :]
@@ -885,7 +897,7 @@ def ivf_sq_topk_store(store_dir: str, query_ids: np.ndarray,
         nrm = np.sqrt((deq * deq).sum(1))
         nrm[nrm == 0.0] = 1.0
         deq /= nrm[:, None]
-        bucket = np.asarray(batch["bucket"], dtype=object).astype(np.int64)
+        bucket = _hive_int64(batch["bucket"])
         cos = qm @ deq.T
         ok = (bucket[None, :, None] == prb[:, None, :]).any(-1)
         ok &= qids[:, None] != ids[None, :]

@@ -91,9 +91,21 @@ def test_gml_dump(ray_session, tmp_path):
     path = str(tmp_path / "tree.gml")
     nv = write_tree_gml(ck, 0, path)
     text = open(path).read()
-    assert text.count("node [") == nv
-    assert text.count("edge [") == nv - 1  # a tree: every vertex one parent
-    assert text.startswith("graph [")
+    # reference layout (src/OldCoverTree.cpp:383-417): multi-line blocks
+    assert text.startswith("graph\n[\n") and text.endswith("]\n")
+    assert text.count("\tnode\n") == nv
+    assert text.count("\tedge\n") == nv - 1  # a tree: every vertex one parent
+    import re
+    edges = re.findall(r"\tedge\n\t\[\n\t\tsource (\d+)\n\t\ttarget (\d+)\n"
+                       r"\t\tdistance (\d+\.\d{3})\n\t\]\n", text)
+    assert len(edges) == nv - 1
+    # DFS from root reaches every vertex exactly once as a target
+    targets = sorted(int(t) for _, t, _ in edges)
+    assert targets == list(range(1, nv))
+    nodes = re.findall(r"\tnode\n\t\[\n\t\tid (\d+)\n\t\tpt (\d+)\n"
+                       r"\t\tlevel (\d+)\n\t\tcover (\d+\.\d{3})\n\t\]\n",
+                       text)
+    assert [int(n[0]) for n in nodes] == list(range(nv))
 
 
 def test_graph_shards_unique_names_high_degree_src(ray_session, tmp_path):
