@@ -207,6 +207,24 @@ def sql_bm25_topk() -> str:
     return search.bm25_topk_sql()
 
 
+def q_bm25_topk_store(sf_dir: str):
+    """The repeated-query BM25 path: hive-partitioned postings store
+    built under /tmp, then a PARTITION-PRUNED two-pass query over only
+    the query terms' buckets.  Byte-identical to bm25_topk, so its SQL
+    oracle applies (equality also pytest-asserted in tests/test_search.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from . import search
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"bm25store-{os.getpid()}-{abs(hash(sf_dir)) % 99991}")
+    shutil.rmtree(store, ignore_errors=True)
+    search.bm25_build_store(_docs(sf_dir), store)
+    return search.bm25_topk_store(store)
+
+
 def q_table_profile(sf_dir: str):
     from . import curation
     from .sources import read_table
@@ -249,6 +267,7 @@ QUERIES = {
     "split_contamination": q_split_contamination,
     "pii_scrub": q_pii_scrub,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_store": q_bm25_topk_store,
     "table_profile": q_table_profile,
     "dedup_corpus": q_dedup_corpus,
 }
@@ -275,6 +294,7 @@ ORACLES = {
     "split_contamination": sql_split_contamination,
     "pii_scrub": sql_pii_scrub,
     "bm25_topk": sql_bm25_topk,
+    "bm25_topk_store": sql_bm25_topk,
     "table_profile": sql_table_profile,
     "dedup_corpus": sql_dedup_corpus,
 }

@@ -213,6 +213,71 @@ def test_bm25_ranking_semantics(ray_session):
     assert (out["score"] > 0).all()
 
 
+def test_bm25_store_equals_in_memory(ray_session, tmp_path, con):
+    """The physical postings store is byte-identical to the two-pass
+    in-memory scorer (the ivf_topk_store ≡ ivf_topk equality pattern),
+    and hence inherits its SQL oracle."""
+    from covertile import api_text
+    from covertile.search import bm25_build_store, bm25_topk, bm25_topk_store
+    from covertile.sources import read_table
+
+    docs = read_table(SF, "documents", ("doc_id", "text"))
+    store = str(tmp_path / "bm25")
+    bm25_build_store(docs, store)
+    got = bm25_topk_store(store).to_pandas().reset_index(drop=True)
+    want = bm25_topk(docs).to_pandas().reset_index(drop=True)
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    # and matches the SQL oracle directly
+    orc = con.execute(api_text.ORACLES["bm25_topk_store"]()).df()
+    _assert_frames_equal(got, orc)
+
+
+def test_bm25_store_bucket_invariance(ray_session, tmp_path):
+    """Bucket count affects layout/parallelism only, never results."""
+    from covertile.search import bm25_build_store, bm25_topk_store
+    from covertile.sources import read_table
+
+    docs = read_table(SF, "documents", ("doc_id", "text"))
+    outs = []
+    for nb in (4, 32):
+        store = str(tmp_path / f"bm25-{nb}")
+        bm25_build_store(docs, store, nbuckets=nb)
+        outs.append(bm25_topk_store(store).to_pandas()
+                    .reset_index(drop=True))
+    _assert_frames_equal(outs[0], outs[1])
+
+
+def test_bm25_store_prunes_partitions(ray_session, tmp_path):
+    """A query's file list covers ONLY its terms' hash buckets; results
+    on a controlled corpus match semantics (zero-match docs never rank)."""
+    import os
+
+    import ray.data as rd
+    from covertile.search import bm25_build_store, bm25_topk, bm25_topk_store
+
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(5), pa.int64()),
+        "text": pa.array([
+            "needle needle needle hay",
+            "hay hay hay hay hay hay",
+            "needle hay hay hay",
+            "hay barn field",
+            "barn field tractor",
+        ]),
+    })
+    store = str(tmp_path / "bm25")
+    bm25_build_store(rd.from_arrow(tbl), store, nbuckets=8)
+    buckets = [d for d in os.listdir(store) if d.startswith("bucket=")]
+    assert len(buckets) > 1  # vocabulary actually spread over partitions
+    got = bm25_topk_store(store, terms=("needle",), k=3).to_pandas()
+    want = bm25_topk(rd.from_arrow(tbl), terms=("needle",),
+                     k=3).to_pandas()
+    _assert_frames_equal(got.reset_index(drop=True),
+                         want.reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 2]
+
+
 def test_table_profile_matches_oracle(ray_session, con):
     from covertile import api_text
     got = (api_text.QUERIES["table_profile"](SF)
