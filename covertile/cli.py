@@ -213,17 +213,48 @@ def cmd_profile(args) -> int:
 
 
 def cmd_bm25(args) -> int:
-    """BM25 top-k lexical search over a documents parquet."""
+    """BM25 top-k lexical search over a documents parquet; --store uses
+    (building on first use) the hive-partitioned postings store, so
+    repeated queries read only their terms' buckets."""
+    import os
+
     _ray_session()
     import ray.data as rd
 
     from . import search
 
-    docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
-    df = search.bm25_topk(docs, terms=tuple(args.query.split()),
-                          k=args.k).to_pandas()
+    terms = tuple(args.query.split())
+    if args.store:
+        if not os.path.exists(os.path.join(args.store, "stats.json")):
+            docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+            search.bm25_build_store(docs, args.store)
+            print(f"postings store built -> {args.store}")
+        df = search.bm25_topk_store(args.store, terms=terms,
+                                    k=args.k).to_pandas()
+    else:
+        docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+        df = search.bm25_topk(docs, terms=terms, k=args.k).to_pandas()
     print(df.to_string(index=False))
     return 0
+
+
+def cmd_dump_gml(args) -> int:
+    """Reference-parity GML dumps (S8, OldCoverTree.cpp:383-417): one
+    pid=N.gml per completed partition in a checkpoint dir.  Local parquet
+    reads only — no Ray session needed."""
+    import os
+
+    from .sources import write_tree_gml
+    from .store import done_pids
+
+    os.makedirs(args.output, exist_ok=True)
+    pids = sorted(done_pids(args.ckpt))
+    for pid in pids:
+        nv = write_tree_gml(args.ckpt, pid,
+                            os.path.join(args.output, f"pid={pid}.gml"))
+        print(f"pid={pid}: {nv} vertices")
+    print(f"{len(pids)} partition trees -> {args.output}")
+    return 0 if pids else 1
 
 
 def main(argv=None) -> int:
@@ -274,7 +305,17 @@ def main(argv=None) -> int:
     p.add_argument("-q", "--query", required=True,
                    help="space-separated query terms")
     p.add_argument("-k", type=size_int, default=10)
+    p.add_argument("--store", default=None,
+                   help="postings-store dir: built on first use, then "
+                        "queried via the partition-pruned path")
     p.set_defaults(fn=cmd_bm25)
+
+    p = sub.add_parser("dump-gml")
+    p.add_argument("--ckpt", required=True,
+                   help="checkpoint dir from a build (plan.json/trees/)")
+    p.add_argument("-o", "--output", required=True,
+                   help="output dir; one pid=N.gml per partition")
+    p.set_defaults(fn=cmd_dump_gml)
 
     args = ap.parse_args(argv)
     rc = args.fn(args)

@@ -135,3 +135,42 @@ def test_cli_profile_and_bm25(ray_session, capsys):
                      "-q", "fast window", "-k", "5"]) == 0
     out = capsys.readouterr().out
     assert "score" in out and "doc_id" in out
+
+
+def test_cli_bm25_store_matches_direct(ray_session, tmp_path, capsys):
+    """--store builds the postings store on first use, reuses it on the
+    second, and both invocations print the direct path's exact rows."""
+    from covertile import cli
+
+    SF = "/root/testdata/sf0.001"
+    assert cli.main(["bm25", "-i", f"{SF}/documents.parquet",
+                     "-q", "fast window", "-k", "5"]) == 0
+    direct = capsys.readouterr().out
+    store = str(tmp_path / "postings")
+    for expect_build in (True, False):
+        assert cli.main(["bm25", "-i", f"{SF}/documents.parquet",
+                         "-q", "fast window", "-k", "5",
+                         "--store", store]) == 0
+        out = capsys.readouterr().out
+        assert ("postings store built" in out) is expect_build
+        assert out.splitlines()[-len(direct.splitlines()):] == \
+            direct.splitlines()
+
+
+def test_cli_dump_gml(ray_session, tmp_path, capsys):
+    """dump-gml writes one reference-layout GML per completed partition."""
+    import ray.data as rd
+    from covertile import cli
+    from covertile.pipeline import build_index, derive_points
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id"])
+    ck = str(tmp_path / "ck")
+    build_index(derive_points(docs, 3), ck, 3,
+                target_points=64, min_partitions=4)
+    out_dir = str(tmp_path / "gml")
+    assert cli.main(["dump-gml", "--ckpt", ck, "-o", out_dir]) == 0
+    files = sorted(os.listdir(out_dir))
+    assert files and all(f.endswith(".gml") for f in files)
+    text = open(os.path.join(out_dir, files[0])).read()
+    assert text.startswith("graph\n[\n") and "\tnode\n" in text
