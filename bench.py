@@ -570,6 +570,20 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
 
     stage("bm25_topk", run_bm25)
 
+    def run_bm25_store_build():
+        from covertile import search as S
+        shutil.rmtree("/tmp/covertile-bench-bm25", ignore_errors=True)
+        S.bm25_build_store(docs, "/tmp/covertile-bench-bm25")
+        return "built"
+
+    def run_bm25_store_query():
+        from covertile import search as S
+        return S.bm25_topk_store("/tmp/covertile-bench-bm25",
+                                 terms=tuple(vocab[:3])).count()
+
+    stage("bm25_store_build", run_bm25_store_build)
+    stage("bm25_store_query", run_bm25_store_query)
+
     def run_emb_knn():
         qt = pa.concat_tables(vecs.limit(V.ANN_NUM_QUERIES).iter_batches(
             batch_size=None, batch_format="pyarrow"))
