@@ -300,7 +300,8 @@ def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MINUTES,
 
     Hot-user-proof two-stage scheme (exact):
 
-    1. Events are bucketed by a 256-way hash of (user_id, ts-chunk) — a
+    1. Events are bucketed by a size-derived hash (sizing.bucket_shift)
+       of (user_id, ts-chunk) — a
        hot user's events spread across chunks instead of pinning one
        task.  Inside a coarse group ALL (user, chunk) runs are
        sessionized in one vectorized pass (lexsort + run detection),
@@ -452,7 +453,8 @@ def asof_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
     Exact, hot-user-proof two-stage scheme (the sessionize discipline
     applied to a join):
 
-    1. Events bucket by a 256-way hash of (user_id, ts-chunk).  Inside a
+    1. Events bucket by a size-derived hash (sizing.bucket_shift) of
+       (user_id, ts-chunk).  Inside a
        coarse group, ALL (user, chunk) runs are matched in one vectorized
        pass — sort by (user, chunk, ts, rights-first, event_id), then a
        segment-reset running maximum of right row indices gives each left
