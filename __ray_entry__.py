@@ -32,6 +32,7 @@ def entry() -> Any:
 #: and the handful of greens that fall off the end are ones with redundant
 #: bitwise pytest coverage (store variants equal their in-memory twins).
 _FIRST = (
+    "repetition_stats",
     "props_stats", "rolling_window", "transition_counts",
     "revenue_by_nation", "pricing_summary", "local_supplier_volume",
     "idle_customers", "shipping_priority", "bm25_topk_store",

@@ -28,6 +28,15 @@ def sql_token_stats() -> str:
     return T.token_stats_sql()
 
 
+def q_repetition_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        T.repetition_stats_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def sql_repetition_stats() -> str:
+    return T.repetition_stats_sql()
+
+
 def q_lang_id(sf_dir: str):
     return _docs(sf_dir).map_batches(
         T.lang_id_batch, batch_format="pyarrow").sort("doc_id")
@@ -247,6 +256,7 @@ def sql_dedup_corpus() -> str:
 
 QUERIES = {
     "token_stats": q_token_stats,
+    "repetition_stats": q_repetition_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
@@ -274,6 +284,7 @@ QUERIES = {
 
 ORACLES = {
     "token_stats": sql_token_stats,
+    "repetition_stats": sql_repetition_stats,
     "lang_id": sql_lang_id,
     "doc_fingerprint": sql_fingerprint,
     "exact_dedup": sql_exact_dedup,

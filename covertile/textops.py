@@ -166,6 +166,84 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------- repetition stats
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style per-doc repetition signals: (doc_id, n_tokens,
+    top_token_n, top_token_ratio, dup_bigram_ratio).  top_token_n is the
+    multiplicity of the most frequent token; dup_bigram_ratio is
+    1 - distinct_bigrams/(n_tokens-1), NULL-as-NaN when the doc has fewer
+    than 2 tokens.  Boilerplate / degenerate-repetition filters threshold
+    on these two ratios.
+
+    Fully vectorized: token identity via md5_u64 (same 64-bit-collision
+    proxy token_stats' n_uniq_tokens ships with, driver-green), run
+    lengths off ONE lexsort per signal; bigram identity is the
+    (hash_i, hash_i+1) pair, a bijection with the string bigram because
+    single-space split tokens cannot contain spaces.  Float ratios are
+    single IEEE divisions in the same operand order as the SQL mirror,
+    hence bitwise."""
+    toks = _token_lists(_text_col(batch))
+    lens = np.asarray(pc.list_value_length(toks), np.int64)
+    ndoc = len(lens)
+    th = md5_u64(toks.flatten())
+    doc_of = np.repeat(np.arange(ndoc, dtype=np.int64), lens)
+    top_n = np.zeros(ndoc, np.int64)
+    if len(doc_of):
+        order = np.lexsort((th, doc_of))
+        d_s, h_s = doc_of[order], th[order]
+        new = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])))
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, len(d_s)))
+        np.maximum.at(top_n, d_s[starts], run_len)
+    # distinct bigrams: consecutive positions that stay inside one doc
+    bi = np.flatnonzero(doc_of[:-1] == doc_of[1:]) if ndoc else \
+        np.zeros(0, np.int64)
+    uniq_bg = np.zeros(ndoc, np.int64)
+    if len(bi):
+        bd, a, b = doc_of[bi], th[bi], th[bi + 1]
+        order = np.lexsort((b, a, bd))
+        bd_s, a_s, b_s = bd[order], a[order], b[order]
+        new = np.concatenate(
+            ([True], (bd_s[1:] != bd_s[:-1]) | (a_s[1:] != a_s[:-1])
+             | (b_s[1:] != b_s[:-1])))
+        uniq_bg = np.bincount(bd_s[new], minlength=ndoc).astype(np.int64)
+    n_bg = lens - 1  # lens >= 1 always: split('') == ['']
+    safe = np.where(n_bg > 0, n_bg, 1)
+    dup_bg = np.where(n_bg > 0,
+                      1.0 - uniq_bg.astype(np.float64) / safe, np.nan)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": lens,
+        "top_token_n": top_n,
+        "top_token_ratio": top_n.astype(np.float64) / lens,
+        "dup_bigram_ratio": pa.array(dup_bg, pa.float64()),
+    })
+
+
+def repetition_stats_sql() -> str:
+    return """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tt AS (SELECT doc_id, MAX(c) AS top_n FROM (
+         SELECT doc_id, COUNT(*) AS c
+         FROM (SELECT doc_id, unnest(l) AS tok FROM base)
+         GROUP BY doc_id, tok) GROUP BY doc_id),
+bg AS (SELECT doc_id, len(l) AS nt,
+              len(list_distinct(list_transform(
+                  range(1, len(l)), i -> l[i] || ' ' || l[i + 1]))) AS ubg
+       FROM base)
+SELECT bg.doc_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(tt.top_n AS BIGINT) AS top_token_n,
+       CAST(tt.top_n AS DOUBLE) / CAST(nt AS DOUBLE) AS top_token_ratio,
+       CASE WHEN nt >= 2
+            THEN 1.0 - CAST(ubg AS DOUBLE) / CAST(nt - 1 AS DOUBLE)
+            ELSE NULL END AS dup_bigram_ratio
+FROM bg JOIN tt USING (doc_id) ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------- language id
 
 _LANG_MARKERS = [  # first match wins (mirrored CASE order)

@@ -31,7 +31,8 @@ def assert_matches(got, want, name):
 
 
 @pytest.mark.parametrize("name", [
-    "token_stats", "lang_id", "doc_fingerprint", "exact_dedup",
+    "token_stats", "repetition_stats", "lang_id", "doc_fingerprint",
+    "exact_dedup",
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
     "group_quantiles", "subword_stats", "dataset_split", "dup_components",
@@ -42,6 +43,39 @@ def test_text_query_matches_oracle(ray_session, con, name):
     got = fetch(api_text.QUERIES[name](SF))
     want = con.execute(api_text.ORACLES[name]()).df()
     assert_matches(got, want, name)
+
+
+def test_repetition_stats_edge_cases():
+    """Batch kernel vs DuckDB on degenerate docs: empty text, single
+    token (dup_bigram_ratio NULL), all-one-token, alternating bigram
+    repeats, multibyte tokens."""
+    import pandas as pd
+    import pyarrow as pa
+    from covertile import textops as T
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["", "one", "a a a a", "a b a b a", "x y z",
+                 "naïve café naïve café naïve"],
+    })
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = c.execute(T.repetition_stats_sql()).df()
+    got = (T.repetition_stats_batch(pa.Table.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = want[got.columns].sort_values("doc_id").reset_index(drop=True)
+    for col in got.columns:
+        a, b = got[col].to_numpy(), want[col].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.array_equal(a, b, equal_nan=True), col
+            m = ~np.isnan(a)
+            assert np.array_equal(a[m].view(np.int64),
+                                  b[m].view(np.int64)), col
+        else:
+            assert np.array_equal(a, b), col
+    # the two single-token docs have no bigrams -> NULL ratio
+    assert got["dup_bigram_ratio"].isna().tolist() == [
+        True, True, False, False, False, False]
 
 
 def test_minhash_no_false_positives_and_recall(ray_session):
