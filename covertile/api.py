@@ -295,7 +295,15 @@ def q_doc_enrich(sf_dir: str):
         })
 
     stats = tbl.map_batches(nspans, batch_format="pyarrow")
-    return hash_join_int_key(stats, deg, "doc_id").sort("doc_id")
+    # deg is lazy over the whole epsilon-graph pipeline: inferring its
+    # schema would run that pipeline once extra — declare it instead
+    return hash_join_int_key(
+        stats, deg, "doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_spans", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("eps_degree", pa.int64())]),
+    ).sort("doc_id")
 
 
 def flagship(sf_dir: str):
@@ -322,7 +330,12 @@ def flagship(sf_dir: str):
 
     docs = _read_docs(sf_dir, columns=("doc_id", "text", "source", "n_chars"))
     tbl = S.span_table(docs)
-    return hash_join_int_key(tbl, deg, "doc_id", how="left")
+    # tbl's nested span schema is inferred (one cheap block); deg's would
+    # cost a full epsilon-graph execution — declared instead
+    return hash_join_int_key(
+        tbl, deg, "doc_id", how="left",
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("eps_degree", pa.int64())]))
 
 
 def sql_doc_enrich() -> str:

@@ -21,20 +21,31 @@ __all__ = ["hash_join_int_key"]
 
 def hash_join_int_key(left_ds, right_ds, key: str,
                       num_buckets: int | None = None,
-                      how: str = "inner"):
+                      how: str = "inner",
+                      left_schema=None, right_schema=None):
     """Equi-join two Datasets on an int64 key (unique on the right side).
 
     how: "inner" or "left" (left rows with no match get nulls).
     Output columns: all left columns then right columns minus the key.
     num_buckets=None derives the fan-out from cluster size
     (sizing.fanout); bucket count never changes the join result.
+
+    left_schema / right_schema: optional pyarrow.Schema (or any object
+    with .names/.types).  `Dataset.schema()` on a LAZY input executes its
+    upstream plan far enough to see one block — for a chained join that
+    means running the previous join's whole shuffle once for schema
+    inference and AGAIN for the real execution.  Callers that construct
+    their projections (and therefore know the schema statically) pass it
+    here and the plan stays un-executed until the terminal op.  The
+    declared types must match the real blocks exactly; they are used to
+    type empty buckets and left-join null fill.
     """
     assert how in ("inner", "left")
     if num_buckets is None:
         from .sizing import fanout
         num_buckets = fanout()
-    lsch = left_ds.schema()
-    rsch = right_ds.schema()
+    lsch = left_schema if left_schema is not None else left_ds.schema()
+    rsch = right_schema if right_schema is not None else right_ds.schema()
     left_cols = list(lsch.names)
     right_cols = [c for c in rsch.names if c != key]
     ltypes = dict(zip(lsch.names, lsch.types))

@@ -57,7 +57,9 @@ def revenue_by_nation(li_ds, od_ds, cu_ds, nation_tbl: pa.Table):
 
     j1 = hash_join_int_key(
         li_ds.map_batches(li_partial, batch_format="pyarrow"),
-        od_ds, key="o_orderkey")
+        od_ds, key="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("units", pa.int64())]))
 
     def rekey(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -67,7 +69,9 @@ def revenue_by_nation(li_ds, od_ds, cu_ds, nation_tbl: pa.Table):
 
     j2 = hash_join_int_key(
         j1.map_batches(rekey, batch_format="pyarrow"),
-        cu_ds, key="c_custkey")
+        cu_ds, key="c_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("units", pa.int64())]))
 
     def nation_partial(batch: pa.Table) -> pa.Table:
         lut_ = ray.get(lut_ref)
@@ -220,7 +224,12 @@ def local_supplier_volume(li_ds, od_ds, cu_ds, su_ds, nation_tbl: pa.Table,
     j1 = hash_join_int_key(
         li_ds.map_batches(li_proj, batch_format="pyarrow"),
         od_ds.map_batches(od_filter, batch_format="pyarrow"),
-        key="o_orderkey")
+        key="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("s_suppkey", pa.int64()),
+                               ("units", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
 
     def rekey_cust(batch: pa.Table) -> pa.Table:
         return pa.table({"c_custkey": batch["o_custkey"],
@@ -229,7 +238,10 @@ def local_supplier_volume(li_ds, od_ds, cu_ds, su_ds, nation_tbl: pa.Table,
 
     j2 = hash_join_int_key(
         j1.map_batches(rekey_cust, batch_format="pyarrow"),
-        cu_ds, key="c_custkey")
+        cu_ds, key="c_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("s_suppkey", pa.int64()),
+                               ("units", pa.int64())]))
 
     def rekey_supp(batch: pa.Table) -> pa.Table:
         return pa.table({"s_suppkey": batch["s_suppkey"],
@@ -238,7 +250,10 @@ def local_supplier_volume(li_ds, od_ds, cu_ds, su_ds, nation_tbl: pa.Table,
 
     j3 = hash_join_int_key(
         j2.map_batches(rekey_supp, batch_format="pyarrow"),
-        su_ds, key="s_suppkey")
+        su_ds, key="s_suppkey",
+        left_schema=pa.schema([("s_suppkey", pa.int64()),
+                               ("units", pa.int64()),
+                               ("c_nationkey", pa.int32())]))
 
     def nation_partial(batch: pa.Table) -> pa.Table:
         lut_ = ray.get(lut_ref)
@@ -451,7 +466,13 @@ def shipping_priority(li_ds, od_ds, cu_ds, segment: str = Q3_SEGMENT,
     j1 = hash_join_int_key(
         li_ds.map_batches(li_partial, batch_format="pyarrow"),
         od_ds.map_batches(od_filter, batch_format="pyarrow"),
-        key="o_orderkey")
+        key="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("units", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate_us", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
 
     def rekey(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -465,7 +486,13 @@ def shipping_priority(li_ds, od_ds, cu_ds, segment: str = Q3_SEGMENT,
     j2 = hash_join_int_key(
         j1.map_batches(rekey, batch_format="pyarrow"),
         cu_ds.map_batches(cu_filter, batch_format="pyarrow"),
-        key="c_custkey")
+        key="c_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("o_orderkey", pa.int64()),
+                               ("units", pa.int64()),
+                               ("o_orderdate_us", pa.int64()),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]))
 
     # per-orderkey merge of the per-block lineitem partials; orderdate /
     # priority are functionally dependent on the key, so they ride as

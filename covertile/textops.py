@@ -612,7 +612,9 @@ def _verify_jaccard(pairs_ds, docs_ds, tau: float, k: int):
         ids_ds = (pairs.map_batches(explode_ids, batch_format="pyarrow")
                   .groupby("bk").map_groups(uniq_ids,
                                             batch_format="pyarrow"))
-        cand_docs = hash_join_int_key(docs_ds, ids_ds, "doc_id")
+        cand_docs = hash_join_int_key(
+            docs_ds, ids_ds, "doc_id",
+            right_schema=pa.schema([("doc_id", pa.int64())]))
         cand_sets = cand_docs.map_batches(
             lambda b: _shingle_table(b, k),
             batch_format="pyarrow").materialize()
@@ -683,8 +685,19 @@ def _verify_jaccard(pairs_ds, docs_ds, tau: float, k: int):
                                    batch_format="pyarrow")
     b_sets = cand_sets.map_batches(rename("b_id", "n_b", "s_b"),
                                    batch_format="pyarrow")
+    # pairs is materialized and a_sets/b_sets map a materialized dataset,
+    # so their .schema() is cheap — but the OUTER join's left side is the
+    # inner join itself, whose .schema() would execute the inner shuffle
+    # a second time; compose its schema statically instead.
+    import types as _pytypes
+    psch, asch = pairs.schema(), a_sets.schema()
+    at = dict(zip(asch.names, asch.types))
+    j1_schema = _pytypes.SimpleNamespace(
+        names=list(psch.names) + [c for c in asch.names if c != "a_id"],
+        types=list(psch.types) + [at[c] for c in asch.names if c != "a_id"])
     joined = hash_join_int_key(
-        hash_join_int_key(pairs, a_sets, "a_id"), b_sets, "b_id")
+        hash_join_int_key(pairs, a_sets, "a_id"), b_sets, "b_id",
+        left_schema=j1_schema)
 
     def verify(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
