@@ -33,7 +33,7 @@ def entry() -> Any:
 #: funnel and hopping_window — every dropped entry is r03 driver-green or a
 #: bitwise twin of one, and all have oracle-equality pytest coverage.
 _FIRST = (
-    "repetition_stats",
+    "repetition_stats", "doc_chunks",
     "props_stats", "rolling_window", "transition_counts",
     "revenue_by_nation", "pricing_summary", "local_supplier_volume",
     "idle_customers", "shipping_priority", "bm25_topk_store",

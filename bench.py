@@ -545,6 +545,7 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
 
     from covertile import curation as C
     stage("sequence_pack", lambda: C.sequence_pack(docs).count())
+    stage("doc_chunks", lambda: C.doc_chunks(docs).count())
     stage("pii_scrub", lambda: C.pii_scrub(docs).count())
     stage("exact_dedup", lambda: T.exact_dedup(docs).count())
     stage("simhash_dedup", lambda: T.simhash_dup_pairs(docs).count())

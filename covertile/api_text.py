@@ -186,6 +186,16 @@ def sql_sequence_pack() -> str:
     return curation.sequence_pack_sql()
 
 
+def q_doc_chunks(sf_dir: str):
+    from . import curation
+    return curation.doc_chunks(_docs(sf_dir))
+
+
+def sql_doc_chunks() -> str:
+    from . import curation
+    return curation.doc_chunks_sql()
+
+
 def q_split_contamination(sf_dir: str):
     from . import curation
     return curation.split_contamination(_docs(sf_dir))
@@ -274,6 +284,7 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     "normalize_text": q_normalize,
     "sequence_pack": q_sequence_pack,
+    "doc_chunks": q_doc_chunks,
     "split_contamination": q_split_contamination,
     "pii_scrub": q_pii_scrub,
     "bm25_topk": q_bm25_topk,
@@ -302,6 +313,7 @@ ORACLES = {
     "grouped_topk": sql_grouped_topk,
     "normalize_text": sql_normalize,
     "sequence_pack": sql_sequence_pack,
+    "doc_chunks": sql_doc_chunks,
     "split_contamination": sql_split_contamination,
     "pii_scrub": sql_pii_scrub,
     "bm25_topk": sql_bm25_topk,

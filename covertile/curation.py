@@ -185,6 +185,85 @@ FROM o ORDER BY doc_id
 
 # --------------------------------------------------- split contamination
 
+# ------------------------------------------------------------ doc chunks
+
+CHUNK_TOKENS = 64   # tokens per retrieval/training chunk
+CHUNK_OVERLAP = 8   # tokens shared between consecutive chunks
+
+
+def doc_chunks(docs_ds, chunk_tokens: int = CHUNK_TOKENS,
+               overlap: int = CHUNK_OVERLAP):
+    """Fixed-token-window document chunking with overlap — the
+    long-document split step of retrieval / context-window training
+    prep.  -> (doc_id, chunk_id, n_chunk_tokens, chunk_text) sorted;
+    chunk i covers tokens [i·stride, min(i·stride+chunk_tokens, nt)),
+    stride = chunk_tokens − overlap, and the chunk count is
+    max(1, ceil((nt − overlap)/stride)) so a tail that would carry no
+    NEW tokens is never emitted (every doc yields ≥1 chunk).
+
+    Pure per-batch map, no shuffle besides the canonical output sort:
+    chunk boundaries come from integer arithmetic on the per-doc token
+    counts, the chunk token payload is ONE np.take gather off the
+    flattened token array, and the chunk strings are rebuilt with a
+    zero-copy ListArray over that gather + pc.binary_join — no Python
+    loop at any row count.  At 100 TB this is embarrassingly parallel;
+    output size ≈ input × (1 + overlap/stride)."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        toks = T._token_lists(T._text_col(batch))
+        nt = np.asarray(pc.list_value_length(toks), np.int64)
+        ids = batch["doc_id"].to_numpy()
+        off = T._segment_offsets(nt)
+        flat = toks.flatten()
+        nch = np.maximum(1, -(-(nt - overlap) // stride))
+        doc_of = np.repeat(np.arange(len(nt), dtype=np.int64), nch)
+        # chunk_id within its doc: position minus the doc's first slot
+        first = np.concatenate(([0], np.cumsum(nch)[:-1]))
+        cid = np.arange(int(nch.sum()), dtype=np.int64) - first[doc_of]
+        start = cid * stride
+        clen = np.minimum(start + chunk_tokens, nt[doc_of]) - start
+        # flat gather: for chunk j, tokens off[doc]+start .. +clen
+        goff = np.concatenate(([0], np.cumsum(clen)))
+        tot = int(goff[-1])
+        gather = (np.repeat(off[doc_of] + start, clen)
+                  + (np.arange(tot) - np.repeat(goff[:-1], clen)))
+        payload = flat.take(pa.array(gather, pa.int64()))
+        chunks = (pa.ListArray.from_arrays(pa.array(goff, pa.int32()),
+                                           payload) if tot < 2**31 else
+                  pa.LargeListArray.from_arrays(pa.array(goff, pa.int64()),
+                                                payload))
+        return pa.table({
+            "doc_id": ids[doc_of],
+            "chunk_id": cid,
+            "n_chunk_tokens": clen,
+            "chunk_text": pc.binary_join(chunks, " "),
+        })
+
+    return (docs_ds.map_batches(chunk, batch_format="pyarrow")
+            .sort(["doc_id", "chunk_id"]))
+
+
+def doc_chunks_sql(chunk_tokens: int = CHUNK_TOKENS,
+                   overlap: int = CHUNK_OVERLAP) -> str:
+    st = chunk_tokens - overlap
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS l,
+                     len(string_split(text, ' ')) AS nt FROM documents),
+c AS (SELECT doc_id, nt, l,
+             unnest(range(0, greatest(1, CAST(ceil(
+                 CAST(nt - {overlap} AS DOUBLE) / {st}) AS BIGINT)))) AS i
+      FROM base)
+SELECT doc_id, i AS chunk_id,
+       least(i*{st} + {chunk_tokens}, nt) - i*{st} AS n_chunk_tokens,
+       array_to_string(list_slice(l, i*{st} + 1,
+                                  least(i*{st} + {chunk_tokens}, nt)),
+                       ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 def split_contamination(docs_ds, k: int = CONTAM_K,
                         split_pct: dict | None = None):
     """Leakage audit over the deterministic train/val/test assignment:

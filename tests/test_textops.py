@@ -36,7 +36,7 @@ def assert_matches(got, want, name):
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
     "group_quantiles", "subword_stats", "dataset_split", "dup_components",
-    "grouped_topk", "normalize_text",
+    "grouped_topk", "normalize_text", "doc_chunks",
 ])
 def test_text_query_matches_oracle(ray_session, con, name):
     from covertile import api_text
@@ -76,6 +76,40 @@ def test_repetition_stats_edge_cases():
     # the two single-token docs have no bigrams -> NULL ratio
     assert got["dup_bigram_ratio"].isna().tolist() == [
         True, True, False, False, False, False]
+
+
+def test_doc_chunks_boundaries_and_reconstruction():
+    """Chunk-count boundaries (nt == chunk, chunk+1, stride, stride+1),
+    no all-overlap tail chunks, and lossless reconstruction: chunk 0 +
+    each later chunk minus its `overlap` leading tokens re-concatenates
+    to the original document."""
+    import pandas as pd
+    import pyarrow as pa
+    from covertile.curation import (CHUNK_OVERLAP, CHUNK_TOKENS, doc_chunks,
+                                    doc_chunks_sql)
+
+    ct, ov, st = CHUNK_TOKENS, CHUNK_OVERLAP, CHUNK_TOKENS - CHUNK_OVERLAP
+    sizes = [0, 1, ov, st, st + 1, ct, ct + 1, 3 * st, 3 * st + 1, 500]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(len(sizes), dtype=np.int64),
+        "text": [" ".join(f"t{i}" for i in range(n)) if n else ""
+                 for n in sizes],
+    })
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = c.execute(doc_chunks_sql()).df()
+    import ray.data as rd
+    got = doc_chunks(rd.from_pandas(docs)).to_pandas()
+    assert got.equals(want[got.columns]), "oracle divergence"
+    for d, n in zip(docs.doc_id, sizes):
+        g = got[got.doc_id == d].sort_values("chunk_id")
+        nt = max(n, 1)  # split('') == ['']
+        assert len(g) == max(1, -(-(nt - ov) // st))
+        toks = g.iloc[0].chunk_text.split(" ")
+        for _, row in g.iloc[1:].iterrows():
+            assert row.chunk_text.split(" ")[:ov] == toks[-ov:], "bad halo"
+            toks += row.chunk_text.split(" ")[ov:]
+        assert " ".join(toks) == docs.text[d] or n == 0
 
 
 def test_minhash_no_false_positives_and_recall(ray_session):
