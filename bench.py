@@ -533,6 +533,7 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
         T.token_stats_batch, batch_format="pyarrow").count())
     stage("repetition_stats", lambda: docs.map_batches(
         T.repetition_stats_batch, batch_format="pyarrow").count())
+    stage("token_rarity", lambda: T.token_rarity(docs).count())
     stage("topk_terms", lambda: T.topk_terms(docs).count())
     stage("sample_bernoulli", lambda: T.sample_bernoulli(docs).count())
     stage("sample_stratified", lambda: T.sample_stratified(docs).count())

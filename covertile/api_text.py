@@ -28,6 +28,14 @@ def sql_token_stats() -> str:
     return T.token_stats_sql()
 
 
+def q_token_rarity(sf_dir: str):
+    return T.token_rarity(_docs(sf_dir))
+
+
+def sql_token_rarity() -> str:
+    return T.token_rarity_sql()
+
+
 def q_repetition_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         T.repetition_stats_batch, batch_format="pyarrow").sort("doc_id")
@@ -267,6 +275,7 @@ def sql_dedup_corpus() -> str:
 QUERIES = {
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
+    "token_rarity": q_token_rarity,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
@@ -296,6 +305,7 @@ QUERIES = {
 ORACLES = {
     "token_stats": sql_token_stats,
     "repetition_stats": sql_repetition_stats,
+    "token_rarity": sql_token_rarity,
     "lang_id": sql_lang_id,
     "doc_fingerprint": sql_fingerprint,
     "exact_dedup": sql_exact_dedup,

@@ -1079,6 +1079,176 @@ GROUP BY token ORDER BY n DESC, token LIMIT {k}
 """
 
 
+# ------------------------------------------------------- token rarity
+
+TOKEN_RARITY_BROADCAST_MAX = 4_000_000  # vocab rows; ~64 MB broadcast
+
+
+def token_rarity(docs_ds, broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
+    """Global-vocabulary rarity statistics per document: each token's
+    CORPUS frequency joined back onto the docs that use it ->
+    (doc_id, n_tokens, sum_tf, min_tf, max_tf, mean_tf) sorted.  Low
+    mean/min corpus frequency flags rare/garbled text, high flags
+    boilerplate — the CCNet-style LM-quality proxy with integer-exact
+    math (mean_tf is the single terminal division, hence bitwise).
+
+    Scale shape, two phases:
+    1. vocabulary aggregate — per-block pc.value_counts partials keyed
+       by token-hash bucket (the topk_terms shuffle, un-truncated), ONE
+       vocab-sized exchange, materialized (vocab rows ≪ corpus rows).
+    2. re-attach — vocab row count decides:
+       * ≤ broadcast_max: ray.put a sorted (hash, n) pair of arrays once
+         per job; per-block lookup is one searchsorted + int64 segment
+         sums — zero additional shuffles.
+       * above the cap (100-TB open-vocab corpora): per-block
+         (doc, token)-deduped occurrence rows hash-join the vocab table
+         (joins.hash_join_int_key, th unique on the right), then one
+         doc-bucket exchange combines the associative partials
+         (sum/min/max/count) — the driver never holds the vocabulary.
+    Both paths produce identical bytes (pinned by the fallback test).
+    Token identity is md5_u64 (the token_stats collision precedent)."""
+    import ray as _ray
+
+    from .sizing import bucket_shift
+    _shift = bucket_shift()
+
+    def vocab_part(batch: pa.Table) -> pa.Table:
+        flat = _token_lists(_text_col(batch)).flatten()
+        vc = pc.value_counts(flat)
+        th = md5_u64(vc.field("values"))
+        return pa.table({"th": th.view(np.int64),
+                         "c": vc.field("counts").cast(pa.int64()),
+                         "bk": (th >> _shift).astype(np.int64)})
+
+    def vocab_combine(g: pa.Table) -> pa.Table:
+        th = g["th"].to_numpy()
+        u, inv = np.unique(th, return_inverse=True)
+        n = np.bincount(inv, weights=g["c"].to_numpy(),
+                        minlength=len(u)).astype(np.int64)
+        return pa.table({"th": u, "n": n})
+
+    vocab = (docs_ds.map_batches(vocab_part, batch_format="pyarrow")
+             .groupby("bk").map_groups(vocab_combine,
+                                       batch_format="pyarrow")
+             .materialize())
+
+    def _doc_table(ids, lens, sum_tf, min_tf, max_tf) -> pa.Table:
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": lens,
+            "sum_tf": sum_tf,
+            "min_tf": min_tf,
+            "max_tf": max_tf,
+            "mean_tf": sum_tf.astype(np.float64) / lens,
+        })
+
+    if vocab.count() <= broadcast_max:
+        ths, ns = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
+        for b in vocab.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+            ths.append(b["th"].to_numpy())
+            ns.append(b["n"].to_numpy())
+        th_all, n_all = np.concatenate(ths), np.concatenate(ns)
+        order = np.argsort(th_all)
+        ref = _ray.put((th_all[order], n_all[order]))
+
+        def score(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                z = np.zeros(0, np.int64)
+                return _doc_table(z, z, z, z, z)
+            thv, nv = _ray.get(ref)
+            toks = _token_lists(_text_col(batch))
+            lens = np.asarray(pc.list_value_length(toks), np.int64)
+            off = _segment_offsets(lens)
+            tf = nv[np.searchsorted(
+                thv, md5_u64(toks.flatten()).view(np.int64))]
+            return _doc_table(batch["doc_id"].to_numpy(), lens,
+                              _segment_sum(tf, off),
+                              np.minimum.reduceat(tf, off[:-1]),
+                              np.maximum.reduceat(tf, off[:-1]))
+
+        return (docs_ds.map_batches(score, batch_format="pyarrow")
+                .sort("doc_id"))
+
+    from .joins import hash_join_int_key
+
+    def occ_part(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            z = np.zeros(0, np.int64)
+            return pa.table({"th": z, "doc_id": z, "occ": z})
+        toks = _token_lists(_text_col(batch))
+        lens = np.asarray(pc.list_value_length(toks), np.int64)
+        th = md5_u64(toks.flatten()).view(np.int64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        order = np.lexsort((th, doc_of))
+        d_s, h_s = doc_of[order], th[order]
+        new = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])))
+        starts = np.flatnonzero(new)
+        occ = np.diff(np.append(starts, len(d_s)))
+        return pa.table({
+            "th": h_s[starts],
+            "doc_id": batch["doc_id"].to_numpy()[d_s[starts]],
+            "occ": occ,
+        })
+
+    joined = hash_join_int_key(
+        docs_ds.map_batches(occ_part, batch_format="pyarrow"),
+        vocab, key="th",
+        left_schema=pa.schema([("th", pa.int64()), ("doc_id", pa.int64()),
+                               ("occ", pa.int64())]),
+        right_schema=pa.schema([("th", pa.int64()), ("n", pa.int64())]))
+
+    def doc_part(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        occ = batch["occ"].to_numpy()
+        n = batch["n"].to_numpy()
+        u, inv = np.unique(d, return_inverse=True)
+        nt = np.bincount(inv, weights=occ,
+                         minlength=len(u)).astype(np.int64)
+        s = np.bincount(inv, weights=occ * n,
+                        minlength=len(u)).astype(np.int64)
+        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mn, inv, n)
+        np.maximum.at(mx, inv, n)
+        return pa.table({"doc_id": u, "nt": nt, "s": s, "mn": mn, "mx": mx,
+                         "bk": _coarse_bucket(u)})
+
+    def doc_combine(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy()
+        u, inv = np.unique(d, return_inverse=True)
+        nt = np.bincount(inv, weights=g["nt"].to_numpy(),
+                         minlength=len(u)).astype(np.int64)
+        s = np.bincount(inv, weights=g["s"].to_numpy(),
+                        minlength=len(u)).astype(np.int64)
+        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mn, inv, g["mn"].to_numpy())
+        np.maximum.at(mx, inv, g["mx"].to_numpy())
+        return _doc_table(u, nt, s, mn, mx)
+
+    return (joined.map_batches(doc_part, batch_format="pyarrow")
+            .groupby("bk").map_groups(doc_combine, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+def token_rarity_sql() -> str:
+    return """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+cnt AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(cnt.n) AS BIGINT) AS sum_tf,
+       CAST(MIN(cnt.n) AS BIGINT) AS min_tf,
+       CAST(MAX(cnt.n) AS BIGINT) AS max_tf,
+       CAST(SUM(cnt.n) AS DOUBLE) / COUNT(*) AS mean_tf
+FROM tok JOIN cnt ON tok.t = cnt.t
+GROUP BY tok.doc_id ORDER BY tok.doc_id
+"""
+
+
 # ------------------------------------------------- deterministic sampling
 
 SAMPLE_MULT = 2654435761   # Knuth multiplicative hash; doc ids < 2^31 keep

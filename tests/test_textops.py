@@ -31,8 +31,8 @@ def assert_matches(got, want, name):
 
 
 @pytest.mark.parametrize("name", [
-    "token_stats", "repetition_stats", "lang_id", "doc_fingerprint",
-    "exact_dedup",
+    "token_stats", "repetition_stats", "token_rarity", "lang_id",
+    "doc_fingerprint", "exact_dedup",
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
     "group_quantiles", "subword_stats", "dataset_split", "dup_components",
@@ -76,6 +76,21 @@ def test_repetition_stats_edge_cases():
     # the two single-token docs have no bigrams -> NULL ratio
     assert got["dup_bigram_ratio"].isna().tolist() == [
         True, True, False, False, False, False]
+
+
+def test_token_rarity_join_fallback_equals_broadcast(ray_session, con):
+    """broadcast_max=0 forces the occurrence×vocab hash-join path; its
+    bytes must equal the broadcast path's (and the oracle's)."""
+    from covertile import textops as T
+    from covertile.sources import read_table
+
+    docs = read_table(SF, "documents", ("doc_id", "text"))
+    bcast = fetch(T.token_rarity(docs))
+    docs2 = read_table(SF, "documents", ("doc_id", "text"))
+    joinp = fetch(T.token_rarity(docs2, broadcast_max=0))
+    assert_matches(joinp, bcast, "token_rarity fallback")
+    want = con.execute(T.token_rarity_sql()).df()
+    assert_matches(bcast, want[bcast.columns], "token_rarity oracle")
 
 
 def test_doc_chunks_boundaries_and_reconstruction():
