@@ -34,7 +34,7 @@ def entry() -> Any:
 #: driver-green or a bitwise twin of one, and all have oracle-equality
 #: pytest coverage.
 _FIRST = (
-    "repetition_stats", "doc_chunks", "token_rarity",
+    "repetition_stats", "doc_chunks", "token_rarity", "mixture_rebalance",
     "props_stats", "rolling_window", "transition_counts",
     "revenue_by_nation", "pricing_summary", "local_supplier_volume",
     "idle_customers", "shipping_priority", "bm25_topk_store",

@@ -534,6 +534,18 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("repetition_stats", lambda: docs.map_batches(
         T.repetition_stats_batch, batch_format="pyarrow").count())
     stage("token_rarity", lambda: T.token_rarity(docs).count())
+
+    srcs = pa.array(np.array([f"src{i}" for i in range(20)]))
+
+    def add_source(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": ids,
+            "source": pc.take(srcs, pa.array((ids % 20).astype(np.int64))),
+        })
+
+    stage("mixture_rebalance", lambda: T.mixture_rebalance(
+        docs.map_batches(add_source, batch_format="pyarrow")).count())
     stage("topk_terms", lambda: T.topk_terms(docs).count())
     stage("sample_bernoulli", lambda: T.sample_bernoulli(docs).count())
     stage("sample_stratified", lambda: T.sample_stratified(docs).count())

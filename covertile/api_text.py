@@ -36,6 +36,14 @@ def sql_token_rarity() -> str:
     return T.token_rarity_sql()
 
 
+def q_mixture_rebalance(sf_dir: str):
+    return T.mixture_rebalance(_docs(sf_dir, ("doc_id", "source")))
+
+
+def sql_mixture_rebalance() -> str:
+    return T.mixture_rebalance_sql()
+
+
 def q_repetition_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         T.repetition_stats_batch, batch_format="pyarrow").sort("doc_id")
@@ -276,6 +284,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
     "token_rarity": q_token_rarity,
+    "mixture_rebalance": q_mixture_rebalance,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
@@ -306,6 +315,7 @@ ORACLES = {
     "token_stats": sql_token_stats,
     "repetition_stats": sql_repetition_stats,
     "token_rarity": sql_token_rarity,
+    "mixture_rebalance": sql_mixture_rebalance,
     "lang_id": sql_lang_id,
     "doc_fingerprint": sql_fingerprint,
     "exact_dedup": sql_exact_dedup,

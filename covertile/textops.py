@@ -1292,6 +1292,90 @@ WHERE {b} < {pct} ORDER BY doc_id
 """
 
 
+MIX_WEIGHT_MOD = 4  # integer source weights 1..4 from the source-name hash
+
+
+def mixture_rebalance(docs_ds):
+    """Domain-mixture rebalancing: deterministically downsample
+    over-represented sources so the surviving corpus approaches target
+    per-source weights -> (doc_id, source) sorted.  Weights are derived
+    from the source NAME (w_s = 1 + md5_u64(source) % 4) so the operator
+    is defined for any corpus with no side-channel config and the SQL
+    oracle can mirror them exactly.
+
+    Exact arithmetic contract: with W = Σ w_s, the feasible total is
+    T = min_s floor(n_s·W / w_s) (pure int64), each source's acceptance
+    threshold is floor(1e6 · (w_s·T) / (W·n_s)) — ONE float64
+    multiply-then-divide-then-floor in the identical order on both sides,
+    hence bitwise — and a doc survives iff its md5 bucket in 1e6 space
+    (md5_u64(doc_id-as-string) % 1e6, fully mixed; see the inline note on
+    why the Knuth-mod trick is NOT uniform at this modulus) clears its
+    source's threshold.  No source exceeds threshold 1e6 by construction
+    (w_s·T ≤ n_s·W), so the binding source keeps everything.
+
+    Scale shape: pass 1 is a sources-sized aggregate (per-block
+    value_counts partials, one tiny groupby, take_all of ≤|sources|
+    rows — the bm25 corpus-stats precedent); the thresholds ride into
+    pass 2's pure filter map as a closure dict, looked up per-batch via
+    dictionary_encode (|uniques| ≤ |sources| python steps per batch).
+    No corpus-sized shuffle besides the canonical output sort."""
+    def part(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_text_col(batch, "source"))
+        return pa.table({"source": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    rows = (docs_ds.map_batches(part, batch_format="pyarrow")
+            .groupby("source").sum("c").take_all())  # ≤ |sources| rows
+    src = np.array([r["source"] for r in rows], dtype=object)
+    ns = np.array([r["sum(c)"] for r in rows], dtype=np.int64)
+    w = (md5_u64(src) % np.uint64(MIX_WEIGHT_MOD)).astype(np.int64) + 1
+    W = int(w.sum())
+    T = int(np.min(ns * W // w))
+    thr = np.floor((1_000_000.0 * (w * T).astype(np.float64))
+                   / (W * ns).astype(np.float64)).astype(np.int64)
+    thr_map = {s: int(t) for s, t in zip(src, thr)}
+
+    def filt(batch: pa.Table) -> pa.Table:
+        col = _text_col(batch, "source")
+        ids = batch["doc_id"].to_numpy()
+        d = col.dictionary_encode()
+        tu = np.array([thr_map[s] for s in
+                       np.asarray(d.dictionary, dtype=object)], np.int64)
+        t = tu[d.indices.to_numpy()] if len(ids) else np.zeros(0, np.int64)
+        # md5 bucket, not the Knuth-mod trick: consecutive ids under
+        # (id·2654435761 mod 2^32) mod 1e6 form a strided progression
+        # whose sub-1e6 residues are far from uniform (measured 2.1%
+        # acceptance at a 62500/1e6 threshold); md5 mixes fully and the
+        # oracle mirrors it exactly
+        b6 = (md5_u64(ids.astype("U").astype(object))
+              % np.uint64(1_000_000)).astype(np.int64)
+        keep = pa.array(b6 < t)
+        return pa.table({"doc_id": ids[np.asarray(keep)],
+                         "source": col.filter(keep)})
+
+    return (docs_ds.map_batches(filt, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+def mixture_rebalance_sql() -> str:
+    wexpr = f"1 + CAST({md5_u64_sql('source')} % {MIX_WEIGHT_MOD} AS BIGINT)"
+    return f"""
+WITH n AS (SELECT source, COUNT(*) AS ns, {wexpr} AS w
+           FROM documents GROUP BY source),
+tw AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM n),
+t AS (SELECT MIN((ns * tw.wsum) // n.w) AS tot FROM n, tw),
+thr AS (SELECT source,
+               CAST(floor((1000000.0 * (n.w * t.tot)) / (tw.wsum * ns))
+                    AS BIGINT) AS thr
+        FROM n, tw, t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE CAST({md5_u64_sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 AS BIGINT)
+      < thr.thr
+ORDER BY d.doc_id
+"""
+
+
 def sample_stratified(docs_ds, strata_pct: dict | None = None):
     """Per-language sampling rates (lang -> pct, unlisted langs dropped):
     the standard rebalancing move for a multilingual training mix.

@@ -31,8 +31,8 @@ def assert_matches(got, want, name):
 
 
 @pytest.mark.parametrize("name", [
-    "token_stats", "repetition_stats", "token_rarity", "lang_id",
-    "doc_fingerprint", "exact_dedup",
+    "token_stats", "repetition_stats", "token_rarity", "mixture_rebalance",
+    "lang_id", "doc_fingerprint", "exact_dedup",
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
     "group_quantiles", "subword_stats", "dataset_split", "dup_components",
@@ -91,6 +91,36 @@ def test_token_rarity_join_fallback_equals_broadcast(ray_session, con):
     assert_matches(joinp, bcast, "token_rarity fallback")
     want = con.execute(T.token_rarity_sql()).df()
     assert_matches(bcast, want[bcast.columns], "token_rarity oracle")
+
+
+def test_mixture_rebalance_hits_targets_on_skew(ray_session):
+    """Planted 16:3:1 skew: survivors must match the oracle bitwise AND
+    land within sampling noise of the exact integer targets
+    take_s = w_s*T/W (T = min_s floor(n_s*W/w_s))."""
+    import pandas as pd
+    import ray.data as rd
+    from covertile import textops as T
+
+    n = {"big": 8000, "mid": 1500, "tiny": 500}
+    src = np.repeat(list(n), list(n.values()))
+    docs = pd.DataFrame({"doc_id": np.arange(sum(n.values()),
+                                             dtype=np.int64),
+                         "source": src})
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = c.execute(T.mixture_rebalance_sql()).df()
+    got = T.mixture_rebalance(rd.from_pandas(docs)).to_pandas()
+    assert got.equals(want[got.columns])
+    w = {s: 1 + int(T.md5_u64(np.array([s], dtype=object))[0]
+                    % np.uint64(T.MIX_WEIGHT_MOD)) for s in n}
+    W = sum(w.values())
+    tot = min(n[s] * W // w[s] for s in n)
+    survivors = got.groupby("source").size()
+    for s in n:
+        target = w[s] * tot / W
+        # binomial noise: 4 sigma of sqrt(target)
+        assert abs(survivors.get(s, 0) - target) <= max(
+            4 * target ** 0.5, 5), (s, survivors.get(s, 0), target)
 
 
 def test_doc_chunks_boundaries_and_reconstruction():
