@@ -29,10 +29,10 @@ def entry() -> Any:
 #: (CORRECTNESS_r03.json checked exactly the first 50 of 58).  Queries that
 #: have never had a driver-oracle row run FIRST; the two no-oracle queries
 #: (index_lineage, ivf_topk — both with bitwise-green exact twins) run LAST.
-#: At 61 registered queries a 50-cap drops exactly the _LAST block plus
-#: range_join, funnel and hopping_window — every dropped entry is r03
-#: driver-green or a bitwise twin of one, and all have oracle-equality
-#: pytest coverage.
+#: At 63 registered queries a 50-cap drops exactly the _LAST block plus
+#: sessionize, asof_join, range_join, funnel, hopping_window — every
+#: dropped entry is r03 driver-green or a bitwise twin of one, and all
+#: have oracle-equality pytest coverage.
 _FIRST = (
     "repetition_stats", "doc_chunks", "token_rarity", "mixture_rebalance",
     "props_stats", "rolling_window", "transition_counts",
