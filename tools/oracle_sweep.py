@@ -6,8 +6,8 @@ name, rows canonically sorted).  Usage:
     PYTHONPATH=/root/repo python tools/oracle_sweep.py [sf_dir]
 
 Writes per-query status+timings to /tmp/sweep.json and prints one JSON
-summary line.  The round-4 run: 59/59 oracle-backed pass (+2 no-oracle
-by design), 61 queries, 222s wall at sf0.01 / 16 CPUs."""
+summary line.  The round-4 final run: 61/61 oracle-backed pass (+2
+no-oracle by design), 63 queries, 243.6s wall at sf0.01 / 16 CPUs."""
 import json
 import sys
 import time
