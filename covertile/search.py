@@ -128,7 +128,12 @@ def bm25_build_store(docs_ds, store_dir: str, nbuckets: int | None = None
     Layout:
       store_dir/bucket=N/*.parquet   — postings (term, doc_id, tf, dl),
                                        bucket = md5_u64(term) >> shift
-      store_dir/stats.json           — {n_docs, sum_dl, nbuckets, shift}
+      store_dir/bucket=-1/*.parquet  — per-block corpus-stats sentinel
+                                       rows (tf=n_docs, dl=sum_dl); never
+                                       read by queries (term buckets ≥ 0)
+      store_dir/stats.json           — {n_docs, sum_dl, shift}, written
+                                       LAST (its absence marks a partial
+                                       build)
 
     dl is denormalized onto every posting row (2 extra int64s) so queries
     never join back to the corpus.  Bucket count derives from cluster/input
@@ -139,21 +144,32 @@ def bm25_build_store(docs_ds, store_dir: str, nbuckets: int | None = None
     hive write is Ray's partitioned write — postings of one term always
     land in one bucket directory."""
     import json
+    import shutil
 
     from . import store as ckstore
     from .sizing import bucket_shift
 
+    # a partial build (killed between the postings write and stats.json)
+    # must not leave stale partition files for a rebuild to merge with —
+    # clobber the directory, and keep stats.json the LAST write so its
+    # presence certifies a complete store
+    if os.path.isdir(store_dir):
+        shutil.rmtree(store_dir)
+
     shift = bucket_shift(nbuckets)
+
+    def _stats_row(n_docs: int, sum_dl: int) -> pa.Table:
+        return pa.table({"term": pa.array([""], pa.string()),
+                         "doc_id": pa.array([-1], pa.int64()),
+                         "tf": pa.array([n_docs], pa.int64()),
+                         "dl": pa.array([sum_dl], pa.int64()),
+                         "bucket": pa.array([-1], pa.int64())})
 
     def postings(batch: pa.Table) -> pa.Table:
         flat, lens, off = _tok_arrays(batch)
         ids = batch["doc_id"].to_numpy()
         if len(flat) == 0:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "tf": pa.array([], pa.int64()),
-                             "dl": pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.int64())})
+            return _stats_row(len(lens), 0)
         d = flat.dictionary_encode()
         codes = d.indices.to_numpy().astype(np.int64)
         doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
@@ -167,25 +183,29 @@ def bm25_build_store(docs_ds, store_dir: str, nbuckets: int | None = None
         if terms_arr.type != pa.string():
             terms_arr = terms_arr.cast(pa.string())
         bk = (T.md5_u64(terms_arr) >> shift).astype(np.int64)
-        return pa.table({"term": terms_arr,
-                         "doc_id": ids[d_s[starts]],
-                         "tf": tf.astype(np.int64),
-                         "dl": lens[d_s[starts]],
-                         "bucket": bk})
+        out = pa.table({"term": terms_arr,
+                        "doc_id": ids[d_s[starts]],
+                        "tf": tf.astype(np.int64),
+                        "dl": lens[d_s[starts]],
+                        "bucket": bk})
+        # corpus stats ride the SAME pass as one sentinel row per block
+        # (bucket=-1), so the build is ONE corpus scan, not two
+        return pa.concat_tables([out, _stats_row(len(lens),
+                                                 int(lens.sum()))])
 
     (docs_ds.map_batches(postings, batch_format="pyarrow")
      .write_parquet(store_dir, partition_cols=["bucket"]))
 
-    def corpus_partial(batch: pa.Table) -> pa.Table:
-        _, lens, _ = _tok_arrays(batch)
-        return pa.table({"n_docs": np.array([len(lens)], np.int64),
-                         "sum_dl": np.array([int(lens.sum())], np.int64)})
-
-    rows = docs_ds.map_batches(corpus_partial,
-                               batch_format="pyarrow").take_all()
-    stats = {"n_docs": sum(int(r["n_docs"]) for r in rows),
-             "sum_dl": sum(int(r["sum_dl"]) for r in rows),
-             "shift": int(shift)}
+    sdir = os.path.join(store_dir, "bucket=-1")
+    sfiles = [os.path.join(sdir, f) for f in os.listdir(sdir)
+              if f.endswith(".parquet")] if os.path.isdir(sdir) else []
+    n_docs = sum_dl = 0
+    import pyarrow.parquet as pq
+    for f in sfiles:
+        t = pq.read_table(f, columns=["tf", "dl"])
+        n_docs += int(pc.sum(t["tf"]).as_py() or 0)
+        sum_dl += int(pc.sum(t["dl"]).as_py() or 0)
+    stats = {"n_docs": n_docs, "sum_dl": sum_dl, "shift": int(shift)}
     ckstore.atomic_write_bytes(
         os.path.join(store_dir, "stats.json"), json.dumps(stats).encode())
     return store_dir
@@ -229,7 +249,21 @@ def bm25_topk_store(store_dir: str, terms: tuple[str, ...] = BM25_QUERY,
     if n_docs == 0:
         return rd.from_arrow(empty)
 
-    term_arr = pa.array(list(terms), pa.string())
+    # duplicate query terms: postings are stored once per (term, doc), so
+    # a term appearing in several query SLOTS must contribute once per
+    # slot (bm25_topk and the SQL expression tree score each slot
+    # independently).  index_in alone maps every occurrence to the FIRST
+    # slot and silently drops the duplicates' contributions — expand each
+    # matched posting row into one row per slot of its term instead.
+    uniq_terms = list(dict.fromkeys(terms))
+    slots_by_term = {t: [] for t in uniq_terms}
+    for j, t in enumerate(terms):
+        slots_by_term[t].append(j)
+    reps_u = np.array([len(slots_by_term[t]) for t in uniq_terms], np.int64)
+    soff_u = np.concatenate(([0], np.cumsum(reps_u)))
+    slots_flat = np.array([j for t in uniq_terms for j in slots_by_term[t]],
+                          np.int64)
+    term_arr = pa.array(uniq_terms, pa.string())
     tbuckets = np.unique(
         (T.md5_u64(term_arr) >> shift).astype(np.int64))
     files = []
@@ -242,19 +276,27 @@ def bm25_topk_store(store_dir: str, terms: tuple[str, ...] = BM25_QUERY,
     if not files:
         return rd.from_arrow(empty)
 
-    tref = ray.put(term_arr)
+    tref = ray.put((term_arr, reps_u, soff_u, slots_flat))
 
     def candidates(batch: pa.Table) -> pa.Table:
-        """term -> query-term index; non-query terms dropped."""
-        tq = ray.get(tref)
+        """term -> query SLOT index (one output row per matching slot);
+        non-query terms dropped."""
+        tq, reps, soff, sflat = ray.get(tref)
         idx = pc.index_in(batch["term"], value_set=tq)
         keep = pc.is_valid(idx)
         out = batch.filter(keep)
+        u = pc.cast(idx.filter(keep), pa.int64()).to_numpy()
+        r = reps[u]
+        total = int(r.sum())
+        goff = np.concatenate(([0], np.cumsum(r)))
+        ti = sflat[np.repeat(soff[u], r)
+                   + (np.arange(total) - np.repeat(goff[:-1], r))]
+        take = pa.array(np.repeat(np.arange(len(u), dtype=np.int64), r))
         return pa.table({
-            "ti": pc.cast(idx.filter(keep), pa.int64()),
-            "doc_id": out["doc_id"],
-            "tf": out["tf"],
-            "dl": out["dl"],
+            "ti": pa.array(ti),
+            "doc_id": out["doc_id"].take(take),
+            "tf": out["tf"].take(take),
+            "dl": out["dl"].take(take),
         })
 
     cand = (rd.read_parquet(files, columns=["term", "doc_id", "tf", "dl"])

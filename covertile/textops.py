@@ -64,7 +64,10 @@ _PAIR_SHIFT = np.int64(1) << np.int64(32)  # doc ids < 2^31
 # --------------------------------------------------------------- primitives
 
 _MD5_CACHE: dict[str, int] = {}
-_MD5_CACHE_MAX = 1 << 22  # vocab-bounded per worker process (~4M terms)
+_MD5_CACHE_MAX = 1 << 21  # per-worker cap (~2M terms, few hundred MB);
+# when full, new terms are hashed WITHOUT caching instead of clearing:
+# a wholesale clear() would evict the hot shared vocabulary exactly when
+# the corpus vocab sits above the cap and re-pay the fill every batch
 
 
 def md5_u64(strings) -> np.ndarray:
@@ -82,14 +85,14 @@ def md5_u64(strings) -> np.ndarray:
     d = strings.dictionary_encode()
     uniq = d.dictionary.to_pylist()
     cache = _MD5_CACHE
-    if len(cache) + len(uniq) > _MD5_CACHE_MAX:
-        cache.clear()
+    insert = len(cache) < _MD5_CACHE_MAX
     h = np.empty(len(uniq), np.uint64)
     for i, s in enumerate(uniq):
         v = cache.get(s)
         if v is None:
             v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-            cache[s] = v
+            if insert:
+                cache[s] = v
         h[i] = v
     return h[d.indices.to_numpy()] if len(uniq) else np.zeros(0, np.uint64)
 
@@ -1162,8 +1165,12 @@ def token_rarity(docs_ds, broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
             off = _segment_offsets(lens)
             tf = nv[np.searchsorted(
                 thv, md5_u64(toks.flatten()).view(np.int64))]
-            return _doc_table(batch["doc_id"].to_numpy(), lens,
-                              _segment_sum(tf, off),
+            # per-doc sums via add.at, not the cumsum trick: a batch-wide
+            # int64 cumsum of corpus frequencies can wrap past 2^63 even
+            # when every per-doc sum is in range
+            s = np.zeros(len(lens), np.int64)
+            np.add.at(s, np.repeat(np.arange(len(lens)), lens), tf)
+            return _doc_table(batch["doc_id"].to_numpy(), lens, s,
                               np.minimum.reduceat(tf, off[:-1]),
                               np.maximum.reduceat(tf, off[:-1]))
 
@@ -1199,15 +1206,23 @@ def token_rarity(docs_ds, broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
                                ("occ", pa.int64())]),
         right_schema=pa.schema([("th", pa.int64()), ("n", pa.int64())]))
 
+    def _int_segsum(inv: np.ndarray, vals: np.ndarray,
+                    n: int) -> np.ndarray:
+        # np.bincount(weights=...) accumulates in float64, which rounds
+        # once per-doc Σ occ·corpus_frequency crosses 2^53 — exactly the
+        # open-vocabulary scale this join path exists for.  np.add.at on
+        # an int64 accumulator is exact.
+        out = np.zeros(n, np.int64)
+        np.add.at(out, inv, vals)
+        return out
+
     def doc_part(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy()
         occ = batch["occ"].to_numpy()
         n = batch["n"].to_numpy()
         u, inv = np.unique(d, return_inverse=True)
-        nt = np.bincount(inv, weights=occ,
-                         minlength=len(u)).astype(np.int64)
-        s = np.bincount(inv, weights=occ * n,
-                        minlength=len(u)).astype(np.int64)
+        nt = _int_segsum(inv, occ, len(u))
+        s = _int_segsum(inv, occ * n, len(u))
         mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
         mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
         np.minimum.at(mn, inv, n)
@@ -1218,10 +1233,8 @@ def token_rarity(docs_ds, broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
     def doc_combine(g: pa.Table) -> pa.Table:
         d = g["doc_id"].to_numpy()
         u, inv = np.unique(d, return_inverse=True)
-        nt = np.bincount(inv, weights=g["nt"].to_numpy(),
-                         minlength=len(u)).astype(np.int64)
-        s = np.bincount(inv, weights=g["s"].to_numpy(),
-                        minlength=len(u)).astype(np.int64)
+        nt = _int_segsum(inv, g["nt"].to_numpy(), len(u))
+        s = _int_segsum(inv, g["s"].to_numpy(), len(u))
         mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
         mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
         np.minimum.at(mn, inv, g["mn"].to_numpy())
@@ -1326,6 +1339,11 @@ def mixture_rebalance(docs_ds):
 
     rows = (docs_ds.map_batches(part, batch_format="pyarrow")
             .groupby("source").sum("c").take_all())  # ≤ |sources| rows
+    if not rows:  # empty corpus: the oracle returns an empty relation
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string())}))
     src = np.array([r["source"] for r in rows], dtype=object)
     ns = np.array([r["sum(c)"] for r in rows], dtype=np.int64)
     w = (md5_u64(src) % np.uint64(MIX_WEIGHT_MOD)).astype(np.int64) + 1

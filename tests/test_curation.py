@@ -233,6 +233,44 @@ def test_bm25_store_equals_in_memory(ray_session, tmp_path, con):
     _assert_frames_equal(got, orc)
 
 
+def test_bm25_store_duplicate_query_terms(ray_session, tmp_path):
+    """A term appearing in several query slots must contribute once per
+    slot in the store path too (index_in alone maps every occurrence to
+    the first slot and drops the duplicates' scores)."""
+    from covertile.search import bm25_build_store, bm25_topk, bm25_topk_store
+    from covertile.sources import read_table
+
+    docs = read_table(SF, "documents", ("doc_id", "text"))
+    store = str(tmp_path / "bm25dup")
+    bm25_build_store(docs, store)
+    for terms in (("fast", "fast", "window"), ("hash", "fast", "hash")):
+        got = bm25_topk_store(store, terms=terms).to_pandas() \
+            .reset_index(drop=True)
+        want = bm25_topk(read_table(SF, "documents", ("doc_id", "text")),
+                         terms=terms).to_pandas().reset_index(drop=True)
+        _assert_frames_equal(got, want)
+        assert len(got) > 0
+
+
+def test_bm25_store_partial_build_is_clobbered(ray_session, tmp_path):
+    """A build interrupted between the postings write and stats.json
+    (simulated by deleting stats.json) must NOT leave stale partition
+    files for the rebuild to merge with: rebuilding into the same dir
+    yields the same bytes as a clean store."""
+    import os
+    from covertile.search import bm25_build_store, bm25_topk_store
+    from covertile.sources import read_table
+
+    store = str(tmp_path / "bm25crash")
+    bm25_build_store(read_table(SF, "documents", ("doc_id", "text")), store)
+    clean = bm25_topk_store(store).to_pandas().reset_index(drop=True)
+    os.remove(os.path.join(store, "stats.json"))  # simulate the crash
+    bm25_build_store(read_table(SF, "documents", ("doc_id", "text")), store)
+    rebuilt = bm25_topk_store(store).to_pandas().reset_index(drop=True)
+    _assert_frames_equal(rebuilt, clean)
+    assert len(rebuilt) > 0
+
+
 def test_bm25_store_bucket_invariance(ray_session, tmp_path):
     """Bucket count affects layout/parallelism only, never results."""
     from covertile.search import bm25_build_store, bm25_topk_store

@@ -93,6 +93,20 @@ def test_token_rarity_join_fallback_equals_broadcast(ray_session, con):
     assert_matches(bcast, want[bcast.columns], "token_rarity oracle")
 
 
+def test_mixture_rebalance_empty_input(ray_session):
+    """An empty corpus returns an empty typed relation (the oracle's
+    behavior), not a zero-size-reduction crash."""
+    import pandas as pd
+    import ray.data as rd
+    from covertile import textops as T
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "source": pd.Series([], dtype="object")})
+    ds = T.mixture_rebalance(rd.from_pandas(empty))
+    assert ds.count() == 0
+    assert ds.schema().names == ["doc_id", "source"]
+
+
 def test_mixture_rebalance_hits_targets_on_skew(ray_session):
     """Planted 16:3:1 skew: survivors must match the oracle bitwise AND
     land within sampling noise of the exact integer targets
