@@ -44,6 +44,17 @@ def _to_pandas(res):
     return res.to_pandas()  # ray.data.Dataset
 
 
+def test_never_verified_queries_fit_the_driver_window():
+    """The external correctness driver has been observed to check only
+    the first 50 registry entries; every _FIRST (never-driver-verified)
+    query must sit inside that window, else adding queries silently
+    pushes unverified work out of the driver's sight."""
+    names = list(_QUERIES)
+    for q in entrymod._FIRST:
+        assert q in _QUERIES, q
+        assert names.index(q) < 50, (q, names.index(q))
+
+
 def test_every_query_has_an_oracle_or_is_documented():
     # keys allowed to be rows-only (no SQL-expressible oracle, by design)
     no_oracle_ok = {"index_lineage", "ivf_topk"}
