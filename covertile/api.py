@@ -18,7 +18,8 @@ import pyarrow as pa
 
 from . import geometry, shapes
 from .pipeline import (
-    Index, auto_resolution, build_index, config_hash, derive_points,
+    DEFAULT_TARGET_PARTITION_POINTS, Index, auto_resolution, build_index,
+    config_hash, derive_points,
 )
 from .queries import epsilon_graph, knn_join, pip_join, tile_assign
 
@@ -34,13 +35,26 @@ def _read_docs(sf_dir: str, columns=("doc_id",)):
     return read_table(sf_dir, "documents", columns)
 
 
+def partition_target(n: int) -> int:
+    """Per-partition point target for the driver-surface index build.
+
+    Constant ceiling, NOT n // MIN_PARTITIONS: an uncapped linear target
+    means one build task holds n/8 points at any n — a per-task memory
+    ceiling and an 8-way parallelism cap at 100x data.  Clamped, the
+    partition count grows with n past the clamp (the per-hub
+    load-balance intent of reference src/DistCoverTree.cpp:726-758);
+    MIN_PARTITIONS only keeps tiny test inputs multi-partition."""
+    return min(max(256, n // MIN_PARTITIONS),
+               DEFAULT_TARGET_PARTITION_POINTS)
+
+
 def _index_for(sf_dir: str, radius: float | None):
     """Build (or load) the partitioned cover-tree index for sf_dir."""
     docs = _read_docs(sf_dir)
     n = docs.count()
     resolution = auto_resolution(n, radius,
                                  target_cell_points=max(64, n // 64))
-    target = max(256, n // MIN_PARTITIONS)
+    target = partition_target(n)
     ckpt = os.path.join(
         CKPT_ROOT,
         config_hash(sf=os.path.abspath(sf_dir), n=n,

@@ -44,6 +44,7 @@ def hash_join_int_key(left_ds, right_ds, key: str,
     if num_buckets is None:
         from .sizing import fanout
         num_buckets = fanout()
+    declared = left_schema is not None or right_schema is not None
     lsch = left_schema if left_schema is not None else left_ds.schema()
     rsch = right_schema if right_schema is not None else right_ds.schema()
     left_cols = list(lsch.names)
@@ -85,6 +86,26 @@ def hash_join_int_key(left_ds, right_ds, key: str,
             return out
         lt = group.filter(pa.array(side == 0)).select(left_cols)
         rt = group.filter(pa.array(side == 1)).select([key] + right_cols)
+        # Caller-declared schemas are trusted for empty buckets and null
+        # fill; verify them against the first real rows so a stale
+        # declaration (e.g. a projection change upstream) fails loudly
+        # and deterministically, not only on empty-bucket codepaths.
+        if declared and len(lt):
+            for name in left_cols:
+                actual = lt.schema.field(name).type
+                if actual != ltypes[name]:
+                    raise TypeError(
+                        f"hash_join_int_key: declared left type "
+                        f"{ltypes[name]} for {name!r} but blocks carry "
+                        f"{actual}")
+        if declared and len(rt):
+            for name in [key] + right_cols:
+                actual = rt.schema.field(name).type
+                if actual != rtypes[name]:
+                    raise TypeError(
+                        f"hash_join_int_key: declared right type "
+                        f"{rtypes[name]} for {name!r} but blocks carry "
+                        f"{actual}")
         # the column-presence checks above can't see an EMPTY side when
         # one side's columns are a subset of the other's (both sides then
         # carry every name); guard on actual row counts too

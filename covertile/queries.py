@@ -73,13 +73,18 @@ def route_queries(queries_ds, plan, with_home: bool = False):
 # ------------------------------------------------------------ epsilon graph
 
 def _pids_ds(index: Index):
-    """One row per pid, in ~256 blocks: per-pid work is dispatched as a few
-    pids per task (amortizes task overhead), and downstream shuffles see a
-    bounded block count — a shuffle fed thousands of tiny blocks pays
-    per-block costs that dwarf the data."""
+    """One row per pid, block count derived from cluster size (4 dispatch
+    tasks per CPU for straggler smoothing): per-pid work is dispatched as
+    a few pids per task (amortizes task overhead) and downstream shuffles
+    see a block count that scales with the cluster — a fixed cap (the old
+    256) starves a 4N-node cluster, while thousands of tiny blocks on a
+    laptop pay per-block costs that dwarf the data."""
     import ray.data as rd
+
+    from .sizing import cluster_cpus
     n = index.plan.num_partitions
-    return rd.range(n, override_num_blocks=min(n, 256)).map_batches(
+    return rd.range(
+        n, override_num_blocks=min(n, 4 * cluster_cpus())).map_batches(
         lambda b: pa.table({"pid": b["id"]}), batch_format="pyarrow")
 
 
@@ -269,7 +274,52 @@ def _knn_merge(group: pa.Table, k: int) -> pa.Table:
     return res
 
 
-KNN_SPILL_THRESHOLD_ROWS = 32_000_000
+#: Approximate Arrow width of one phase-1 done row (3 int64 ids + 2
+#: float64 + bool, plus block overhead).
+KNN_DONE_ROW_BYTES = 48
+#: Fraction of the cluster object store the phase-1 done set may pin
+#: before the parquet spill engages.  1/16 leaves the store to the live
+#: pipeline (pending sliver, phase-2 exchange, downstream consumers).
+KNN_SPILL_STORE_FRACTION = 1 / 16
+#: Fallback row threshold when the object-store size is unavailable
+#: (Ray not initialised): the measured comfortable-residency point on a
+#: 40 GB store, kept only as the no-information default.
+KNN_SPILL_FALLBACK_ROWS = 32_000_000
+
+
+def knn_spill_threshold_rows() -> int:
+    """Done-row count above which knn_join's auto spill engages, derived
+    from the CLUSTER object store (ray.cluster_resources) rather than a
+    host-tuned constant — on a 256-node store the in-memory path stays
+    viable proportionally longer; on a small store it spills sooner."""
+    try:
+        import ray
+        if ray.is_initialized():
+            store = ray.cluster_resources().get("object_store_memory")
+            if store:
+                return int(store * KNN_SPILL_STORE_FRACTION
+                           // KNN_DONE_ROW_BYTES)
+    except Exception:
+        pass
+    return KNN_SPILL_FALLBACK_ROWS
+
+
+def _log_spill_decision(index, k, n_hint, threshold_rows, spill) -> None:
+    """Lineage record for the auto-spill decision (decisions.jsonl beside
+    the index checkpoint manifest) so a post-mortem can see WHY a run
+    spilled — best-effort, never fails the query."""
+    try:
+        import json
+        import os
+        with open(os.path.join(index.ckpt_dir, "decisions.jsonl"),
+                  "a") as f:
+            f.write(json.dumps({
+                "stage": "knn_join", "k": int(k),
+                "n_points_hint": None if n_hint is None else int(n_hint),
+                "spill_threshold_rows": int(threshold_rows),
+                "spill": bool(spill)}) + "\n")
+    except Exception:
+        pass
 
 
 def knn_join(index: Index, points_ds, k: int,
@@ -315,12 +365,14 @@ def knn_join(index: Index, points_ds, k: int,
     under a second random name.
 
     spill="auto" (default): the parquet spill engages only when the
-    expected n*k done rows exceed KNN_SPILL_THRESHOLD_ROWS — below
-    that the whole intermediate is a few hundred MB and holding it as
+    expected n*k done rows would pin more than a fixed fraction of the
+    CLUSTER object store (knn_spill_threshold_rows) — below that the
+    whole intermediate is a small slice of the store and holding it as
     object-store blocks skips a parquet write+read round trip measured
     at ~2.3s of the 500k-point bench stage.  Unknown size (no
     n_points_hint) spills, the safe-at-scale default.  True/False
-    force.  Results are bitwise identical either way.
+    force.  Results are bitwise identical either way; the decision is
+    logged to <ckpt>/decisions.jsonl.
 
     mode="groups"/"actors": see epsilon_graph.
     """
@@ -334,8 +386,9 @@ def knn_join(index: Index, points_ds, k: int,
     from .actors import KnnHomeActor
 
     if spill == "auto":
-        spill = (n_points_hint is None
-                 or n_points_hint * k > KNN_SPILL_THRESHOLD_ROWS)
+        thr = knn_spill_threshold_rows()
+        spill = (n_points_hint is None or n_points_hint * k > thr)
+        _log_spill_decision(index, k, n_points_hint, thr, spill)
     if spill:
         if spill_dir is None:
             spill_dir = os.path.join(index.ckpt_dir,

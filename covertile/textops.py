@@ -221,7 +221,12 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
         "n_tokens": lens,
         "top_token_n": top_n,
         "top_token_ratio": top_n.astype(np.float64) / lens,
-        "dup_bigram_ratio": pa.array(dup_bg, pa.float64()),
+        # real Arrow NULL (validity mask), not a valid NaN: the oracle's
+        # CASE ... ELSE NULL is SQL NULL, and a null-aware compare must
+        # see the same; pandas conversion still yields NaN so float
+        # compares with equal_nan are unchanged
+        "dup_bigram_ratio": pa.array(dup_bg, pa.float64(),
+                                     mask=(n_bg <= 0)),
     })
 
 
@@ -1333,7 +1338,10 @@ def mixture_rebalance(docs_ds):
     dictionary_encode (|uniques| ≤ |sources| python steps per batch).
     No corpus-sized shuffle besides the canonical output sort."""
     def part(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(_text_col(batch, "source"))
+        # NULL sources are dropped (oracle semantics: the JOIN on source
+        # never matches a NULL); without this, value_counts propagates
+        # the null into a group row and md5_u64(None) raises
+        vc = pc.value_counts(pc.drop_null(_text_col(batch, "source")))
         return pa.table({"source": vc.field("values"),
                          "c": vc.field("counts").cast(pa.int64())})
 
@@ -1355,6 +1363,10 @@ def mixture_rebalance(docs_ds):
 
     def filt(batch: pa.Table) -> pa.Table:
         col = _text_col(batch, "source")
+        if col.null_count:  # NULL source rows never match the JOIN
+            valid = pc.is_valid(col)
+            batch = batch.filter(valid)
+            col = col.filter(valid)
         ids = batch["doc_id"].to_numpy()
         d = col.dictionary_encode()
         tu = np.array([thr_map[s] for s in

@@ -90,3 +90,28 @@ def test_hash_join_right_subset_columns_empty_bucket(ray_session):
                                key="k", num_buckets=4, how="left")
              .to_pandas().sort_values("k"))
     assert len(out_l) == 3
+
+
+def test_hash_join_stale_declared_schema_fails_loudly(ray_session):
+    """ADVICE r04: a caller-declared schema that does not match the real
+    blocks must fail deterministically on the first non-empty bucket,
+    not only when a bucket happens to be empty."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from covertile.joins import hash_join_int_key
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "v": pa.array(["a", "b"], pa.string())})
+    right = pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "w": pa.array([7, 8], pa.int64())})
+    stale = pa.schema([("k", pa.int64()), ("v", pa.int32())])  # v drifted
+    out = hash_join_int_key(rd.from_arrow(left), rd.from_arrow(right),
+                            key="k", num_buckets=2, left_schema=stale)
+    with pytest.raises(Exception, match="declared left type"):
+        out.materialize()
+    # correct declarations still pass (and keep the plan lazy)
+    ok = hash_join_int_key(
+        rd.from_arrow(left), rd.from_arrow(right), key="k", num_buckets=2,
+        left_schema=left.schema, right_schema=right.schema)
+    assert len(ok.to_pandas()) == 2

@@ -123,3 +123,55 @@ def test_hash_join_bucket_invariance(ray_session):
                 .sort("k").to_pandas().reset_index(drop=True))
 
     _assert_frames_equal(run(2), run(None))
+
+
+def test_partition_target_clamped():
+    """VERDICT r04 #1: the driver-surface index build must NOT scale its
+    per-partition point count linearly with n — past the clamp the
+    partition COUNT grows with n instead (reference contract: per-hub
+    load balance, src/DistCoverTree.cpp:726-758)."""
+    from covertile.api import MIN_PARTITIONS, partition_target
+    from covertile.pipeline import DEFAULT_TARGET_PARTITION_POINTS
+
+    cap = DEFAULT_TARGET_PARTITION_POINTS
+    assert partition_target(1_000) == max(256, 1_000 // MIN_PARTITIONS)
+    assert partition_target(10**9) == cap          # clamped, not n/8
+    assert partition_target(10**12) == cap
+    # implied partition count grows with n past the clamp
+    parts = [n // partition_target(n) for n in
+             (10 * cap, 100 * cap, 1000 * cap)]
+    assert parts == sorted(parts) and parts[0] < parts[-1]
+    assert parts[-1] >= 1000  # not capped at MIN_PARTITIONS-way
+
+
+def test_knn_spill_threshold_store_derived(ray_session):
+    """VERDICT r04 #6: the auto-spill threshold derives from the cluster
+    object store, not a host-tuned constant."""
+    import ray
+    from covertile import queries
+
+    store = ray.cluster_resources().get("object_store_memory")
+    thr = queries.knn_spill_threshold_rows()
+    assert thr == int(store * queries.KNN_SPILL_STORE_FRACTION
+                      // queries.KNN_DONE_ROW_BYTES)
+    # same decision as the old 32M-row constant at this host's bench
+    # sizes: 500k*8 done rows stay in-memory, 16M*8 spill
+    assert 500_000 * 8 < thr < 16_000_000 * 8
+
+
+def test_pids_ds_blocks_scale_with_cluster(ray_session):
+    """VERDICT r04 #2: self-join dispatch block count derives from
+    cluster CPUs (4 dispatch tasks per CPU), not a fixed 256 cap."""
+    from covertile import sizing
+    from covertile.queries import _pids_ds
+
+    class _Plan:
+        num_partitions = 10_000
+
+    class _Idx:
+        plan = _Plan()
+
+    ds = _pids_ds(_Idx()).materialize()
+    expect = min(10_000, 4 * sizing.cluster_cpus())
+    assert ds.num_blocks() == expect
+    assert ds.count() == 10_000

@@ -446,3 +446,36 @@ def test_dedup_corpus_keeps_cluster_minimum(ray_session, con):
     assert dropped.isdisjoint(set(got["doc_id"]))
     assert set(comp[comp.doc_id == comp.cluster_id]["doc_id"]) <= set(
         got["doc_id"])
+
+
+def test_repetition_stats_emits_real_arrow_null(ray_session):
+    """ADVICE r04: dup_bigram_ratio on a <2-token doc must be an Arrow
+    NULL (validity mask), matching the oracle's SQL NULL — not a valid
+    float64 NaN that only pandas-level compares equate."""
+    import pyarrow as pa
+    from covertile.textops import repetition_stats_batch
+
+    out = repetition_stats_batch(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["single", "two tokens two"], pa.string())}))
+    col = out["dup_bigram_ratio"]
+    assert col.null_count == 1
+    assert col[0].as_py() is None          # 1-token doc: real NULL
+    assert col[1].as_py() is not None
+
+
+def test_mixture_rebalance_null_source(ray_session):
+    """ADVICE r04: NULL source rows are dropped (the oracle's JOIN on
+    source never matches NULL) instead of crashing md5_u64(None)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.textops import mixture_rebalance
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "source": pa.array([None if i % 4 == 0 else f"s{i % 3}"
+                            for i in range(40)], pa.string())})
+    out = mixture_rebalance(rd.from_arrow(tbl)).to_pandas()
+    kept = set(out["doc_id"])
+    assert all(d % 4 != 0 for d in kept)   # no null-source row survives
+    assert out["source"].notna().all()
