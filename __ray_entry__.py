@@ -10,47 +10,83 @@ queries()    — one entry per implemented operator (SURVEY.md §2).
 oracle_sql() — DuckDB-equivalent SQL per query (column names match; float
                math is bit-identical by construction, see
                covertile/geometry.py).
+
+Registry ordering rotates the driver's verification window (VERDICT r04
+next-step #2).  The external driver checks queries in registry order and
+has been observed to cap the run at 50 entries (CORRECTNESS_r03/r04
+checked exactly the first 50), while the registry holds more than 50
+queries — so a FIXED order would leave the same tail stale forever.
+The order is derived from the recorded CORRECTNESS_r*.json files at call
+time: never-driver-verified queries first, then ascending by the round
+of each query's most recent driver row, ties in stable registry order.
+Every query a 50-entry window drops is therefore one that was
+driver-checked in the most recent recorded round (staleness <= 1 round);
+tests/test_oracle_dtypes.py asserts that invariant against the same
+files the driver writes.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
 from covertile import api, api_events, api_rel, api_text, api_vec
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def entry() -> Any:
     return api.flagship("/root/testdata/sf0.001")
 
 
-#: Iteration order matters: the driver's correctness harness checks queries
-#: in registry order and has been observed to cap the run at 50 entries
-#: (CORRECTNESS_r03.json checked exactly the first 50 of 58).  Queries that
-#: have never had a driver-oracle row run FIRST; the two no-oracle queries
-#: (index_lineage, ivf_topk — both with bitwise-green exact twins) run LAST.
-#: At 63 registered queries a 50-cap drops exactly the _LAST block plus
-#: sessionize, asof_join, range_join, funnel, hopping_window — every
-#: dropped entry is r03 driver-green or a bitwise twin of one, and all
-#: have oracle-equality pytest coverage.
-_FIRST = (
-    "repetition_stats", "doc_chunks", "token_rarity", "mixture_rebalance",
-    "props_stats", "rolling_window", "transition_counts",
-    "revenue_by_nation", "pricing_summary", "local_supplier_volume",
-    "idle_customers", "shipping_priority", "bm25_topk_store",
-)
-_LAST = (
-    "ivf_topk_store", "ivf_sq_topk_store", "media_resize", "frame_sample",
-    "normalize_text", "doc_fingerprint", "index_lineage", "ivf_topk",
-)
+def _last_driver_round() -> dict[str, int]:
+    """query name -> round of its most recent driver row (0 = never).
+
+    A 'driver row' is any entry in a CORRECTNESS_r*.json — including the
+    two permanent no_oracle rows (index_lineage, ivf_topk: rows-only by
+    design, with bitwise-green exact twins), whose freshness matters the
+    same way.  Queries whose implementation changed incompatibly since
+    their last driver row belong in _FORCE_FRESH below."""
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+#: Queries whose DRIVER PATH changed since their last recorded driver row
+#: (treated as never-verified so they re-enter the window immediately).
+#: r5: the media family now decodes REAL PNG bytes (covertile/mediaops.py
+#: ensure_media_store) instead of fake_decode — their r3/r4 green rows
+#: verified the old path.
+_FORCE_FRESH = ("media_features", "media_resize", "frame_sample")
 
 
 def _ordered(full: dict) -> dict:
-    out = {k: full[k] for k in _FIRST if k in full}
-    out.update({k: v for k, v in full.items()
-                if k not in _FIRST and k not in _LAST})
-    out.update({k: full[k] for k in _LAST if k in full})
-    return out
+    last = _last_driver_round()
+    names = list(full)
+    rank = {n: i for i, n in enumerate(names)}
+
+    def key(n):
+        stale = 0 if n in _FORCE_FRESH else last.get(n, 0)
+        return (stale, rank[n])
+
+    return {n: full[n] for n in sorted(names, key=key)}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

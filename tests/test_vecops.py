@@ -35,6 +35,7 @@ def assert_matches(got, want, name):
     "ann_topk", "embedding_cosine_dedup", "emb_knn", "ivf_topk_exact",
     "ivf_topk_store",
     "media_features", "media_resize", "frame_sample",
+    "media_pixel_stats",
 ])
 def test_vec_query_matches_oracle(ray_session, con, name):
     from covertile import api_vec
@@ -472,3 +473,42 @@ def test_ivf_sq_store_pruned_equals_masked(ray_session, tmp_path):
          .reset_index(drop=True))
     for col in b.columns:
         assert np.array_equal(b[col].to_numpy(), c[col].to_numpy()), col
+
+
+def test_png_actl_frame_count_roundtrip():
+    """APNG acTL metadata: encode_png(n_frames=k) writes an acTL chunk
+    before IDAT; png_frames reads it back; plain PNGs report 1; the
+    pixel payload still decodes identically."""
+    from covertile.mediaops import decode_png, encode_png, png_frames
+
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    plain = encode_png(img)
+    anim = encode_png(img, n_frames=7)
+    assert png_frames(plain) == 1
+    assert png_frames(anim) == 7
+    assert np.array_equal(decode_png(anim), decode_png(plain))
+
+
+def test_media_store_idempotent_and_real_bytes(ray_session):
+    """ensure_media_store writes the payload table once (marker file);
+    every payload is a REAL PNG whose header dims and acTL frame count
+    equal the media_ref contract, and whose pixels sum to the closed
+    form the SQL oracle uses."""
+    import os
+    from covertile.mediaops import (decode_png, ensure_media_store,
+                                    fake_decode, png_frames,
+                                    _read_media_store)
+
+    sf = "/root/testdata/sf0.001"
+    d = ensure_media_store(sf)
+    assert os.path.exists(os.path.join(d, "_DONE"))
+    assert ensure_media_store(sf) == d  # second call: marker hit
+    rows = _read_media_store(
+        sf, ["media_ref", "payload"]).take(8)
+    import pyarrow as pa
+    refs = pa.array([r["media_ref"] for r in rows], pa.string())
+    f = fake_decode(refs)  # the contract formulas (pytest helper role)
+    for i, r in enumerate(rows):
+        img = decode_png(r["payload"])
+        assert img.shape == (f["height"][i], f["width"][i], 1)
+        assert png_frames(r["payload"]) == f["n_frames"][i]

@@ -25,7 +25,13 @@ ray.init(address="local", num_cpus=16, include_dashboard=False,
 sys.path.insert(0, "/root/repo")
 import __ray_entry__ as e
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = None
+argv = list(sys.argv[1:])
+if "--only" in argv:
+    i = argv.index("--only")
+    ONLY = set(argv[i + 1].split(","))
+    del argv[i:i + 2]
+SF = argv[0] if argv else "/root/testdata/sf0.01"
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
@@ -35,6 +41,10 @@ for t in TABLES:
                 f"read_parquet('{SF}/{t}.parquet')")
 
 qs, osql = e.queries(), e.oracle_sql()
+if ONLY:
+    missing = ONLY - set(qs)
+    assert not missing, f"--only names not registered: {sorted(missing)}"
+    qs = {k: v for k, v in qs.items() if k in ONLY}
 
 
 def to_pandas(res):
