@@ -1,4 +1,19 @@
+import importlib.util
+import os
+import sys
+
 import pytest
+
+# Lance test stub (tests/_lance_stub/lance.py): activated ONLY when no
+# real pylance is importable, and BEFORE ray.init so Ray worker
+# processes inherit the PYTHONPATH and resolve `import lance` to the
+# stub too.  With real pylance installed this block is inert and the
+# lance tests exercise the real library instead.
+_LANCE_STUB = os.path.join(os.path.dirname(__file__), "_lance_stub")
+if importlib.util.find_spec("lance") is None:
+    sys.path.insert(0, _LANCE_STUB)
+    os.environ["PYTHONPATH"] = (
+        _LANCE_STUB + os.pathsep + os.environ.get("PYTHONPATH", ""))
 
 
 @pytest.fixture(scope="session")
