@@ -617,6 +617,18 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
             dvecs, cent, tau=DEDUP_TAU).count()
 
     stage("cosine_dedup", run_cosine_dedup)
+
+    def run_cosine_lsh():
+        # the APPROXIMATE path over the same 5M corpus: 16 bands x 40
+        # sign bits (planted pairs at cos .9996 collide w.p. 1-3e-9;
+        # background intra-cluster pairs at .83 w.p. 3.5e-3, so the
+        # exact-verify load is ~2e8 einsum rows, not 5M^2/512 GEMM).
+        # Expected count == cosine_dedup's (all planted pairs, nothing
+        # else reaches tau) — the recall-at-scale check.
+        return V.cosine_lsh_pairs(dvecs, tau=DEDUP_TAU,
+                                  n_bands=16, band_bits=40).count()
+
+    stage("cosine_lsh_dedup", run_cosine_lsh)
     stage("events_window", lambda: E.tumbling_window(events).count())
     stage("sessionize", lambda: E.sessionize(events).count())
     stage("hopping_window", lambda: E.hopping_window(events).count())

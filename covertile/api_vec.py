@@ -77,6 +77,21 @@ def sql_cosine_dedup() -> str:
     return vecops.cosine_pairs_sql()
 
 
+def q_cosine_lsh_dedup(sf_dir: str):
+    """The APPROXIMATE near-dup scale path: banded random-hyperplane
+    (sign) LSH + exact float64 verify, run at high tau over the corpus
+    augmented with deterministic planted twins (the sf embeddings have
+    no natural high-cosine pairs; see vecops.with_planted_twins).
+    Precision 1.0 by construction; recall at this operating point is
+    1.0 (asserted vs the exact O(n^2) oracle, margin ~1e-5/pair)."""
+    return vecops.cosine_lsh_pairs(
+        vecops.with_planted_twins(_emb(sf_dir))).sort(["a_id", "b_id"])
+
+
+def sql_cosine_lsh_dedup() -> str:
+    return vecops.cosine_lsh_sql()
+
+
 def q_emb_knn(sf_dir: str):
     """Exact L2 kNN via the d-dimensional CoverTree (the reference's
     general-vector contract, VectorIO.cpp:25-67 / snn_test.py)."""
@@ -193,6 +208,7 @@ def q_ivf_sq_topk_store(sf_dir: str):
 QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_cosine_dedup": q_cosine_dedup,
+    "cosine_lsh_dedup": q_cosine_lsh_dedup,
     "emb_knn": q_emb_knn,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_exact": q_ivf_topk_exact,
@@ -209,6 +225,7 @@ QUERIES = {
 ORACLES = {
     "ann_topk": sql_ann_topk,
     "embedding_cosine_dedup": sql_cosine_dedup,
+    "cosine_lsh_dedup": sql_cosine_lsh_dedup,
     "emb_knn": sql_emb_knn,
     "ivf_topk_exact": sql_ann_topk,
     "ivf_topk_store": sql_ann_topk,

@@ -450,6 +450,198 @@ ORDER BY a_id, b_id
 """
 
 
+# --------------------------------------------- sign-LSH near-dup (approx)
+#
+# The APPROXIMATE scale path next to the exact cosine_pairs_partitioned:
+# random-hyperplane (sign) LSH [Charikar, STOC'02].  Each vector gets
+# n_bands keys of band_bits sign bits; two vectors collide in a band with
+# probability (1 - theta/pi)^band_bits, so near-duplicates (small theta)
+# land in a shared bucket in at least one band w.h.p. while far pairs
+# almost never do.  Candidates are verified with the exact float64
+# cosine, so precision is 1.0 by construction; recall is the probabilistic
+# knob (for a pair at cos 0.97, miss probability at the default 16x8 is
+# (1 - 0.92^8)^16 ~ 1e-5).  Unlike the exact operator there is no
+# within-cluster all-pairs lower bound: cost is n_bands linear passes plus
+# per-bucket work, the 100-TB shape when tau is high and clusters are big.
+
+LSH_TAU = 0.9
+LSH_BANDS = 16
+LSH_BITS = 8   # recall/cost knob: expected bucket size is n / 2^band_bits
+               # PER BAND — at 10^12 rows raise to >= 24 bits (and/or salt
+               # by a corpus hash) so buckets stay task-sized; 8 bits is
+               # sized to the sf tables' 500-1000 rows
+LSH_SEED = 7
+_LSH_PAIR_SHIFT = np.int64(1) << np.int64(32)  # vec ids < 2^31
+
+
+def lsh_planes(dim: int = EMBED_DIM, n_bands: int = LSH_BANDS,
+               band_bits: int = LSH_BITS,
+               seed: int = LSH_SEED) -> np.ndarray:
+    """Deterministic (seeded) Gaussian hyperplanes, float32
+    (n_bands*band_bits, dim) — broadcast once via ray.put."""
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((n_bands * band_bits, dim)).astype(np.float32)
+
+
+def cosine_lsh_pairs(emb_ds, tau: float = LSH_TAU,
+                     n_bands: int = LSH_BANDS, band_bits: int = LSH_BITS,
+                     seed: int = LSH_SEED, chunk: int = 4096):
+    """Near-dup pairs with cosine >= tau via banded sign-LSH.
+
+    Stages (all streaming, ONE declared shuffle key each):
+      1. map_batches: one (batch x planes) sgemm -> sign bits -> per band
+         an int key; emits n_bands copies of (bucket, vec_id, embedding).
+      2. groupby(COARSE bucket, 256 groups).map_groups: inside each group
+         rows are sorted by fine bucket and candidate index pairs come
+         from equal-key runs in one vectorized pass (textops._run_pairs —
+         at high band_bits most fine buckets are tiny, and a per-bucket
+         map_groups would mean millions of Python group calls); each
+         candidate is verified with the exact float64 cosine in chunked
+         einsum, emitting packed a<b pairs with cos >= tau.
+      3. coarse-bucket groupby + np.unique: pairs found in multiple bands
+         dedup in a pairs-sized (not corpus-sized) exchange.
+
+    Shuffle volume is n_bands x corpus (the embedding copies ride to
+    their buckets); the candidate-id + semi-join-fetch alternative
+    (textops._verify_jaccard's shape) halves that when vectors are much
+    bigger than ids — at d=64/f32 the copies are 256 B and carrying them
+    wins by skipping the second corpus pass.  Output: (a_id, b_id),
+    subset of the exact operator's output by construction; recall at the
+    operating point is asserted in tests/test_vecops.py."""
+    import ray
+
+    planes_ref = ray.put(lsh_planes(EMBED_DIM, n_bands, band_bits, seed))
+    pows = (np.int64(1) << np.arange(band_bits, dtype=np.int64))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        from .textops import _coarse_bucket
+        planes = ray.get(planes_ref)
+        ids, m = _emb_matrix32(batch)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "bk": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array(
+                                 [], pa.list_(pa.float32()))})
+        bits = (m @ planes.T) >= 0                     # (n, bands*bits)
+        keys = np.empty((n_bands, n), np.int64)
+        for bnd in range(n_bands):
+            block = bits[:, bnd * band_bits:(bnd + 1) * band_bits]
+            # bucket ids are distinct across bands: key * n_bands + band
+            keys[bnd] = ((block.astype(np.int64) @ pows)
+                         * np.int64(n_bands) + np.int64(bnd))
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        take = pa.array(np.tile(np.arange(n, dtype=np.int64), n_bands),
+                        pa.int64())
+        flat = keys.reshape(-1)
+        return pa.table({"bucket": pa.array(flat),
+                         "bk": pa.array(_coarse_bucket(flat)),
+                         "vec_id": pa.array(np.tile(ids, n_bands)),
+                         "embedding": emb.take(take)})
+
+    def verify(group: pa.Table) -> pa.Table:
+        from .textops import _run_pairs
+        empty = pa.table({"pair": pa.array([], pa.int64())})
+        if len(group) < 2:
+            return empty
+        id_s, sel, ai, bi = _run_pairs(group["bucket"].to_numpy(),
+                                       group["vec_id"].to_numpy())
+        if len(ai) == 0:
+            return empty
+        # float64-convert ONLY candidate rows (singleton buckets — most
+        # rows at high band_bits — never touch their embedding again)
+        need = np.unique(np.concatenate([ai, bi]))
+        remap = np.full(len(id_s), -1, np.int64)
+        remap[need] = np.arange(len(need))
+        _, m_s = _emb_matrix(group.take(pa.array(sel[need], pa.int64())))
+        out = [np.zeros(0, np.int64)]
+        step = max(1, chunk * chunk // 64)
+        for lo in range(0, len(ai), step):
+            a, b = ai[lo: lo + step], bi[lo: lo + step]
+            cos = np.einsum("ij,ij->i", m_s[remap[a]], m_s[remap[b]])
+            keep = cos >= tau                          # id_s[a] < id_s[b]
+            out.append(id_s[a][keep] * _LSH_PAIR_SHIFT + id_s[b][keep])
+        return pa.table({"pair": pa.array(np.concatenate(out))})
+
+    pairs = (emb_ds.map_batches(band_rows, batch_format="pyarrow")
+             .groupby("bk").map_groups(verify, batch_format="pyarrow"))
+
+    def pbucket(batch: pa.Table) -> pa.Table:
+        p = batch["pair"].to_numpy()
+        return pa.table({"pair": p, "bk": (p >> np.int64(40)) & np.int64(255)})
+
+    def uniq(g: pa.Table) -> pa.Table:
+        p = np.unique(g["pair"].to_numpy())
+        return pa.table({"a_id": pa.array(p // _LSH_PAIR_SHIFT),
+                         "b_id": pa.array(p % _LSH_PAIR_SHIFT)})
+
+    return (pairs.map_batches(pbucket, batch_format="pyarrow")
+            .groupby("bk").map_groups(uniq, batch_format="pyarrow")
+            .select_columns(["a_id", "b_id"]))
+
+
+# Deterministic planted twins for the LSH driver query: the sf embeddings
+# are weakly clustered (max natural cosine ~0.53), so a HIGH-tau near-dup
+# setting — where sign-LSH is the right tool — needs planted near
+# neighbors, the same practice bench.py uses for the 5M-vector dedup
+# stage.  Twin of every vec_id % TWIN_EVERY == 0 vector: bump the first
+# coordinate by +0.25 (unit-norm corpus => twin cosine in [0.968, 0.981],
+# a >0.44 two-sided gap to every natural pair at both sf0.001/sf0.01,
+# measured).  The derivation is one SQL list_concat away, so the oracle
+# is the exact O(n^2) join over the same augmented table.
+
+TWIN_EVERY = 10
+TWIN_OFFSET = np.int64(10_000_000)
+TWIN_BUMP = np.float32(0.25)
+
+
+def with_planted_twins(emb_ds):
+    def twins(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        sel = np.flatnonzero(ids % TWIN_EVERY == 0)
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(sel)
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array(
+                                 [], pa.list_(pa.float32()))})
+        dim = len(emb[0])
+        m = np.asarray(emb.take(pa.array(sel, pa.int64())).flatten(),
+                       np.float32).reshape(n, dim).copy()
+        m[:, 0] += TWIN_BUMP
+        return pa.table({
+            "vec_id": pa.array(ids[sel] + TWIN_OFFSET),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1), pa.float32()), dim).cast(
+                    pa.list_(pa.float32())),
+        })
+
+    aug = emb_ds.map_batches(twins, batch_format="pyarrow")
+    return emb_ds.select_columns(["vec_id", "embedding"]).union(aug)
+
+
+def cosine_lsh_sql(tau: float = LSH_TAU) -> str:
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {int(TWIN_OFFSET)},
+         list_concat([embedding[1] + 0.25], embedding[2:]) AS embedding
+  FROM embeddings WHERE vec_id % {TWIN_EVERY} = 0
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM aug a, aug b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= {tau}
+ORDER BY a_id, b_id
+"""
+
+
 # ---------------------------------------------------------------- IVF top-k
 
 def fit_centroids(sample_mat: np.ndarray, n_clusters: int = IVF_CLUSTERS,

@@ -32,8 +32,8 @@ def assert_matches(got, want, name):
 
 
 @pytest.mark.parametrize("name", [
-    "ann_topk", "embedding_cosine_dedup", "emb_knn", "ivf_topk_exact",
-    "ivf_topk_store",
+    "ann_topk", "embedding_cosine_dedup", "cosine_lsh_dedup", "emb_knn",
+    "ivf_topk_exact", "ivf_topk_store",
     "media_features", "media_resize", "frame_sample",
     "media_pixel_stats",
 ])
@@ -512,3 +512,38 @@ def test_media_store_idempotent_and_real_bytes(ray_session):
         img = decode_png(r["payload"])
         assert img.shape == (f["height"][i], f["width"][i], 1)
         assert png_frames(r["payload"]) == f["n_frames"][i]
+
+
+def test_cosine_lsh_subset_recall_and_dedup(ray_session, con):
+    """LSH output == exact output at the planted-twin operating point
+    (recall 1.0, precision 1.0), rows unique across bands, and every
+    planted twin pair present."""
+    from covertile import api_vec, vecops
+
+    got = api_vec.q_cosine_lsh_dedup(SF).to_pandas()
+    # uniqueness across bands (the pairs-sized dedup exchange works)
+    keys = got["a_id"].to_numpy() * (1 << 32) + got["b_id"].to_numpy()
+    assert len(np.unique(keys)) == len(keys)
+    exact = con.execute(vecops.cosine_lsh_sql()).df()
+    assert got.reset_index(drop=True).equals(exact.reset_index(drop=True))
+    # the planted twins are exactly the expected (v, v+OFFSET) pairs
+    twins = got[got["b_id"] >= int(vecops.TWIN_OFFSET)]
+    assert (twins["b_id"].to_numpy()
+            == twins["a_id"].to_numpy() + int(vecops.TWIN_OFFSET)).all()
+    assert (twins["a_id"].to_numpy() % vecops.TWIN_EVERY == 0).all()
+    assert len(twins) >= 1
+
+
+def test_cosine_lsh_no_false_positives_low_bands(ray_session):
+    """With a single band the verifier still guarantees precision 1.0:
+    every emitted pair satisfies the exact float64 cosine threshold."""
+    from covertile import api_vec, vecops
+
+    ds = vecops.with_planted_twins(api_vec._emb(SF))
+    pairs = vecops.cosine_lsh_pairs(ds, n_bands=1).to_pandas()
+    emb = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+           for r in ds.take_all()}
+    for a, b in pairs.itertuples(index=False):
+        va, vb = emb[a], emb[b]
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert cos >= vecops.LSH_TAU - 1e-12
