@@ -619,14 +619,20 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("cosine_dedup", run_cosine_dedup)
 
     def run_cosine_lsh():
-        # the APPROXIMATE path over the same 5M corpus: 16 bands x 40
-        # sign bits (planted pairs at cos .9996 collide w.p. 1-3e-9;
-        # background intra-cluster pairs at .83 w.p. 3.5e-3, so the
-        # exact-verify load is ~2e8 einsum rows, not 5M^2/512 GEMM).
-        # Expected count == cosine_dedup's (all planted pairs, nothing
-        # else reaches tau) — the recall-at-scale check.
+        # the APPROXIMATE path over the same 5M corpus: 16 bands x 64
+        # sign bits.  Planted pairs (cos ~.9996) miss all 16 bands w.p.
+        # ~6e-7; the adversarial .83-cos background (its whole point is
+        # to stress the EXACT operator) collides w.p. .81^64 ~ 1.4e-6,
+        # keeping the verify load at ~1e6 candidate pairs instead of
+        # the ~2e8 that 40 bits let through (measured: 564s at b=40).
+        # The id-only band shuffle + candidate-fetch verify runs this in
+        # ~22s; carrying the 256B vector on all 16 band copies was a
+        # 23 GB sort that ds.stats() showed WAS the stage (247-437s).
+        # Expected count: cosine_dedup's minus borderline NATURAL pairs
+        # at cos ~ tau, which a band collision finds w.p. only ~.2 —
+        # the documented recall knob (measured: 49,506 vs 49,508 exact).
         return V.cosine_lsh_pairs(dvecs, tau=DEDUP_TAU,
-                                  n_bands=16, band_bits=40).count()
+                                  n_bands=16, band_bits=64).count()
 
     stage("cosine_lsh_dedup", run_cosine_lsh)
     stage("events_window", lambda: E.tumbling_window(events).count())

@@ -483,6 +483,187 @@ def lsh_planes(dim: int = EMBED_DIM, n_bands: int = LSH_BANDS,
     return rs.standard_normal((n_bands * band_bits, dim)).astype(np.float32)
 
 
+#: _verify_cosine path switches (textops._verify_jaccard's dual-path
+#: shape).  Collect cap: distinct candidate ids held on the driver
+#: (128 MB of int64).  Broadcast cap: raw f32 floats of the candidate
+#: embedding bundle ray.put once (512 MB — plasma shares it zero-copy
+#: per node); past it, embeddings attach via two bucketed hash joins and
+#: the driver never holds vectors.
+LSH_ID_COLLECT_MAX = 16_000_000
+LSH_BCAST_MAX_FLOATS = 128_000_000
+
+
+def _raw_f32_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, UNNORMALIZED float32 matrix) — exact raw corpus bits, so
+    downstream float64 normalization reproduces _emb_matrix bit-for-bit."""
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    m = np.asarray(col.flatten(), np.float32).reshape(len(batch), -1)
+    return batch["vec_id"].to_numpy(), m
+
+
+def _norm64(m32: np.ndarray) -> np.ndarray:
+    """float64 unit rows from raw f32 rows — _emb_matrix's exact math."""
+    m = m32.astype(np.float64)
+    nrm = np.sqrt((m * m).sum(1))
+    nrm[nrm == 0.0] = 1.0
+    return m / nrm[:, None]
+
+
+def _verify_cosine(pairs_ds, emb_ds, tau: float, chunk: int = 4096):
+    """DISTINCT candidate pairs (pair:int64) x corpus -> exact (a_id,
+    b_id) rows with float64 cosine >= tau.
+
+    Two executions for the id semi-join (switched on the pair count,
+    free — pairs are materialized) and two for the verify (switched on
+    the candidate float count), mirroring textops._verify_jaccard:
+    driver-collect ids + isin corpus filter, else coarse-bucket distinct
+    + hash semi-join; broadcast (ids, raw-f32 matrix) bundle + per-batch
+    verify, else two bucketed hash joins attaching each side's vector.
+    All paths share _norm64, so the output is path-independent
+    (equality-tested in tests/test_vecops.py)."""
+    import ray as _ray
+
+    from .joins import hash_join_int_key
+    from .textops import _coarse_bucket
+
+    pairs = pairs_ds.materialize()
+    n_pairs = pairs.count()
+    out_empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+    if n_pairs == 0:
+        import ray.data as rd
+        return rd.from_arrow(out_empty)
+
+    # ---- candidate ids -> candidate (vec_id, embedding) subset
+    if 2 * n_pairs <= LSH_ID_COLLECT_MAX:
+        p_all = np.concatenate(
+            [b["pair"].to_numpy()
+             for b in pairs.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")])
+        cand_ids = np.unique(np.concatenate(
+            [p_all // _LSH_PAIR_SHIFT, p_all % _LSH_PAIR_SHIFT]))
+        ids_ref = _ray.put(cand_ids)
+
+        def cand_fn(batch: pa.Table) -> pa.Table:
+            m = np.isin(batch["vec_id"].to_numpy(), _ray.get(ids_ref))
+            return batch.select(["vec_id", "embedding"]).filter(
+                pa.array(m))
+
+        cand = emb_ds.map_batches(
+            cand_fn, batch_format="pyarrow").materialize()
+    else:
+        def explode_ids(batch: pa.Table) -> pa.Table:
+            p = batch["pair"].to_numpy()
+            u = np.unique(np.concatenate(
+                [p // _LSH_PAIR_SHIFT, p % _LSH_PAIR_SHIFT]))
+            return pa.table({"vec_id": u, "bk": _coarse_bucket(u)})
+
+        def uniq_ids(g: pa.Table) -> pa.Table:
+            return pa.table({"vec_id": pa.array(
+                np.unique(g["vec_id"].to_numpy()), pa.int64())})
+
+        ids_ds = (pairs.map_batches(explode_ids, batch_format="pyarrow")
+                  .groupby("bk").map_groups(uniq_ids,
+                                            batch_format="pyarrow"))
+        cand = hash_join_int_key(
+            emb_ds.map_batches(
+                lambda b: b.select(["vec_id", "embedding"]),
+                batch_format="pyarrow"),
+            ids_ds, "vec_id",
+            right_schema=pa.schema([("vec_id", pa.int64())])).materialize()
+
+    n_cand = cand.count()
+    step = max(1, chunk * chunk // 64)
+
+    if n_cand * EMBED_DIM <= LSH_BCAST_MAX_FLOATS:
+        ids_l, mat_l = [], []
+        for b in cand.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"):
+            i, m = _raw_f32_matrix(b)
+            ids_l.append(i)
+            mat_l.append(m)
+        ids_all = (np.concatenate(ids_l) if ids_l
+                   else np.zeros(0, np.int64))
+        mat_all = (np.concatenate(mat_l) if mat_l
+                   else np.zeros((0, EMBED_DIM), np.float32))
+        order = np.argsort(ids_all, kind="stable")
+        bundle_ref = _ray.put((ids_all[order],
+                               np.ascontiguousarray(mat_all[order])))
+
+        def vfy(batch: pa.Table) -> pa.Table:
+            p = batch["pair"].to_numpy()
+            if len(p) == 0:
+                return out_empty
+            ids_s, mat = _ray.get(bundle_ref)
+            a, b = p // _LSH_PAIR_SHIFT, p % _LSH_PAIR_SHIFT
+            ia = np.searchsorted(ids_s, a)
+            ib = np.searchsorted(ids_s, b)
+            keep_a, keep_b = [], []
+            for lo in range(0, len(p), step):
+                sa, sb = ia[lo: lo + step], ib[lo: lo + step]
+                # f64-normalize only the rows this chunk touches
+                need = np.unique(np.concatenate([sa, sb]))
+                remap = np.full(len(ids_s), -1, np.int64)
+                remap[need] = np.arange(len(need))
+                m64 = _norm64(mat[need])
+                cos = np.einsum("ij,ij->i", m64[remap[sa]], m64[remap[sb]])
+                k = cos >= tau
+                keep_a.append(a[lo: lo + step][k])
+                keep_b.append(b[lo: lo + step][k])
+            return pa.table({"a_id": pa.array(np.concatenate(keep_a)),
+                             "b_id": pa.array(np.concatenate(keep_b))})
+
+        return pairs.map_batches(vfy, batch_format="pyarrow")
+
+    # ---- join fallback: attach each side's vector, never broadcast
+    esch = cand.schema()
+    emb_t = dict(zip(esch.names, esch.types))["embedding"]
+
+    def split_a(batch: pa.Table) -> pa.Table:
+        p = batch["pair"].to_numpy()
+        return pa.table({"vec_id": p // _LSH_PAIR_SHIFT,
+                         "b_id": p % _LSH_PAIR_SHIFT})
+
+    j1 = hash_join_int_key(
+        pairs.map_batches(split_a, batch_format="pyarrow"), cand, "vec_id",
+        left_schema=pa.schema([("vec_id", pa.int64()),
+                               ("b_id", pa.int64())]),
+        right_schema=esch)
+
+    def rekey_b(batch: pa.Table) -> pa.Table:
+        return pa.table({"a_id": batch["vec_id"],
+                         "vec_id": batch["b_id"],
+                         "a_emb": batch["embedding"]})
+
+    j2 = hash_join_int_key(
+        j1.map_batches(rekey_b, batch_format="pyarrow"), cand, "vec_id",
+        left_schema=pa.schema([("a_id", pa.int64()),
+                               ("vec_id", pa.int64()),
+                               ("a_emb", emb_t)]),
+        right_schema=esch)
+
+    def vfy_joined(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return out_empty
+        a_col = batch["a_emb"]
+        b_col = batch["embedding"]
+        if isinstance(a_col, pa.ChunkedArray):
+            a_col = a_col.combine_chunks()
+        if isinstance(b_col, pa.ChunkedArray):
+            b_col = b_col.combine_chunks()
+        ma = np.asarray(a_col.flatten(), np.float32).reshape(n, -1)
+        mb = np.asarray(b_col.flatten(), np.float32).reshape(n, -1)
+        cos = np.einsum("ij,ij->i", _norm64(ma), _norm64(mb))
+        k = cos >= tau
+        return pa.table({"a_id": batch["a_id"].to_numpy()[k],
+                         "b_id": batch["vec_id"].to_numpy()[k]})
+
+    return j2.map_batches(vfy_joined, batch_format="pyarrow")
+
+
 def cosine_lsh_pairs(emb_ds, tau: float = LSH_TAU,
                      n_bands: int = LSH_BANDS, band_bits: int = LSH_BITS,
                      seed: int = LSH_SEED, chunk: int = 4096):
@@ -490,28 +671,34 @@ def cosine_lsh_pairs(emb_ds, tau: float = LSH_TAU,
 
     Stages (all streaming, ONE declared shuffle key each):
       1. map_batches: one (batch x planes) sgemm -> sign bits -> per band
-         an int key; emits n_bands copies of (bucket, vec_id, embedding).
-      2. groupby(COARSE bucket, 256 groups).map_groups: inside each group
-         rows are sorted by fine bucket and candidate index pairs come
-         from equal-key runs in one vectorized pass (textops._run_pairs —
-         at high band_bits most fine buckets are tiny, and a per-bucket
-         map_groups would mean millions of Python group calls); each
-         candidate is verified with the exact float64 cosine in chunked
-         einsum, emitting packed a<b pairs with cos >= tau.
+         an int key; emits n_bands copies of (bucket, bk, vec_id) — IDS
+         ONLY, 24 B/row.  (The first version carried the 256 B f32
+         embedding on every band copy; ds.stats() at 5M vectors showed
+         the resulting 23 GB sort WAS the stage — 247-437 s of which the
+         verify einsum was 40 s.  Candidate-fetch drops the sorted bytes
+         ~12x.)
+      2. groupby(COARSE bucket, 256 groups).map_groups: rows sort by fine
+         bucket inside each group and candidate pairs come from equal-key
+         runs in one vectorized pass (textops._run_pairs — at high
+         band_bits most buckets are tiny, and a per-bucket map_groups
+         would mean millions of Python group calls); np.unique dedups
+         within the group.
       3. coarse-bucket groupby + np.unique: pairs found in multiple bands
-         dedup in a pairs-sized (not corpus-sized) exchange.
+         dedup ONCE, BEFORE the cosine — each unique candidate pair is
+         verified exactly once (the carry-the-vector version verified
+         per colliding band).
+      4. _verify_cosine: exact float64 verify against vectors fetched
+         from the corpus (broadcast bundle under the caps, bucketed hash
+         joins above them).
 
-    Shuffle volume is n_bands x corpus (the embedding copies ride to
-    their buckets); the candidate-id + semi-join-fetch alternative
-    (textops._verify_jaccard's shape) halves that when vectors are much
-    bigger than ids — at d=64/f32 the copies are 256 B and carrying them
-    wins by skipping the second corpus pass.  Output: (a_id, b_id),
-    subset of the exact operator's output by construction; recall at the
-    operating point is asserted in tests/test_vecops.py."""
+    Output: (a_id, b_id), subset of the exact operator's output by
+    construction; recall at the operating point is asserted in
+    tests/test_vecops.py."""
     import ray
 
+    assert 1 <= band_bits <= 64
     planes_ref = ray.put(lsh_planes(EMBED_DIM, n_bands, band_bits, seed))
-    pows = (np.int64(1) << np.arange(band_bits, dtype=np.int64))
+    pows = (np.uint64(1) << np.arange(band_bits, dtype=np.uint64))
 
     def band_rows(batch: pa.Table) -> pa.Table:
         from .textops import _coarse_bucket
@@ -521,66 +708,55 @@ def cosine_lsh_pairs(emb_ds, tau: float = LSH_TAU,
         if n == 0:
             return pa.table({"bucket": pa.array([], pa.int64()),
                              "bk": pa.array([], pa.int64()),
-                             "vec_id": pa.array([], pa.int64()),
-                             "embedding": pa.array(
-                                 [], pa.list_(pa.float32()))})
+                             "vec_id": pa.array([], pa.int64())})
         bits = (m @ planes.T) >= 0                     # (n, bands*bits)
         keys = np.empty((n_bands, n), np.int64)
         for bnd in range(n_bands):
             block = bits[:, bnd * band_bits:(bnd + 1) * band_bits]
-            # bucket ids are distinct across bands: key * n_bands + band
-            keys[bnd] = ((block.astype(np.int64) @ pows)
-                         * np.int64(n_bands) + np.int64(bnd))
-        emb = batch["embedding"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        take = pa.array(np.tile(np.arange(n, dtype=np.int64), n_bands),
-                        pa.int64())
+            # band folded in by a splitmix-style 64-bit mix (key *
+            # n_bands would overflow at band_bits > 59; a cross-band
+            # key collision only adds rows to a verify bucket — exact
+            # verify + pair dedup keep the output identical)
+            salt = np.uint64((0x9E3779B97F4A7C15 * (bnd + 1))
+                             & 0xFFFFFFFFFFFFFFFF)
+            k = block.astype(np.uint64) @ pows + salt
+            k ^= k >> np.uint64(29)
+            k *= np.uint64(0xBF58476D1CE4E5B9)
+            k ^= k >> np.uint64(32)
+            keys[bnd] = k.view(np.int64)
         flat = keys.reshape(-1)
         return pa.table({"bucket": pa.array(flat),
                          "bk": pa.array(_coarse_bucket(flat)),
-                         "vec_id": pa.array(np.tile(ids, n_bands)),
-                         "embedding": emb.take(take)})
+                         "vec_id": pa.array(np.tile(ids, n_bands))})
 
-    def verify(group: pa.Table) -> pa.Table:
+    def cands(group: pa.Table) -> pa.Table:
         from .textops import _run_pairs
         empty = pa.table({"pair": pa.array([], pa.int64())})
         if len(group) < 2:
             return empty
-        id_s, sel, ai, bi = _run_pairs(group["bucket"].to_numpy(),
-                                       group["vec_id"].to_numpy())
+        id_s, _, ai, bi = _run_pairs(group["bucket"].to_numpy(),
+                                     group["vec_id"].to_numpy())
         if len(ai) == 0:
             return empty
-        # float64-convert ONLY candidate rows (singleton buckets — most
-        # rows at high band_bits — never touch their embedding again)
-        need = np.unique(np.concatenate([ai, bi]))
-        remap = np.full(len(id_s), -1, np.int64)
-        remap[need] = np.arange(len(need))
-        _, m_s = _emb_matrix(group.take(pa.array(sel[need], pa.int64())))
-        out = [np.zeros(0, np.int64)]
-        step = max(1, chunk * chunk // 64)
-        for lo in range(0, len(ai), step):
-            a, b = ai[lo: lo + step], bi[lo: lo + step]
-            cos = np.einsum("ij,ij->i", m_s[remap[a]], m_s[remap[b]])
-            keep = cos >= tau                          # id_s[a] < id_s[b]
-            out.append(id_s[a][keep] * _LSH_PAIR_SHIFT + id_s[b][keep])
-        return pa.table({"pair": pa.array(np.concatenate(out))})
+        p = np.unique(id_s[ai] * _LSH_PAIR_SHIFT + id_s[bi])
+        return pa.table({"pair": pa.array(p)})     # id_s[ai] < id_s[bi]
 
-    pairs = (emb_ds.map_batches(band_rows, batch_format="pyarrow")
-             .groupby("bk").map_groups(verify, batch_format="pyarrow"))
+    cand_pairs = (emb_ds.map_batches(band_rows, batch_format="pyarrow")
+                  .groupby("bk").map_groups(cands, batch_format="pyarrow"))
 
     def pbucket(batch: pa.Table) -> pa.Table:
+        from .textops import _coarse_bucket
         p = batch["pair"].to_numpy()
-        return pa.table({"pair": p, "bk": (p >> np.int64(40)) & np.int64(255)})
+        return pa.table({"pair": p, "bk": _coarse_bucket(p)})
 
     def uniq(g: pa.Table) -> pa.Table:
-        p = np.unique(g["pair"].to_numpy())
-        return pa.table({"a_id": pa.array(p // _LSH_PAIR_SHIFT),
-                         "b_id": pa.array(p % _LSH_PAIR_SHIFT)})
+        return pa.table({"pair": pa.array(np.unique(g["pair"].to_numpy()),
+                                          pa.int64())})
 
-    return (pairs.map_batches(pbucket, batch_format="pyarrow")
-            .groupby("bk").map_groups(uniq, batch_format="pyarrow")
-            .select_columns(["a_id", "b_id"]))
+    dedup = (cand_pairs.map_batches(pbucket, batch_format="pyarrow")
+             .groupby("bk").map_groups(uniq, batch_format="pyarrow")
+             .select_columns(["pair"]))
+    return _verify_cosine(dedup, emb_ds, tau, chunk)
 
 
 # Deterministic planted twins for the LSH driver query: the sf embeddings

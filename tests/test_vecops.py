@@ -547,3 +547,30 @@ def test_cosine_lsh_no_false_positives_low_bands(ray_session):
         va, vb = emb[a], emb[b]
         cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert cos >= vecops.LSH_TAU - 1e-12
+
+
+def test_cosine_lsh_verify_paths_agree(ray_session, monkeypatch):
+    """_verify_cosine's four executions (collect-vs-semi-join ids x
+    broadcast-vs-hash-join verify) emit the identical pair set: the path
+    switch is a pure cost decision, never a semantics one."""
+    from covertile import api_vec, vecops
+
+    ds = vecops.with_planted_twins(api_vec._emb(SF))
+
+    def run():
+        df = vecops.cosine_lsh_pairs(ds).to_pandas()
+        return df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+    default = run()
+    assert len(default) >= 1
+    # force the hash-semi-join id path AND the join-fallback verify
+    monkeypatch.setattr(vecops, "LSH_ID_COLLECT_MAX", 0)
+    monkeypatch.setattr(vecops, "LSH_BCAST_MAX_FLOATS", 0)
+    assert run().equals(default)
+    # mixed: collected ids, join verify
+    monkeypatch.setattr(vecops, "LSH_ID_COLLECT_MAX", 16_000_000)
+    assert run().equals(default)
+    # mixed: semi-join ids, broadcast verify
+    monkeypatch.setattr(vecops, "LSH_ID_COLLECT_MAX", 0)
+    monkeypatch.setattr(vecops, "LSH_BCAST_MAX_FLOATS", 128_000_000)
+    assert run().equals(default)
