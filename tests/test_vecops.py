@@ -92,6 +92,48 @@ def test_ivf_recall(ray_session):
     assert recall >= 0.7, f"IVF recall too low: {recall}"
 
 
+def test_ivf_twin_contract(ray_session):
+    """The no-oracle `ivf_topk` driver row carries machine-checked
+    meaning via its exact twin (SURVEY §8.2):
+
+    (a) probes=ALL — the full IVF path (centroid fit, bucket assignment,
+        probe scoring, tie-safe merge) is bitwise the exact ann_topk
+        result, i.e. the `ivf_topk_exact` contract the driver checks
+        against SQL really is "same machinery, pruning disabled";
+    (b) pruned probes — the result is the EXACT top-k over the
+        probed-bucket subset (masked exactness, recomputed here in
+        straight-line numpy): the approximation lives entirely in WHICH
+        buckets are probed, never in scoring, tie-breaking or ranking.
+    """
+    import pyarrow.parquet as pq
+    from covertile import api_vec, vecops
+
+    # (a) probes=all == ann_topk, bitwise (schema + values)
+    exact = fetch(api_vec.QUERIES["ann_topk"](SF))
+    allp = fetch(api_vec.QUERIES["ivf_topk_exact"](SF))
+    assert_matches(allp, exact, "ivf probes=all vs ann_topk")
+
+    # (b) pruned == exact top-k of the probed subset
+    got = fetch(api_vec.QUERIES["ivf_topk"](SF))
+    cent = api_vec._centroids_of(SF)
+    qid, qm = api_vec._queries_of(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids, m = vecops._emb_matrix(t)
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, : vecops.IVF_PROBES]
+    bucket = (m @ cent.T).argmax(1)
+    rows = []
+    for i in range(len(qid)):
+        ok = np.isin(bucket, probe[i]) & (ids != qid[i])
+        sub, cos = ids[ok], qm[i] @ m[ok].T
+        order = np.lexsort((sub, -cos))[: vecops.ANN_K]
+        rows += [(int(qid[i]), r + 1, int(sub[j]))
+                 for r, j in enumerate(order)]
+    want = sorted(rows)
+    assert [tuple(r) for r in
+            got[["query_id", "rank", "neighbor_id"]].to_numpy()] == want
+
+
 def test_png_roundtrip_and_filters():
     """Native PNG codec (stdlib zlib + numpy): encode -> decode is exact
     for gray/RGB/RGBA, and the decoder undoes all five scanline filters
