@@ -159,9 +159,14 @@ def test_knn_spill_threshold_store_derived(ray_session):
     assert 500_000 * 8 < thr < 16_000_000 * 8
 
 
-def test_pids_ds_blocks_scale_with_cluster(ray_session):
+def test_pids_ds_blocks_scale_with_cluster(ray_session, monkeypatch):
     """VERDICT r04 #2: self-join dispatch block count derives from
-    cluster CPUs (4 dispatch tasks per CPU), not a fixed 256 cap."""
+    cluster CPUs (4 dispatch tasks per CPU), not a fixed 256 cap.
+
+    Asserts the contract (parallelism tracks cluster size, clamped to
+    the pid count) with tolerance for Ray's dynamic block splitting —
+    a read task may emit one extra block, so exact equality on
+    num_blocks() is not stable across Ray versions."""
     from covertile import sizing
     from covertile.queries import _pids_ds
 
@@ -171,7 +176,17 @@ def test_pids_ds_blocks_scale_with_cluster(ray_session):
     class _Idx:
         plan = _Plan()
 
+    for cpus in (8, 32):
+        monkeypatch.setattr(sizing, "cluster_cpus", lambda c=cpus: c)
+        ds = _pids_ds(_Idx()).materialize()
+        expect = min(10_000, 4 * cpus)
+        nb = ds.num_blocks()
+        assert expect <= nb <= expect + max(2, expect // 16), (cpus, nb)
+        assert ds.count() == 10_000
+
+    # clamp: fewer pids than dispatch slots -> one block per pid
+    _Plan.num_partitions = 5
+    monkeypatch.setattr(sizing, "cluster_cpus", lambda: 32)
     ds = _pids_ds(_Idx()).materialize()
-    expect = min(10_000, 4 * sizing.cluster_cpus())
-    assert ds.num_blocks() == expect
-    assert ds.count() == 10_000
+    assert 5 <= ds.num_blocks() <= 7
+    assert ds.count() == 5
