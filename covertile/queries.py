@@ -518,32 +518,39 @@ def knn_join(index: Index, points_ds, k: int,
 
     queries = pending.map_batches(rehydrate, batch_format="pyarrow")
     if mode != "actors":
-        # ONE exchange for the whole of phase 2: pending queries group by
-        # their HOME partition, and each home group loads the (few)
-        # neighbor trees its discs touch straight from the checkpoint
-        # store (LRU-cached per worker) — candidate generation and the
-        # per-home merge run inside the same task.  The previous shape
-        # (repartition -> groupby(pid) -> groupby(home_pid)) paid three
-        # all-to-alls of fixed ~1-2s wall each on a sliver-sized input;
-        # at cluster scale the extra tree loads are bounded by the
-        # neighbor count per home and amortized by the LRU.
+        # ZERO exchanges for the whole of phase 2.  Each pending row is a
+        # COMPLETE query (the task generates candidates across every pid
+        # its disc touches, loading trees from the shared checkpoint
+        # store via the per-worker LRU), so any row partition is correct
+        # — no colocation-by-home groupby is needed.  Pending blocks
+        # also arrive HOME-COHERENT from phase 1 (each producing group /
+        # spill task is one home pid), so per-task tree loads match the
+        # old groupby(home_pid) granularity WITHOUT its sort barrier —
+        # measured ~0.6s of fixed all-to-all floor on a 41k-row sliver
+        # at the 500k-point bench, and one fewer all-to-all at any
+        # scale.  (History: round 1 paid three exchanges here, round 4
+        # one, now none.)
         ck2 = index.ckpt_dir
         plan2 = index.plan
 
-        def add_home_key(batch: pa.Table) -> pa.Table:
-            x = batch["x"].to_numpy()
-            y = batch["y"].to_numpy()
-            src = batch["src_id"].to_numpy()
-            own = plan2.pid_of_points(
-                cells.cell_of(x, y, plan2.resolution), src)
-            return batch.append_column("home_pid", pa.array(own))
+        _P2_EMPTY = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.float64()),
+            "radius": pa.array([], pa.float64()),
+            "done": pa.array([], pa.bool_()),
+        })
 
-        def home_phase2(group: pa.Table) -> pa.Table:
+        def phase2_batch(group: pa.Table) -> pa.Table:
+            if len(group) == 0:
+                return _P2_EMPTY
             src = group["src_id"].to_numpy()
             x = group["x"].to_numpy()
             y = group["y"].to_numpy()
             radius = group["radius"].to_numpy()
-            home = group["home_pid"].to_numpy()
+            home = plan2.pid_of_points(
+                cells.cell_of(x, y, plan2.resolution), src)
             rep, halo = cells.halo_cells(x, y, radius, plan2.resolution)
             crep, pids = plan2.pids_of_cells(halo)
             rows = rep[crep]
@@ -566,9 +573,10 @@ def knn_join(index: Index, points_ds, k: int,
             cand = pa.concat_tables(outs)
             return _knn_merge(cand, k)
 
-        phase2 = (queries.map_batches(add_home_key, batch_format="pyarrow")
-                  .groupby("home_pid")
-                  .map_groups(home_phase2, batch_format="pyarrow"))
+        # batch_size=None: one call per block, preserving phase-1's
+        # home-coherent block layout for tree-load locality
+        phase2 = queries.map_batches(phase2_batch, batch_format="pyarrow",
+                                     batch_size=None)
     else:
         routed = route_queries(
             queries.repartition(64), index.plan, with_home=True)
