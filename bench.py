@@ -685,7 +685,9 @@ def main() -> None:
     ap.add_argument("--cpus-hi", type=int, default=16)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--amplify", type=int, default=AMPLIFY)
-    ap.add_argument("--repeats", type=int, default=1)
+    # None -> per-path default: headline falls back to GRAFT_BENCH_REPEATS
+    # (default 3), the scaling paths to 1 repeat per leg
+    ap.add_argument("--repeats", type=int, default=None)
     ap.add_argument("--aux", action="store_true",
                     help="benchmark text/dedup/ANN operator families")
     ap.add_argument("--aux-scaling", action="store_true",
@@ -696,7 +698,7 @@ def main() -> None:
 
     if args.aux_scaling:
         result = run_aux_scaling(args.sf_dir, args.cpus_lo, args.cpus_hi,
-                                 repeats=args.repeats)
+                                 repeats=args.repeats or 1)
     elif args.aux:
         result = run_aux_bench(args.sf_dir, NUM_CPUS,
                                n_dedup_vecs=args.dedup_vecs)
@@ -704,9 +706,10 @@ def main() -> None:
         ray.shutdown()
     elif args.scaling:
         result = run_scaling(args.sf_dir, args.cpus_lo, args.cpus_hi,
-                             args.amplify, repeats=args.repeats)
+                             args.amplify, repeats=args.repeats or 1)
     else:
-        result = run_bench(args.sf_dir, NUM_CPUS, args.amplify)
+        result = run_bench(args.sf_dir, NUM_CPUS, args.amplify,
+                           repeats=args.repeats)
         import ray
         ray.shutdown()
     print(json.dumps(result), flush=True)
