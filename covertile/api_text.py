@@ -79,6 +79,25 @@ def sql_exact_dedup() -> str:
     return T.exact_dedup_sql()
 
 
+def q_dedup_keep_best(sf_dir: str):
+    return T.dedup_keep_best(
+        _docs(sf_dir, columns=("doc_id", "text", "n_chars"))
+    ).sort("fingerprint")
+
+
+def sql_dedup_keep_best() -> str:
+    return T.dedup_keep_best_sql()
+
+
+def q_cross_source_overlap(sf_dir: str):
+    return T.cross_source_overlap(
+        _docs(sf_dir, columns=("text", "source"))).sort("fingerprint")
+
+
+def sql_cross_source_overlap() -> str:
+    return T.cross_source_overlap_sql()
+
+
 def q_ngram_jaccard(sf_dir: str):
     return T.ngram_jaccard_pairs(_docs(sf_dir)).sort(["a_id", "b_id"])
 
@@ -309,6 +328,8 @@ QUERIES = {
     "bm25_topk_store": q_bm25_topk_store,
     "table_profile": q_table_profile,
     "dedup_corpus": q_dedup_corpus,
+    "dedup_keep_best": q_dedup_keep_best,
+    "cross_source_overlap": q_cross_source_overlap,
 }
 
 ORACLES = {
@@ -340,4 +361,6 @@ ORACLES = {
     "bm25_topk_store": sql_bm25_topk,
     "table_profile": sql_table_profile,
     "dedup_corpus": sql_dedup_corpus,
+    "dedup_keep_best": sql_dedup_keep_best,
+    "cross_source_overlap": sql_cross_source_overlap,
 }

@@ -350,6 +350,160 @@ FROM documents GROUP BY fingerprint ORDER BY fingerprint
 """
 
 
+# ------------------------------------------------- keep-best exact dedup
+
+#: doc_id packing base for the keep-best composite key.  keep-best wants
+#: (max n_chars, then min doc_id) per duplicate group — a lexicographic
+#: argmax that Ray's native aggregates can't express directly, but
+#: composite = n_chars * _KB_BASE - doc_id orders exactly that way, so a
+#: plain Max() does it with no per-group Python.  Exact while
+#: 0 <= doc_id < 2^40 (~1.1e12 docs — above a 100 TB corpus at ~100 B/doc)
+#: and 0 <= n_chars < 2^22 (4 MiB of text); both are asserted per batch.
+_KB_BASE = 1 << 40
+_KB_NC_MAX = 1 << 22
+
+
+def dedup_keep_best(docs_ds):
+    """Duplicate groups keyed on NORMALIZED text (lowercase, whitespace
+    collapsed, trimmed — normalize_batch's canonical form, so noisy
+    near-identical copies land in one group) keeping the BEST copy, not
+    the first: (fingerprint, keep_id, keep_n_chars, n_dups) where
+    keep_id is the group's doc with the largest RAW n_chars (quality
+    proxy — the least-mangled copy), ties to the smallest doc_id.  Same
+    scale shape as exact_dedup — per-batch partial before the groupby,
+    so the exchange carries one row per distinct fingerprint per block —
+    with the lexicographic argmax packed into a single int64 so the
+    shuffle stays a native Max/Sum aggregate."""
+    def partial(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(_text_col(batch)), r"\s+", " "))
+        fp = np.array([hashlib.md5(s.encode()).hexdigest()
+                       for s in norm.to_pylist()], dtype=object)
+        ids = batch["doc_id"].to_numpy()
+        nc = batch["n_chars"].to_numpy().astype(np.int64)
+        if len(ids):
+            if ids.min() < 0 or ids.max() >= _KB_BASE:
+                raise ValueError("dedup_keep_best: doc_id outside "
+                                 f"[0, 2^40) packable range")
+            if nc.min() < 0 or nc.max() >= _KB_NC_MAX:
+                raise ValueError("dedup_keep_best: n_chars outside "
+                                 f"[0, 2^22) packable range")
+        comp = nc * _KB_BASE - ids.astype(np.int64)
+        uniq, inv = np.unique(fp, return_inverse=True)
+        best = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(best, inv, comp)
+        cnt = np.bincount(inv)
+        return pa.table({"fingerprint": pa.array(uniq, pa.string()),
+                         "best": best, "n_dups": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Max, Sum
+
+    def finish(batch: pa.Table) -> pa.Table:
+        comp = batch["max(best)"].to_numpy()
+        # ceil-division decode, exact for doc_id = 0 and n_chars = 0 too
+        nc = -((-comp) // _KB_BASE)
+        keep = nc * _KB_BASE - comp
+        return pa.table({"fingerprint": batch["fingerprint"],
+                         "keep_id": keep, "keep_n_chars": nc,
+                         "n_dups": batch["sum(n_dups)"]})
+
+    return (docs_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("fingerprint").aggregate(Max("best"), Sum("n_dups"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def dedup_keep_best_sql() -> str:
+    return r"""
+SELECT fingerprint, keep_id, keep_n_chars, n_dups FROM (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             AS fingerprint,
+         doc_id AS keep_id, n_chars AS keep_n_chars,
+         row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+',
+                                                  ' ', 'g')))
+             ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+',
+                                                  ' ', 'g')))) AS n_dups
+  FROM documents) WHERE rn = 1 ORDER BY fingerprint
+"""
+
+
+# --------------------------------------------- cross-source overlap audit
+
+#: opening-token window for the cross-source boilerplate fingerprint
+OVERLAP_PREFIX_K = 8
+
+
+def cross_source_overlap(docs_ds, k: int = OVERLAP_PREFIX_K):
+    """Shared-boilerplate audit ACROSS sources: fingerprint each doc by
+    its opening k tokens (md5 of the first-k-token join — the shared
+    header/template signal crawl snapshots carry) and report every
+    fingerprint present in MORE THAN ONE distinct source as
+    (fingerprint, n_sources, n_docs) — how much of source A's boilerplate
+    is literally inside source B before you weight a mixture.
+
+    Distributed grouped count-distinct with NO per-group Python: stage 1
+    dedupes (fingerprint, source) per block and sums doc counts under a
+    native groupby on the pair; stage 2 counts the now-unique pair rows
+    per fingerprint with a second native groupby.  Both exchanges carry
+    at most one row per distinct (fingerprint, source) pair per block —
+    bounded by the duplicate structure, never the corpus size."""
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"fingerprint": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks = _token_lists(_text_col(batch))
+        prefix = pc.binary_join(pc.list_slice(toks, 0, k), " ")
+        fp = np.array([hashlib.md5(s.encode()).hexdigest()
+                       for s in prefix.to_pylist()], dtype=object)
+        src = np.asarray(_text_col(batch, "source"), dtype=object)
+        ufp, ifp = np.unique(fp, return_inverse=True)
+        usrc, isrc = np.unique(src, return_inverse=True)
+        pair = ifp.astype(np.int64) * len(usrc) + isrc
+        upair, inv = np.unique(pair, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "fingerprint": pa.array(ufp[upair // len(usrc)], pa.string()),
+            "source": pa.array(usrc[upair % len(usrc)], pa.string()),
+            "n": cnt})
+
+    from ray.data.aggregate import Sum
+
+    def pair_done(batch: pa.Table) -> pa.Table:
+        return pa.table({"fingerprint": batch["fingerprint"],
+                         "one": pa.array(np.ones(len(batch), np.int64)),
+                         "n": batch["sum(n)"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch["sum(one)"].to_numpy()
+        nd = batch["sum(n)"].to_numpy()
+        keep = ns > 1
+        return pa.table({
+            "fingerprint": pc.filter(batch["fingerprint"],
+                                     pa.array(keep)),
+            "n_sources": pa.array(ns[keep]),
+            "n_docs": pa.array(nd[keep])})
+
+    return (docs_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["fingerprint", "source"]).aggregate(Sum("n"))
+            .map_batches(pair_done, batch_format="pyarrow")
+            .groupby("fingerprint").aggregate(Sum("one"), Sum("n"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def cross_source_overlap_sql(k: int = OVERLAP_PREFIX_K) -> str:
+    return f"""
+SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, {k}),
+           ' ')) AS fingerprint,
+       count(DISTINCT source) AS n_sources,
+       count(*) AS n_docs
+FROM documents GROUP BY fingerprint
+HAVING count(DISTINCT source) > 1 ORDER BY fingerprint
+"""
+
+
 # -------------------------------------------------------- shingles (hashed)
 
 def shingle_batch(batch: pa.Table, k: int = SHINGLE_K):

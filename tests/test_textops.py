@@ -479,3 +479,83 @@ def test_mixture_rebalance_null_source(ray_session):
     kept = set(out["doc_id"])
     assert all(d % 4 != 0 for d in kept)   # no null-source row survives
     assert out["source"].notna().all()
+
+
+def test_dedup_keep_best_prefers_longest_then_min_id(ray_session):
+    """Keep-best semantics against planted normalization variants: a
+    longer (raw n_chars) copy with a HIGHER doc_id must become keep_id;
+    an equal-length copy must lose the tie to the smaller doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from covertile import textops as T
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    t0 = docs["text"][0].as_py()
+    t1 = docs["text"][1].as_py()
+    id0 = docs["doc_id"][0].as_py()
+    id1 = docs["doc_id"][1].as_py()
+    # variant of doc 0: uppercased + doubled spaces -> same normalized
+    # form, LARGER raw n_chars, higher doc_id => the variant must win
+    v0 = t0.upper().replace(" ", "  ")
+    # variant of doc 1: byte-identical copy -> n_chars tie, higher
+    # doc_id => the ORIGINAL (smaller id) must win
+    extra = pa.table({
+        "doc_id": pa.array([900001, 900002], pa.int64()),
+        "text": pa.array([v0, t1], pa.string()),
+        "n_chars": pa.array([len(v0), len(t1)], pa.int64()),
+    })
+    res = fetch(T.dedup_keep_best(
+        rd.from_arrow(pa.concat_tables([docs, extra])))
+        .sort("fingerprint"))
+    assert len(res) == docs.num_rows        # both variants join a group
+    assert res["n_dups"].sum() == docs.num_rows + 2
+    dups = res[res["n_dups"] > 1]
+    assert len(dups) == 2
+    by_keep = dict(zip(dups["keep_id"], dups["keep_n_chars"]))
+    assert by_keep == {900001: len(v0),     # longer variant wins
+                       id1: len(t1)}        # tie -> original id wins
+    assert id0 not in by_keep
+
+
+def test_cross_source_overlap_planted_boilerplate(ray_session):
+    """Planted shared 8-token prefix across sources is reported with
+    exact (n_sources, n_docs); single-source prefixes are absent; the
+    result is invariant to input chunking (exchange-shape independence)."""
+    import hashlib
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import textops as T
+
+    boiler = "the quick brown fox jumps over the lazy"   # 8 tokens
+    solo = "one two three four five six seven eight"
+    rows = [
+        (boiler + " tail a", "srcA"), (boiler + " tail b", "srcA"),
+        (boiler + " tail c", "srcB"), (boiler + " tail d", "srcC"),
+        (solo + " x", "srcA"), (solo + " y", "srcA"),     # 1 source only
+        ("short doc", "srcB"),                            # < 8 tokens
+    ]
+    tbl = pa.table({
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+    })
+    want_fp = hashlib.md5(boiler.encode()).hexdigest()
+    for blocks in (1, 4):
+        out = fetch(T.cross_source_overlap(
+            rd.from_arrow(tbl).repartition(blocks)).sort("fingerprint"))
+        assert list(out["fingerprint"]) == [want_fp]
+        assert list(out["n_sources"]) == [3]
+        assert list(out["n_docs"]) == [4]
+
+
+def test_dedup_keep_best_matches_oracle(con, ray_session):
+    """Bitwise vs the DuckDB window oracle on the sf table."""
+    import ray.data as rd
+    from covertile import textops as T
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    got = fetch(T.dedup_keep_best(ds).sort("fingerprint"))
+    want = con.execute(T.dedup_keep_best_sql()).fetchdf()
+    assert_matches(got, want, "dedup_keep_best")
