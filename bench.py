@@ -569,6 +569,18 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("doc_chunks", lambda: C.doc_chunks(docs).count())
     stage("pii_scrub", lambda: C.pii_scrub(docs).count())
     stage("exact_dedup", lambda: T.exact_dedup(docs).count())
+    stage("dedup_keep_best", lambda: T.dedup_keep_best(docs).count())
+
+    def run_cross_source():
+        # the generated corpus has no source column; lang plays one
+        # (4 sources, planted exact dups land in the same lang ~75% of
+        # the time, so cross-source prefixes genuinely occur)
+        def with_source(b: pa.Table) -> pa.Table:
+            return b.append_column("source", b["lang"])
+        return T.cross_source_overlap(docs.map_batches(
+            with_source, batch_format="pyarrow")).count()
+
+    stage("cross_source_overlap", run_cross_source)
     stage("simhash_dedup", lambda: T.simhash_dup_pairs(docs).count())
 
     def run_components():
@@ -644,6 +656,7 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
 
     stage("cosine_lsh_dedup", run_cosine_lsh)
     stage("events_window", lambda: E.tumbling_window(events).count())
+    stage("cohort_retention", lambda: E.cohort_retention(events).count())
     stage("sessionize", lambda: E.sessionize(events).count())
     stage("hopping_window", lambda: E.hopping_window(events).count())
     stage("rolling_window", lambda: E.rolling_window(events).count())

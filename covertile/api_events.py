@@ -103,8 +103,19 @@ def sql_transition_counts() -> str:
     return eventops.transition_counts_sql()
 
 
+def q_cohort_retention(sf_dir: str):
+    return eventops.cohort_retention(
+        _events(sf_dir, columns=("ts", "user_id"))
+    ).sort(["cohort_day", "day"])
+
+
+def sql_cohort_retention() -> str:
+    return eventops.cohort_retention_sql()
+
+
 QUERIES = {
     "events_window": q_tumbling_window,
+    "cohort_retention": q_cohort_retention,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -117,6 +128,7 @@ QUERIES = {
 
 ORACLES = {
     "events_window": sql_tumbling_window,
+    "cohort_retention": sql_cohort_retention,
     "sessionize": sql_sessionize,
     "asof_join": sql_asof_join,
     "range_join": sql_range_join,

@@ -1366,3 +1366,98 @@ SELECT prev_type, next_type, count(*) AS n
 FROM nxt WHERE next_type IS NOT NULL
 GROUP BY prev_type, next_type ORDER BY prev_type, next_type
 """
+
+
+# ------------------------------------------------------ cohort retention
+
+_US_PER_DAY = np.int64(86_400) * np.int64(1_000_000)
+
+
+def cohort_retention(events_ds):
+    """Daily cohort retention — the usage-telemetry classic: cohort a
+    user by the epoch-day of their FIRST event, then for every
+    (cohort_day, day) pair count the DISTINCT cohort users active that
+    day.  -> (cohort_day, day, n_users), days as int64 epoch-day
+    indices (floor(epoch_us / 86400e6) — pure integer math, mirrored
+    bitwise by the SQL oracle).
+
+    Scale shape: events stream through ONE per-block partial that
+    reduces them to distinct (user_id, day) presence rows; every
+    exchange after that is bounded by distinct user-days, never event
+    rows — a native pair groupby to finish the dedup, a native Min per
+    user to pin cohorts, one int-keyed bucketed hash join
+    (joins.hash_join_int_key, static schemas so the chained plan never
+    double-executes) to re-attach cohorts, and a tiny final
+    (cohort, day) aggregate."""
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "day": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        day = ts // _US_PER_DAY
+        uid = batch["user_id"].to_numpy()
+        ud, idx_d = np.unique(day, return_inverse=True)
+        uu, idx_u = np.unique(uid, return_inverse=True)
+        pair = idx_u.astype(np.int64) * len(ud) + idx_d
+        upair = np.unique(pair)
+        return pa.table({
+            "user_id": uu[upair // len(ud)],
+            "day": ud[upair % len(ud)],
+            "one": np.ones(len(upair), np.int64)})
+
+    from ray.data.aggregate import Min, Sum
+
+    pres = (events_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["user_id", "day"]).aggregate(Sum("one")))
+
+    def pres_done(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "day": batch["day"]})
+
+    pairs = pres.map_batches(pres_done, batch_format="pyarrow")
+
+    def coh_done(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "cohort_day": batch["min(day)"]})
+
+    cohorts = (pairs.groupby("user_id").aggregate(Min("day"))
+               .map_batches(coh_done, batch_format="pyarrow"))
+
+    from .joins import hash_join_int_key
+
+    pair_schema = pa.schema([("user_id", pa.int64()),
+                             ("day", pa.int64())])
+    coh_schema = pa.schema([("user_id", pa.int64()),
+                            ("cohort_day", pa.int64())])
+    joined = hash_join_int_key(pairs, cohorts, key="user_id",
+                               left_schema=pair_schema,
+                               right_schema=coh_schema)
+
+    def tag_one(batch: pa.Table) -> pa.Table:
+        return pa.table({"cohort_day": batch["cohort_day"],
+                         "day": batch["day"],
+                         "one": np.ones(len(batch), np.int64)})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"cohort_day": batch["cohort_day"],
+                         "day": batch["day"],
+                         "n_users": batch["sum(one)"]})
+
+    return (joined.map_batches(tag_one, batch_format="pyarrow")
+            .groupby(["cohort_day", "day"]).aggregate(Sum("one"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def cohort_retention_sql() -> str:
+    return """
+WITH pres AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+coh AS (SELECT user_id, min(day) AS cohort_day
+        FROM pres GROUP BY user_id)
+SELECT c.cohort_day, p.day, count(*) AS n_users
+FROM pres p JOIN coh c USING (user_id)
+GROUP BY c.cohort_day, p.day ORDER BY cohort_day, day
+"""

@@ -17,7 +17,8 @@ def con():
 
 @pytest.mark.parametrize("name", ["events_window", "sessionize",
                                   "asof_join", "range_join", "funnel",
-                                  "hopping_window", "props_stats"])
+                                  "hopping_window", "props_stats",
+                                  "cohort_retention"])
 def test_event_query_matches_oracle(ray_session, con, name):
     from covertile import api_events
     got = api_events.QUERIES[name](SF).to_pandas().reset_index(drop=True)
