@@ -39,6 +39,20 @@ def sql_ann_topk() -> str:
     return vecops.ann_topk_sql()
 
 
+def q_ann_topk_filtered(sf_dir: str):
+    import pyarrow.compute as pc
+    from .sources import read_table
+    qid, qm = _queries_of(sf_dir)
+    emb = read_table(
+        sf_dir, "embeddings", ["vec_id", "embedding"],
+        filter=pc.field("label").isin(list(vecops.ANN_FILTER_LABELS)))
+    return vecops.ann_topk(emb, qid, qm).sort(["query_id", "rank"])
+
+
+def sql_ann_topk_filtered() -> str:
+    return vecops.ann_topk_filtered_sql()
+
+
 def q_sq_stats(sf_dir: str):
     return vecops.sq_stats(_emb(sf_dir))
 
@@ -207,6 +221,7 @@ def q_ivf_sq_topk_store(sf_dir: str):
 
 QUERIES = {
     "ann_topk": q_ann_topk,
+    "ann_topk_filtered": q_ann_topk_filtered,
     "embedding_cosine_dedup": q_cosine_dedup,
     "cosine_lsh_dedup": q_cosine_lsh_dedup,
     "emb_knn": q_emb_knn,
@@ -224,6 +239,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_topk": sql_ann_topk,
+    "ann_topk_filtered": sql_ann_topk_filtered,
     "embedding_cosine_dedup": sql_cosine_dedup,
     "cosine_lsh_dedup": sql_cosine_lsh_dedup,
     "emb_knn": sql_emb_knn,

@@ -80,13 +80,19 @@ def read_lance_fragments(path: str, columns=None):
             .map_batches(load, batch_format="pyarrow", batch_size=None))
 
 
-def read_table(sf_dir: str, name: str, columns=None):
+def read_table(sf_dir: str, name: str, columns=None, filter=None):
     """Read table `name` from a dataset directory as a ray.data.Dataset,
     dispatching on the on-disk format: `<name>.lance` (when present and
     the lance library is importable) else `<name>.parquet`.  Column
     pruning (`columns`) is honored on BOTH paths — projection pushdown is
     the read-side scale discipline; never read all columns for a
-    two-column transform.
+    two-column transform.  `filter` (a pyarrow.dataset expression, e.g.
+    ``pc.field("label").isin([0, 1])``) is pushed into the parquet
+    scanner so row groups whose statistics exclude the predicate never
+    leave storage; the filter column does NOT need to be in `columns`.
+    The lance path applies the same expression per fragment batch
+    (fragment-level pushdown is a lance-library capability this
+    container can't exercise — see tests/test_sources.py).
 
     This is the single entry point the api layer reads through, closing
     SURVEY §1.4's input contract: pointing sf_dir at a directory of
@@ -100,9 +106,19 @@ def read_table(sf_dir: str, name: str, columns=None):
             raise NotImplementedError(
                 f"{lance_path} exists but the lance library is not "
                 f"installed; install pylance or provide {name}.parquet")
-        return read_lance_fragments(lance_path, columns)
+        if filter is None:
+            return read_lance_fragments(lance_path, columns)
+        # the filter may reference columns outside the projection: scan
+        # wide, filter, then project (the parquet path keeps full
+        # pushdown; lance-level filter pushdown needs the real library)
+        ds = read_lance_fragments(lance_path, None).map_batches(
+            lambda t: t.filter(filter), batch_format="pyarrow")
+        if columns:
+            ds = ds.select_columns(list(columns))
+        return ds
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
-                           columns=list(columns) if columns else None)
+                           columns=list(columns) if columns else None,
+                           filter=filter)
 
 
 def fvecs_dim_count(path: str) -> tuple[int, int]:

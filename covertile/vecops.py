@@ -252,6 +252,43 @@ ORDER BY query_id, rank
 """
 
 
+#: label restriction for the filtered-ANN driver query (3 of the 10
+#: synthetic classes, ~30% of the corpus)
+ANN_FILTER_LABELS = (0, 1, 2)
+
+
+def ann_topk_filtered_sql(labels=ANN_FILTER_LABELS,
+                          nq: int = ANN_NUM_QUERIES,
+                          k: int = ANN_K) -> str:
+    """Filtered vector search oracle: identical ranking contract to
+    ann_topk_sql but the CORPUS side is restricted to the given labels
+    (queries are still the first nq rows of the full table — a query
+    need not satisfy the predicate it searches under).  The engine twin
+    pushes the predicate into the parquet read (sources.read_table
+    filter=), so excluded row groups never leave storage — metadata
+    filtering at the scan, not a post-scan mask."""
+    lab = ", ".join(str(v) for v in labels)
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nq}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cos
+  FROM q, embeddings e
+  WHERE e.vec_id != q.vec_id AND e.label IN ({lab})
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # ------------------------------------------------------------- cosine pairs
 
 def cosine_pairs_partitioned(emb_ds, centroids: np.ndarray,

@@ -203,3 +203,23 @@ def test_lance_driver_query_end_to_end(tmp_path, ray_session):
     got = api_text.q_token_stats(str(tmp_path)).to_pandas()
     want = api_text.q_token_stats(sf).to_pandas()
     assert got.equals(want)
+
+
+def test_read_table_filter_pushdown(ray_session):
+    """read_table's filter= lands in the parquet scanner: only matching
+    rows come back, and the filter column does NOT need to be in the
+    projection (scanner reads it from row-group stats/pages, the
+    projection stays pruned)."""
+    import pyarrow.compute as pc
+    from covertile.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_table(sf, "embeddings", ["vec_id", "embedding"],
+                    filter=pc.field("label").isin([0, 1]))
+    t = ds.to_pandas()
+    assert list(t.columns) == ["vec_id", "embedding"]
+    import duckdb
+    want = duckdb.sql(
+        f"SELECT vec_id FROM read_parquet('{sf}/embeddings.parquet') "
+        f"WHERE label IN (0, 1) ORDER BY vec_id").df()
+    assert sorted(t["vec_id"]) == list(want["vec_id"])

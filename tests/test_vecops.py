@@ -32,7 +32,8 @@ def assert_matches(got, want, name):
 
 
 @pytest.mark.parametrize("name", [
-    "ann_topk", "embedding_cosine_dedup", "cosine_lsh_dedup", "emb_knn",
+    "ann_topk", "ann_topk_filtered",
+    "embedding_cosine_dedup", "cosine_lsh_dedup", "emb_knn",
     "ivf_topk_exact", "ivf_topk_store",
     "media_features", "media_resize", "frame_sample",
     "media_pixel_stats",
