@@ -382,3 +382,18 @@ def test_transition_counts_ordering_semantics(ray_session):
     # user 1 order: (0,id1)a (1,id2)b (1,id3)c (2,id4)a -> ab, bc, ca
     got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}
+
+
+def test_cohort_retention_bucket_invariance(ray_session):
+    """The user-hash fan-out never changes the retention matrix (users
+    are hash-disjoint across buckets, so bucket matrices sum exactly)."""
+    import ray.data as rd
+    from covertile import eventops
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    a = (eventops.cohort_retention(ev, num_buckets=2).to_pandas()
+         .sort_values(["cohort_day", "day"]).reset_index(drop=True))
+    b = (eventops.cohort_retention(ev, num_buckets=17).to_pandas()
+         .sort_values(["cohort_day", "day"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert (a["day"] >= a["cohort_day"]).all()   # triangular matrix
