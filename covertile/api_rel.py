@@ -79,12 +79,47 @@ def sql_shipping_priority() -> str:
     return relops.shipping_priority_sql()
 
 
+
+def q_returned_item_report(sf_dir: str):
+    import pyarrow.parquet as pq
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    return relops.returned_item_report(
+        _t(sf_dir, "lineitem",
+           ("l_orderkey", "l_extendedprice", "l_discount",
+            "l_returnflag")),
+        _t(sf_dir, "orders", ("o_orderkey", "o_custkey", "o_orderdate")),
+        _t(sf_dir, "customer",
+           ("c_custkey", "c_name", "c_nationkey", "c_acctbal")),
+        nation)
+
+
+def sql_returned_item_report() -> str:
+    return relops.returned_item_report_sql()
+
+
+def q_promo_revenue_share(sf_dir: str):
+    import pyarrow.parquet as pq
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    return relops.promo_revenue_share(
+        _t(sf_dir, "lineitem",
+           ("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")),
+        part)
+
+
+def sql_promo_revenue_share() -> str:
+    return relops.promo_revenue_share_sql()
+
+
 QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "pricing_summary": q_pricing_summary,
     "local_supplier_volume": q_local_supplier_volume,
     "idle_customers": q_idle_customers,
     "shipping_priority": q_shipping_priority,
+    "returned_item_report": q_returned_item_report,
+    "promo_revenue_share": q_promo_revenue_share,
 }
 
 ORACLES = {
@@ -93,4 +128,6 @@ ORACLES = {
     "local_supplier_volume": sql_local_supplier_volume,
     "idle_customers": sql_idle_customers,
     "shipping_priority": sql_shipping_priority,
+    "returned_item_report": sql_returned_item_report,
+    "promo_revenue_share": sql_promo_revenue_share,
 }

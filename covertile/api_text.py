@@ -299,6 +299,17 @@ def sql_dedup_corpus() -> str:
     return T.dedup_corpus_sql()
 
 
+
+def q_dup_spans(sf_dir: str):
+    from . import curation
+    return curation.dup_spans(_docs(sf_dir))
+
+
+def sql_dup_spans() -> str:
+    from . import curation
+    return curation.dup_spans_sql()
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
@@ -330,6 +341,7 @@ QUERIES = {
     "dedup_corpus": q_dedup_corpus,
     "dedup_keep_best": q_dedup_keep_best,
     "cross_source_overlap": q_cross_source_overlap,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLES = {
@@ -363,4 +375,5 @@ ORACLES = {
     "dedup_corpus": sql_dedup_corpus,
     "dedup_keep_best": sql_dedup_keep_best,
     "cross_source_overlap": sql_cross_source_overlap,
+    "dup_spans": sql_dup_spans,
 }

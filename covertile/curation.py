@@ -594,3 +594,188 @@ def table_profile_sql(table: str = "documents",
             count(DISTINCT {c}) AS n_distinct FROM {table}"""
         for c in sorted(columns))
     return f'{selects} ORDER BY "column"'
+
+
+# ------------------------------------------------- duplicated substrings
+
+DUPSPAN_W = 64   # window width, characters
+DUPSPAN_S = 32   # stride, characters
+DUPSPAN_BROADCAST_MAX = 16_000_000  # candidate hashes (~256 MB put)
+
+
+def _stride_window_hashes(batch: pa.Table, w: int, s: int):
+    """(row_idx, char_pos, md5_u64-as-int64) for every w-character window
+    at stride s over the batch's text column — the split_contamination
+    flat-buffer windowing (codepoint-boundary windows over the raw UTF-8
+    buffer, so the hashed bytes are exactly what DuckDB's
+    md5(substr(text, pos+1, w)) hashes) generalized from stride 1 to
+    stride s, and returning the doc-local character position of each
+    window alongside its hash."""
+    ids = batch["doc_id"].to_numpy()
+    z = np.zeros(0, np.int64)
+    text = T._text_col(batch)
+    if len(ids) == 0 or text.null_count == len(ids):
+        return z, z, z
+    ta = (text.combine_chunks()
+          if isinstance(text, pa.ChunkedArray) else text)
+    if not pa.types.is_large_string(ta.type):
+        ta = ta.cast(pa.large_string())
+    off = np.frombuffer(ta.buffers()[1], np.int64)[
+        ta.offset: ta.offset + len(ta) + 1]
+    data = np.frombuffer(ta.buffers()[2], np.uint8)
+    seg = data[off[0]: off[-1]]
+    char_pos = off[0] + np.flatnonzero((seg & 0xC0) != 0x80)
+    char_pos_ext = np.append(char_pos, off[-1])
+    char_cnt = np.searchsorted(char_pos, off)   # chars before each doc
+    nchars = np.diff(char_cnt)
+    n_win = np.where(nchars >= w, (nchars - w) // s + 1, 0)
+    tot = int(n_win.sum())
+    if tot == 0:
+        return z, z, z
+    rows = np.repeat(np.arange(len(ids)), n_win)
+    excl = np.concatenate(([0], np.cumsum(n_win)[:-1]))
+    pos = (np.arange(tot) - np.repeat(excl, n_win)) * s
+    w_char = np.repeat(char_cnt[:-1], n_win) + pos
+    b_start = char_pos_ext[w_char]
+    wlen = char_pos_ext[w_char + w] - b_start
+    maxw = int(wlen.max())
+    j = np.arange(maxw)[None, :]
+    win = np.full((tot, maxw), 0xFF, np.uint8)  # 0xFF: not valid UTF-8
+    valid = j < wlen[:, None]
+    gather = np.minimum(b_start[:, None] + j, len(data) - 1)
+    win[valid] = data[gather][valid]
+    void = np.ascontiguousarray(win).view(
+        np.dtype((np.void, maxw))).ravel()
+    u_void, sub_inv = np.unique(void, return_inverse=True)
+    h_uniq = np.fromiter(
+        (int.from_bytes(
+            hashlib.md5(v.tobytes().rstrip(b"\xff")).digest()[:8],
+            "big") for v in u_void),
+        dtype=np.uint64, count=len(u_void))
+    return rows, pos, h_uniq[sub_inv].view(np.int64)
+
+
+def dup_spans(docs_ds, w: int = DUPSPAN_W, s: int = DUPSPAN_S,
+              broadcast_max: int = DUPSPAN_BROADCAST_MAX):
+    """Exact duplicated-substring audit (the suffix-array dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", at fixed granularity): every w-character window at stride s
+    whose exact text occurs in MORE THAN ONE document, reported at each
+    site -> (doc_id, pos, ndocs) sorted, where pos is the window's
+    character offset and ndocs the number of distinct documents sharing
+    the window.  Window identity is md5_u64 of the window text on both
+    sides (the split_contamination precedent), so the oracle is bitwise.
+
+    Scale shape, two corpus passes and NO corpus-sized shuffle:
+    1. census — per-block (doc, window-hash)-deduped partials pre-sum
+       distinct-doc counts per hash (each doc lives in exactly one input
+       row, so per-block distinct-doc partials sum to the global distinct
+       count); ONE pair-bounded exchange keyed by a hash bucket
+       (sizing.bucket_shift), filtered to ndocs > 1 inside the combine.
+    2. report — the candidate (hash, ndocs) table rides back as a sorted
+       broadcast array pair when it fits (duplicated windows are the rare
+       case), else as a hash_join_int_key on the window hash (the
+       token_rarity fallback discipline); window POSITIONS are computed
+       in place in pass 2 and never move between nodes."""
+    import ray as _ray
+
+    from .sizing import bucket_shift
+    _shift = bucket_shift()
+
+    def census(batch: pa.Table) -> pa.Table:
+        rows, _, h = _stride_window_hashes(batch, w, s)
+        if len(rows) == 0:
+            z = np.zeros(0, np.int64)
+            return pa.table({"h": z, "nd": z, "bk": z})
+        order = np.lexsort((h, rows))
+        rs, hs = rows[order], h[order]
+        keep = np.empty(len(rs), bool)
+        keep[0] = True
+        keep[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+        hs = hs[keep]
+        u, inv = np.unique(hs, return_inverse=True)
+        nd = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({"h": u, "nd": nd,
+                         "bk": (u.view(np.uint64) >> _shift)
+                         .astype(np.int64)})
+
+    def combine(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        u, inv = np.unique(h, return_inverse=True)
+        nd = np.bincount(inv, weights=g["nd"].to_numpy(),
+                         minlength=len(u)).astype(np.int64)
+        hit = nd > 1
+        return pa.table({"h": u[hit], "ndocs": nd[hit]})
+
+    cand = (docs_ds.map_batches(census, batch_format="pyarrow")
+            .groupby("bk").map_groups(combine, batch_format="pyarrow")
+            .materialize())
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()),
+                            ("ndocs", pa.int64())])
+
+    if cand.count() <= broadcast_max:
+        hs, nds = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
+        for b in cand.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"):
+            hs.append(b["h"].to_numpy())
+            nds.append(b["ndocs"].to_numpy())
+        h_all, nd_all = np.concatenate(hs), np.concatenate(nds)
+        order = np.argsort(h_all)
+        ref = _ray.put((h_all[order], nd_all[order]))
+
+        def report(batch: pa.Table) -> pa.Table:
+            rows, pos, h = _stride_window_hashes(batch, w, s)
+            hv, ndv = _ray.get(ref)
+            if len(rows) == 0 or len(hv) == 0:
+                return out_schema.empty_table()
+            idx = np.searchsorted(hv, h)
+            idx_c = np.minimum(idx, len(hv) - 1)
+            hit = hv[idx_c] == h
+            ids = batch["doc_id"].to_numpy()
+            return pa.table({"doc_id": ids[rows[hit]],
+                             "pos": pos[hit],
+                             "ndocs": ndv[idx_c[hit]]})
+
+        return (docs_ds.map_batches(report, batch_format="pyarrow")
+                .sort(["doc_id", "pos"]))
+
+    from .joins import hash_join_int_key
+
+    def sites(batch: pa.Table) -> pa.Table:
+        rows, pos, h = _stride_window_hashes(batch, w, s)
+        ids = batch["doc_id"].to_numpy()
+        return pa.table({"h": h, "doc_id": ids[rows]
+                         if len(rows) else np.zeros(0, np.int64),
+                         "pos": pos})
+
+    joined = hash_join_int_key(
+        docs_ds.map_batches(sites, batch_format="pyarrow"), cand,
+        key="h",
+        left_schema=pa.schema([("h", pa.int64()), ("doc_id", pa.int64()),
+                               ("pos", pa.int64())]),
+        right_schema=pa.schema([("h", pa.int64()),
+                                ("ndocs", pa.int64())]))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "pos", "ndocs"])
+
+    return (joined.map_batches(project, batch_format="pyarrow")
+            .sort(["doc_id", "pos"]))
+
+
+def dup_spans_sql(w: int = DUPSPAN_W, s: int = DUPSPAN_S) -> str:
+    h = T.md5_u64_sql(f"substr(text, CAST(pos + 1 AS INT), {w})")
+    return f"""
+WITH p AS (
+  SELECT doc_id, text,
+         unnest(range(0, length(text) - {w} + 1, {s})) AS pos
+  FROM documents WHERE length(text) >= {w}
+),
+w AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, {h} AS h FROM p),
+g AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM w
+      GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+SELECT w.doc_id, w.pos, g.ndocs
+FROM w JOIN g USING (h)
+ORDER BY doc_id, pos
+"""

@@ -550,3 +550,220 @@ GROUP BY l_orderkey, o_orderdate_us, o_orderpriority
 ORDER BY revenue DESC, o_orderdate_us, l_orderkey
 LIMIT {int(k)}
 """
+
+
+# ------------------------------------------- returned-item report (Q10)
+
+Q10_DATE_LO = "1996-01-01"
+Q10_DATE_HI = "1996-04-01"
+Q10_K = 20
+
+
+def returned_item_report(li_ds, od_ds, cu_ds, nation_tbl: pa.Table,
+                         date_lo: str = Q10_DATE_LO,
+                         date_hi: str = Q10_DATE_HI, k: int = Q10_K):
+    """TPC-H-Q10-shaped top-k: the k customers with the highest revenue
+    from RETURNED items over one quarter -> (c_custkey, c_name, revenue,
+    c_acctbal, n_name), ties under (revenue DESC, c_custkey ASC).
+
+    Shape: the returnflag filter and quarter filter push below the
+    joins; lineitem pre-aggregates units per orderkey per block; one
+    bucketed hash join onto the filtered quarter's orders, a per-block
+    custkey pre-aggregate, ONE per-customer groupby, then a second hash
+    join attaching the customer attributes; nation is a 25-row broadcast
+    lookup; the top-k discipline bounds the final single-task merge to
+    <= k rows per block.  Money in integer units (cents x (100-disc)),
+    so ordering and the terminal division are exact."""
+    import ray
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    nk = nation_tbl["n_nationkey"].to_numpy().astype(np.int64)
+    names = np.asarray(nation_tbl["n_name"], dtype=object)
+    lut = np.full(int(nk.max()) + 1, "", dtype=object)
+    lut[nk] = names
+    lut_ref = ray.put(lut)  # 25 rows: broadcast, never shuffled
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = np.asarray(pc.equal(batch["l_returnflag"], "R"))
+        units = (_cents(batch["l_extendedprice"]) * (
+            100 - _cents(batch["l_discount"])))[keep]
+        ok, inv = np.unique(batch["l_orderkey"].to_numpy()[keep],
+                            return_inverse=True)
+        return pa.table({
+            "o_orderkey": ok,
+            "units": np.bincount(inv, weights=units,
+                                 minlength=len(ok)).astype(np.int64),
+        })
+
+    def od_filter(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        keep = pa.array((ts >= lo) & (ts < hi))
+        sel = batch.filter(keep)
+        return pa.table({"o_orderkey": sel["o_orderkey"],
+                         "o_custkey": sel["o_custkey"]})
+
+    j1 = hash_join_int_key(
+        li_ds.map_batches(li_partial, batch_format="pyarrow"),
+        od_ds.map_batches(od_filter, batch_format="pyarrow"),
+        key="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("units", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        ck, inv = np.unique(batch["o_custkey"].to_numpy(),
+                            return_inverse=True)
+        return pa.table({
+            "c_custkey": ck,
+            "units": np.bincount(
+                inv, weights=batch["units"].to_numpy(),
+                minlength=len(ck)).astype(np.int64),
+        })
+
+    agg = (j1.map_batches(cust_partial, batch_format="pyarrow")
+           .groupby("c_custkey").sum("units"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "units": batch["sum(units)"]})
+
+    j2 = hash_join_int_key(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        cu_ds, key="c_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("units", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_name", pa.string()),
+                                ("c_nationkey", pa.int32()),
+                                ("c_acctbal", pa.float64())]))
+
+    def topk_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        units = batch["units"].to_numpy()
+        ck = batch["c_custkey"].to_numpy()
+        order = np.lexsort((ck, -units))[:k]
+        sel = pa.array(order)
+        return pa.table({
+            "c_custkey": ck[order],
+            "c_name": pc.take(batch["c_name"], sel),
+            "units": units[order],
+            "c_acctbal": pc.take(batch["c_acctbal"], sel),
+            "c_nationkey": pc.take(batch["c_nationkey"], sel),
+        })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lut_ = ray.get(lut_ref)
+        units = batch["units"].to_numpy()
+        ck = batch["c_custkey"].to_numpy()
+        order = np.lexsort((ck, -units))[:k]
+        nkey = batch["c_nationkey"].to_numpy().astype(np.int64)[order]
+        sel = pa.array(order)
+        return pa.table({
+            "c_custkey": ck[order],
+            "c_name": pc.take(batch["c_name"], sel),
+            "revenue": units[order].astype(np.float64) / 10000.0,
+            "c_acctbal": pc.take(batch["c_acctbal"], sel),
+            "n_name": pa.array(lut_[nkey], pa.string()),
+        })
+
+    return (j2.map_batches(topk_part, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None))
+
+
+def returned_item_report_sql(date_lo: str = Q10_DATE_LO,
+                             date_hi: str = Q10_DATE_HI,
+                             k: int = Q10_K) -> str:
+    p = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    d = "CAST(round(l_discount * 100.0) AS BIGINT)"
+    return f"""
+SELECT c_custkey, c_name,
+       CAST(sum({p} * (100 - {d})) AS DOUBLE) / 10000.0 AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '{date_lo}'
+  AND o_orderdate <  DATE '{date_hi}'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT {int(k)}
+"""
+
+
+# --------------------------------------------- promo revenue share (Q14)
+
+Q14_DATE_LO = "1996-09-01"
+Q14_DATE_HI = "1996-10-01"
+
+
+def promo_revenue_share(li_ds, part_tbl: pa.Table,
+                        date_lo: str = Q14_DATE_LO,
+                        date_hi: str = Q14_DATE_HI):
+    """TPC-H-Q14-shaped scalar: the percentage of one month's gross
+    revenue that came from PROMO parts -> one row (promo_pct).
+
+    Shape: part is the broadcast small side (a sorted promo-partkey
+    array, membership via searchsorted — never a shuffle); lineitem
+    collapses to TWO int64 partials per block (promo units, total
+    units) below a single-row merge.  The one float expression
+    100.0 * promo / total is evaluated in the identical order as the
+    SQL oracle; empty selections yield SQL-NULL parity."""
+    import pyarrow.compute as pc
+    import ray
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    pk = part_tbl["p_partkey"].to_numpy().astype(np.int64)
+    promo = np.asarray(pc.equal(part_tbl["p_type"], "PROMO"))
+    promo_keys = np.sort(pk[promo])
+    keys_ref = ray.put(promo_keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        keep = (ship >= lo) & (ship < hi)
+        units = (_cents(batch["l_extendedprice"]) * (
+            100 - _cents(batch["l_discount"])))[keep]
+        pkeys = batch["l_partkey"].to_numpy().astype(np.int64)[keep]
+        kv = ray.get(keys_ref)
+        idx = np.searchsorted(kv, pkeys)
+        idx_c = np.minimum(idx, max(len(kv) - 1, 0))
+        is_promo = (kv[idx_c] == pkeys) if len(kv) else \
+            np.zeros(len(pkeys), bool)
+        return pa.table({
+            "promo": pa.array([int(units[is_promo].sum())], pa.int64()),
+            "total": pa.array([int(units.sum())], pa.int64()),
+        })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        p = int(batch["promo"].to_numpy().sum())
+        t = int(batch["total"].to_numpy().sum())
+        pct = (100.0 * float(p)) / float(t) if t else None
+        return pa.table({"promo_pct": pa.array([pct], pa.float64())})
+
+    return (li_ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None))
+
+
+def promo_revenue_share_sql(date_lo: str = Q14_DATE_LO,
+                            date_hi: str = Q14_DATE_HI) -> str:
+    p = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    d = "CAST(round(l_discount * 100.0) AS BIGINT)"
+    u = f"{p} * (100 - {d})"
+    return f"""
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {u} ELSE 0 END)
+                    AS DOUBLE)
+       / CAST(sum({u}) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '{date_lo}'
+  AND l_shipdate <  DATE '{date_hi}'
+"""

@@ -390,3 +390,45 @@ def test_sequence_pack_sparse_ids_and_chunk_boundaries(ray_session):
     assert np.array_equal(out["doc_id"].to_numpy(), ids)
     assert np.array_equal(out["start_tok"].to_numpy(), start)
     assert np.array_equal(out["first_seq"].to_numpy(), start // 64)
+
+
+def test_dup_spans_matches_oracle(ray_session, con):
+    from covertile import api_text
+    got = api_text.QUERIES["dup_spans"](SF).to_pandas().reset_index(
+        drop=True)
+    want = con.execute(api_text.ORACLES["dup_spans"]()).df()
+    _assert_frames_equal(got, want)
+    assert (got["ndocs"] > 1).all()
+
+
+def test_dup_spans_join_fallback_identical(ray_session):
+    """The hash-join candidate path (broadcast_max=0) must produce the
+    same bytes as the broadcast path — the token_rarity dual-path
+    contract applied to dup_spans."""
+    from covertile import curation
+    from covertile.sources import read_table
+    a = curation.dup_spans(
+        read_table(SF, "documents", ("doc_id", "text"))).to_pandas()
+    b = curation.dup_spans(
+        read_table(SF, "documents", ("doc_id", "text")),
+        broadcast_max=0).to_pandas()
+    _assert_frames_equal(a, b)
+
+
+def test_dup_spans_planted_duplicate(ray_session):
+    """A window planted verbatim in two docs must be reported at both
+    sites with ndocs=2; a unique doc must contribute no rows."""
+    import ray.data as rd
+    from covertile import curation
+    shared = "x" * 64
+    docs2 = rd.from_items([
+        {"doc_id": 1, "text": shared + "A" * 10},
+        {"doc_id": 2, "text": shared + "B" * 10},
+        {"doc_id": 3, "text": "".join(chr(97 + i % 26) for i in
+                                      range(200))},
+    ])
+    out2 = curation.dup_spans(docs2).to_pandas()
+    hit = out2[out2["pos"] == 0]
+    assert set(hit["doc_id"]) == {1, 2}
+    assert (hit["ndocs"] == 2).all()
+    assert 3 not in set(out2["doc_id"])

@@ -11,7 +11,7 @@ SF = "/root/testdata/sf0.001"
 def con():
     c = duckdb.connect()
     for t in ["lineitem", "orders", "customer", "nation", "supplier",
-              "region"]:
+              "region", "part"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                   f"read_parquet('{SF}/{t}.parquet')")
     return c
@@ -115,3 +115,20 @@ def test_hash_join_stale_declared_schema_fails_loudly(ray_session):
         rd.from_arrow(left), rd.from_arrow(right), key="k", num_buckets=2,
         left_schema=left.schema, right_schema=right.schema)
     assert len(ok.to_pandas()) == 2
+
+
+@pytest.mark.parametrize("name", ["returned_item_report",
+                                  "promo_revenue_share"])
+def test_new_rel_query_matches_oracle(ray_session, con, name):
+    from covertile import api_rel
+    got = api_rel.QUERIES[name](SF).to_pandas().reset_index(drop=True)
+    want = con.execute(api_rel.ORACLES[name]()).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        assert str(a.dtype) == str(b.dtype), (c, a.dtype, b.dtype)
+        if a.dtype.kind == "f":
+            assert np.array_equal(a.view(np.int64), b.view(np.int64)), c
+        else:
+            assert np.array_equal(a, b), c
