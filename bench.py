@@ -570,6 +570,7 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("pii_scrub", lambda: C.pii_scrub(docs).count())
     stage("exact_dedup", lambda: T.exact_dedup(docs).count())
     stage("dedup_keep_best", lambda: T.dedup_keep_best(docs).count())
+    stage("dup_spans", lambda: C.dup_spans(docs).count())
 
     def run_cross_source():
         # the generated corpus has no source column; lang plays one
@@ -660,6 +661,8 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("sessionize", lambda: E.sessionize(events).count())
     stage("hopping_window", lambda: E.hopping_window(events).count())
     stage("rolling_window", lambda: E.rolling_window(events).count())
+    stage("late_events", lambda: E.late_events(
+        events, jitter_minutes=480).count())
     stage("funnel", lambda: E.funnel(
         events, first_type="view", then_type="buy").count())
     stage("asof_join", lambda: E.asof_join(events, right_type="buy").count())

@@ -113,6 +113,18 @@ def sql_cohort_retention() -> str:
     return eventops.cohort_retention_sql()
 
 
+
+def q_late_events(sf_dir: str):
+    return eventops.late_events(
+        _events(sf_dir, columns=("event_id", "ts", "user_id")),
+        jitter_minutes=eventops.LATE_JITTER_MINUTES)
+
+
+def sql_late_events() -> str:
+    return eventops.late_events_sql(
+        jitter_minutes=eventops.LATE_JITTER_MINUTES)
+
+
 QUERIES = {
     "events_window": q_tumbling_window,
     "cohort_retention": q_cohort_retention,
@@ -124,6 +136,7 @@ QUERIES = {
     "props_stats": q_props_stats,
     "rolling_window": q_rolling_window,
     "transition_counts": q_transition_counts,
+    "late_events": q_late_events,
 }
 
 ORACLES = {
@@ -137,4 +150,5 @@ ORACLES = {
     "props_stats": sql_props_stats,
     "rolling_window": sql_rolling_window,
     "transition_counts": sql_transition_counts,
+    "late_events": sql_late_events,
 }

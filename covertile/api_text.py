@@ -310,6 +310,17 @@ def sql_dup_spans() -> str:
     return curation.dup_spans_sql()
 
 
+
+def q_doc_dup_ratio(sf_dir: str):
+    from . import curation
+    return curation.doc_dup_ratio(_docs(sf_dir))
+
+
+def sql_doc_dup_ratio() -> str:
+    from . import curation
+    return curation.doc_dup_ratio_sql()
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
@@ -342,6 +353,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "cross_source_overlap": q_cross_source_overlap,
     "dup_spans": q_dup_spans,
+    "doc_dup_ratio": q_doc_dup_ratio,
 }
 
 ORACLES = {
@@ -376,4 +388,5 @@ ORACLES = {
     "dedup_keep_best": sql_dedup_keep_best,
     "cross_source_overlap": sql_cross_source_overlap,
     "dup_spans": sql_dup_spans,
+    "doc_dup_ratio": sql_doc_dup_ratio,
 }

@@ -655,30 +655,13 @@ def _stride_window_hashes(batch: pa.Table, w: int, s: int):
     return rows, pos, h_uniq[sub_inv].view(np.int64)
 
 
-def dup_spans(docs_ds, w: int = DUPSPAN_W, s: int = DUPSPAN_S,
-              broadcast_max: int = DUPSPAN_BROADCAST_MAX):
-    """Exact duplicated-substring audit (the suffix-array dedup signal of
-    Lee et al., "Deduplicating Training Data Makes Language Models
-    Better", at fixed granularity): every w-character window at stride s
-    whose exact text occurs in MORE THAN ONE document, reported at each
-    site -> (doc_id, pos, ndocs) sorted, where pos is the window's
-    character offset and ndocs the number of distinct documents sharing
-    the window.  Window identity is md5_u64 of the window text on both
-    sides (the split_contamination precedent), so the oracle is bitwise.
-
-    Scale shape, two corpus passes and NO corpus-sized shuffle:
-    1. census — per-block (doc, window-hash)-deduped partials pre-sum
-       distinct-doc counts per hash (each doc lives in exactly one input
-       row, so per-block distinct-doc partials sum to the global distinct
-       count); ONE pair-bounded exchange keyed by a hash bucket
-       (sizing.bucket_shift), filtered to ndocs > 1 inside the combine.
-    2. report — the candidate (hash, ndocs) table rides back as a sorted
-       broadcast array pair when it fits (duplicated windows are the rare
-       case), else as a hash_join_int_key on the window hash (the
-       token_rarity fallback discipline); window POSITIONS are computed
-       in place in pass 2 and never move between nodes."""
-    import ray as _ray
-
+def _dup_window_candidates(docs_ds, w: int, s: int):
+    """Census pass shared by dup_spans / doc_dup_ratio: the materialized
+    (h, ndocs) table of window hashes occurring in >1 distinct document.
+    Per-block (doc, hash)-deduped partials pre-sum distinct-doc counts
+    (each doc lives in exactly one input row, so per-block partials sum
+    to the global distinct count); ONE pair-bounded exchange keyed by a
+    hash bucket (sizing.bucket_shift), filtered inside the combine."""
     from .sizing import bucket_shift
     _shift = bucket_shift()
 
@@ -707,22 +690,53 @@ def dup_spans(docs_ds, w: int = DUPSPAN_W, s: int = DUPSPAN_S,
         hit = nd > 1
         return pa.table({"h": u[hit], "ndocs": nd[hit]})
 
-    cand = (docs_ds.map_batches(census, batch_format="pyarrow")
+    return (docs_ds.map_batches(census, batch_format="pyarrow")
             .groupby("bk").map_groups(combine, batch_format="pyarrow")
             .materialize())
+
+
+def _collect_candidate_arrays(cand):
+    """Sorted (h, ndocs) numpy pair from the materialized candidate set."""
+    hs, nds = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
+    for b in cand.iter_batches(batch_size=None, batch_format="pyarrow"):
+        hs.append(b["h"].to_numpy())
+        nds.append(b["ndocs"].to_numpy())
+    h_all, nd_all = np.concatenate(hs), np.concatenate(nds)
+    order = np.argsort(h_all)
+    return h_all[order], nd_all[order]
+
+
+def dup_spans(docs_ds, w: int = DUPSPAN_W, s: int = DUPSPAN_S,
+              broadcast_max: int = DUPSPAN_BROADCAST_MAX):
+    """Exact duplicated-substring audit (the suffix-array dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", at fixed granularity): every w-character window at stride s
+    whose exact text occurs in MORE THAN ONE document, reported at each
+    site -> (doc_id, pos, ndocs) sorted, where pos is the window's
+    character offset and ndocs the number of distinct documents sharing
+    the window.  Window identity is md5_u64 of the window text on both
+    sides (the split_contamination precedent), so the oracle is bitwise.
+
+    Scale shape, two corpus passes and NO corpus-sized shuffle:
+    1. census — per-block (doc, window-hash)-deduped partials pre-sum
+       distinct-doc counts per hash (each doc lives in exactly one input
+       row, so per-block distinct-doc partials sum to the global distinct
+       count); ONE pair-bounded exchange keyed by a hash bucket
+       (sizing.bucket_shift), filtered to ndocs > 1 inside the combine.
+    2. report — the candidate (hash, ndocs) table rides back as a sorted
+       broadcast array pair when it fits (duplicated windows are the rare
+       case), else as a hash_join_int_key on the window hash (the
+       token_rarity fallback discipline); window POSITIONS are computed
+       in place in pass 2 and never move between nodes."""
+    import ray as _ray
+
+    cand = _dup_window_candidates(docs_ds, w, s)
 
     out_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()),
                             ("ndocs", pa.int64())])
 
     if cand.count() <= broadcast_max:
-        hs, nds = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
-        for b in cand.iter_batches(batch_size=None,
-                                   batch_format="pyarrow"):
-            hs.append(b["h"].to_numpy())
-            nds.append(b["ndocs"].to_numpy())
-        h_all, nd_all = np.concatenate(hs), np.concatenate(nds)
-        order = np.argsort(h_all)
-        ref = _ray.put((h_all[order], nd_all[order]))
+        ref = _ray.put(_collect_candidate_arrays(cand))
 
         def report(batch: pa.Table) -> pa.Table:
             rows, pos, h = _stride_window_hashes(batch, w, s)
@@ -778,4 +792,120 @@ g AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM w
 SELECT w.doc_id, w.pos, g.ndocs
 FROM w JOIN g USING (h)
 ORDER BY doc_id, pos
+"""
+
+
+def doc_dup_ratio(docs_ds, w: int = DUPSPAN_W, s: int = DUPSPAN_S,
+                  broadcast_max: int = DUPSPAN_BROADCAST_MAX):
+    """Per-document duplicated-substring profile — the actionable filter
+    form of dup_spans (rank/drop docs by how much of their text is
+    boilerplate shared with other docs): for every doc long enough to
+    window, (doc_id, n_windows, n_dup, dup_ratio) sorted, where n_dup
+    counts the doc's stride-s w-char windows whose exact text occurs in
+    >1 distinct document and dup_ratio is the single terminal float
+    division (bitwise vs the oracle).
+
+    Scale shape: shares dup_spans' census (_dup_window_candidates — one
+    pair-bounded exchange); the report pass aggregates per doc IN PLACE
+    (each doc is one input row, so the broadcast path has zero further
+    shuffles).  Past broadcast_max candidates the membership runs as a
+    LEFT hash join on the window hash plus one doc-bucketed partial-sum
+    exchange (both paths equality-tested)."""
+    import ray as _ray
+
+    cand = _dup_window_candidates(docs_ds, w, s)
+
+    def _out(ids, nw, nd) -> pa.Table:
+        return pa.table({
+            "doc_id": ids, "n_windows": nw, "n_dup": nd,
+            "dup_ratio": nd.astype(np.float64) / nw.astype(np.float64),
+        })
+
+    if cand.count() <= broadcast_max:
+        ref = _ray.put(_collect_candidate_arrays(cand))
+
+        def report(batch: pa.Table) -> pa.Table:
+            rows, _, h = _stride_window_hashes(batch, w, s)
+            z = np.zeros(0, np.int64)
+            if len(rows) == 0:
+                return _out(z, z, z)
+            hv, _ndv = _ray.get(ref)
+            if len(hv):
+                idx_c = np.minimum(np.searchsorted(hv, h), len(hv) - 1)
+                hit = hv[idx_c] == h
+            else:
+                hit = np.zeros(len(h), bool)
+            u_rows = np.unique(rows)
+            nw = np.bincount(rows)[u_rows]
+            nd = np.bincount(rows[hit],
+                             minlength=int(u_rows.max()) + 1)[u_rows]
+            ids = batch["doc_id"].to_numpy()[u_rows]
+            return _out(ids, nw.astype(np.int64), nd.astype(np.int64))
+
+        return (docs_ds.map_batches(report, batch_format="pyarrow")
+                .sort("doc_id"))
+
+    from .joins import hash_join_int_key
+    from .sizing import bucket_shift
+    _shift2 = bucket_shift()
+
+    def sites(batch: pa.Table) -> pa.Table:
+        rows, _, h = _stride_window_hashes(batch, w, s)
+        ids = batch["doc_id"].to_numpy()
+        return pa.table({"h": h, "doc_id": ids[rows]
+                         if len(rows) else np.zeros(0, np.int64)})
+
+    joined = hash_join_int_key(
+        docs_ds.map_batches(sites, batch_format="pyarrow"), cand,
+        key="h", how="left",
+        left_schema=pa.schema([("h", pa.int64()),
+                               ("doc_id", pa.int64())]),
+        right_schema=pa.schema([("h", pa.int64()),
+                                ("ndocs", pa.int64())]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        dup = pa.compute.is_valid(batch["ndocs"]).to_numpy(
+            zero_copy_only=False)
+        u, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            "doc_id": u,
+            "nw": np.bincount(inv).astype(np.int64),
+            "nd": np.bincount(inv, weights=dup).astype(np.int64),
+            "bk": ((u.astype(np.uint64) * _PHI) >> _shift2)
+            .astype(np.int64),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        u, inv = np.unique(ids, return_inverse=True)
+        nw = np.bincount(inv, weights=g["nw"].to_numpy()).astype(np.int64)
+        nd = np.bincount(inv, weights=g["nd"].to_numpy()).astype(np.int64)
+        return _out(u, nw, nd)
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("bk").map_groups(merge, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+def doc_dup_ratio_sql(w: int = DUPSPAN_W, s: int = DUPSPAN_S) -> str:
+    h = T.md5_u64_sql(f"substr(text, CAST(pos + 1 AS INT), {w})")
+    return f"""
+WITH p AS (
+  SELECT doc_id, text,
+         unnest(range(0, length(text) - {w} + 1, {s})) AS pos
+  FROM documents WHERE length(text) >= {w}
+),
+w AS (SELECT doc_id, pos, {h} AS h FROM p),
+g AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM w
+      GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN g.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       CAST(sum(CASE WHEN g.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_ratio
+FROM w LEFT JOIN g USING (h)
+GROUP BY w.doc_id
+ORDER BY doc_id
 """

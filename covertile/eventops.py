@@ -1469,3 +1469,226 @@ SELECT c.cohort_day, p.day, count(*) AS n_users
 FROM pres p JOIN coh c USING (user_id)
 GROUP BY c.cohort_day, p.day ORDER BY cohort_day, day
 """
+
+# ------------------------------------------------ late-event audit
+
+LATE_MINUTES = 60          # allowed lateness (watermark slack)
+LATE_JITTER_MINUTES = 480  # driver-query planted disorder: +-8h, sized
+# to the sf event streams' ~7.3h median per-user gap so adjacent events
+# genuinely reorder (at +-5min the audit saw 0.1% late rows)
+LATE_ID_CHUNK = 8192      # arrival-id chunk width (hot-user spreading)
+
+_I64_MIN = np.int64(np.iinfo(np.int64).min)
+
+
+def _seg_exclusive_cummax(ts: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment EXCLUSIVE running max (segments contiguous, given by
+    their start indices); segment-first positions get _I64_MIN.  One
+    numpy accumulate per segment — the loop is over (user, chunk)
+    fragments, not rows, and each iteration is O(segment) vectorized
+    (numpy has no native segmented cummax; the alternative global
+    accumulate leaks maxima across segment boundaries)."""
+    m = len(ts)
+    lw = np.empty(m, np.int64)
+    ends = np.append(starts[1:], m)
+    for s, e in zip(starts, ends):
+        lw[s] = _I64_MIN
+        if e - s > 1:
+            lw[s + 1:e] = np.maximum.accumulate(ts[s:e - 1])
+    return lw
+
+
+def late_events(events_ds, late_minutes: int = LATE_MINUTES,
+                jitter_minutes: int | None = None,
+                id_chunk: int = LATE_ID_CHUNK,
+                nbuckets: int | None = None):
+    """Out-of-orderness / watermark audit over the ingest stream — the
+    streaming-semantics diagnostic behind every late-data policy: with
+    arrival order defined by event_id, an event is LATE when the user's
+    watermark (running max of ts over earlier-arrived events) exceeds
+    its ts by more than the allowed lateness.  -> per user
+    (user_id, n_events, n_late, max_disorder_us) sorted.
+
+    jitter_minutes (the driver query sets it): a deterministic per-event
+    ts perturbation of +-J minutes derived from md5_u64(event_id), so
+    corpora whose ingest order equals event time (the sf tables) still
+    exercise the disorder machinery; the SQL oracle applies the
+    identical expression (the cosine_lsh planted-twin precedent).
+
+    Hot-user-proof exact two-level prefix-max scan (running max is
+    associative, so chunking never changes the result — asserted):
+
+    1. Events bucket by a size-derived hash of (user, event_id-chunk).
+       Each (user, chunk) run, lexsorted by event_id, reduces to ONE
+       fragment row: counts, lateness/disorder under the LOCAL exclusive
+       prefix max, the chunk's max/min ts, and a SORTED list of
+       ts+late thresholds for events not already locally late — all the
+       cross-chunk carry can still change, compressed to at most one
+       int64 per event (vs re-shipping full rows, the rolling_window
+       trade).
+    2. Fragments re-bucket by user hash; per user in chunk order the
+       carry is the exclusive prefix max of chunk max_ts: extra
+       lateness = searchsorted(thresholds, carry) (carry > ts+late is
+       exactly carry-induced lateness), and the disorder correction is
+       (carry - min_ts)+ (max(local_wm, carry) - ts is maximized either
+       locally or at the chunk minimum ts)."""
+    late_us = np.int64(late_minutes) * np.int64(_US_PER_MIN)
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    SHIFT = _bucket_shift(nbuckets)
+    ch = np.int64(id_chunk)
+    jit_mod = (np.uint64(2 * jitter_minutes * _US_PER_MIN + 1)
+               if jitter_minutes else None)
+    jit_half = (np.int64(jitter_minutes * _US_PER_MIN)
+                if jitter_minutes else None)
+
+    def route(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        eid = batch["event_id"].to_numpy()
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        if jit_mod is not None:
+            from .textops import md5_u64
+            jit = (md5_u64(eid.astype("U").astype(object)) % jit_mod
+                   ).astype(np.int64) - jit_half
+            ts = ts + jit
+        ck = eid // ch
+        h = (uid.astype(np.uint64) * PHI + ck.astype(np.uint64)) * PHI
+        return pa.table({
+            "bk": (h >> SHIFT).astype(np.int64),
+            "user_id": uid, "ck": ck, "event_id": eid, "ts_us": ts,
+        })
+
+    def _frag(uid, ck, ne, nl, md, mx, mn, vuln_off, vuln_flat, bk):
+        return pa.table({
+            "user_id": uid, "ck": ck, "n_events": ne, "n_late": nl,
+            "md": md, "max_ts": mx, "min_ts": mn,
+            "vuln": pa.LargeListArray.from_arrays(
+                vuln_off, pa.array(vuln_flat, pa.int64())),
+            "bk": bk,
+        })
+
+    def parts(group: pa.Table) -> pa.Table:
+        z = np.zeros(0, np.int64)
+        m = len(group)
+        if m == 0:
+            return _frag(z, z, z, z, z, z, z, np.zeros(1, np.int64), z, z)
+        uid = group["user_id"].to_numpy()
+        ck = group["ck"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        ts = group["ts_us"].to_numpy()
+        order = np.lexsort((eid, ck, uid))
+        uid, ck, ts = uid[order], ck[order], ts[order]
+        new = np.empty(m, bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (ck[1:] != ck[:-1])
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        nseg = len(starts)
+        lw = _seg_exclusive_cummax(ts, starts)
+        has_wm = lw != _I64_MIN
+        disorder = np.where(has_wm, np.maximum(lw - ts, 0), 0)
+        local_late = has_wm & (lw - ts > late_us)
+        ne = np.bincount(seg, minlength=nseg).astype(np.int64)
+        nl = np.bincount(seg, weights=local_late,
+                         minlength=nseg).astype(np.int64)
+        md = np.zeros(nseg, np.int64)
+        np.maximum.at(md, seg, disorder)
+        mx = np.full(nseg, _I64_MIN, np.int64)
+        np.maximum.at(mx, seg, ts)
+        mn = np.full(nseg, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, seg, ts)
+        # sorted ts+late thresholds of not-locally-late events, per seg
+        vmask = ~local_late
+        vseg, vthr = seg[vmask], (ts + late_us)[vmask]
+        vo = np.lexsort((vthr, vseg))
+        vseg, vthr = vseg[vo], vthr[vo]
+        off = np.zeros(nseg + 1, np.int64)
+        np.add.at(off, vseg + 1, 1)
+        off = np.cumsum(off)
+        su = uid[starts]
+        bk2 = ((su.astype(np.uint64) * PHI) >> SHIFT).astype(np.int64)
+        return _frag(su, ck[starts], ne, nl, md, mx, mn, off, vthr, bk2)
+
+    def stitch(group: pa.Table) -> pa.Table:
+        m = len(group)
+        if m == 0:
+            z = np.zeros(0, np.int64)
+            return pa.table({"user_id": z, "n_events": z, "n_late": z,
+                             "max_disorder_us": z})
+        uid = group["user_id"].to_numpy()
+        ck = group["ck"].to_numpy()
+        ne = group["n_events"].to_numpy()
+        nl = group["n_late"].to_numpy()
+        md = group["md"].to_numpy()
+        mx = group["max_ts"].to_numpy()
+        mn = group["min_ts"].to_numpy()
+        vuln = group["vuln"]
+        if isinstance(vuln, pa.ChunkedArray):
+            vuln = vuln.combine_chunks()
+        voff = np.asarray(vuln.offsets, np.int64)
+        vflat = (np.asarray(vuln.values, np.int64)
+                 if voff[-1] else np.zeros(0, np.int64))
+        order = np.lexsort((ck, uid))
+        uid_s, ne_s, nl_s, md_s, mx_s, mn_s = (
+            uid[order], ne[order], nl[order], md[order], mx[order],
+            mn[order])
+        new = np.empty(m, bool)
+        new[0] = True
+        new[1:] = uid_s[1:] != uid_s[:-1]
+        starts = np.flatnonzero(new)
+        carry = _seg_exclusive_cummax(mx_s, starts)
+        has_c = carry != _I64_MIN
+        extra = np.zeros(m, np.int64)
+        for i in np.flatnonzero(has_c):  # fragments, not events
+            lo, hi = voff[order[i]], voff[order[i] + 1]
+            extra[i] = np.searchsorted(vflat[lo:hi], carry[i],
+                                       side="left")
+        cd = np.where(has_c, np.maximum(carry - mn_s, 0), 0)
+        seg = np.cumsum(new) - 1
+        nseg = len(starts)
+        out_ne = np.bincount(seg, weights=ne_s,
+                             minlength=nseg).astype(np.int64)
+        out_nl = np.bincount(seg, weights=nl_s + extra,
+                             minlength=nseg).astype(np.int64)
+        out_md = np.zeros(nseg, np.int64)
+        np.maximum.at(out_md, seg, np.maximum(md_s, cd))
+        return pa.table({
+            "user_id": uid_s[new],
+            "n_events": out_ne,
+            "n_late": out_nl,
+            "max_disorder_us": out_md,
+        })
+
+    return (events_ds.map_batches(route, batch_format="pyarrow")
+            .groupby("bk").map_groups(parts, batch_format="pyarrow")
+            .groupby("bk").map_groups(stitch, batch_format="pyarrow")
+            .sort("user_id"))
+
+
+def late_events_sql(late_minutes: int = LATE_MINUTES,
+                    jitter_minutes: int | None = None) -> str:
+    from .textops import md5_u64_sql
+    late_us = int(late_minutes) * _US_PER_MIN
+    ts_expr = "CAST(epoch_us(ts) AS BIGINT)"
+    if jitter_minutes:
+        mod = 2 * int(jitter_minutes) * _US_PER_MIN + 1
+        half = int(jitter_minutes) * _US_PER_MIN
+        h = md5_u64_sql("CAST(event_id AS VARCHAR)")
+        ts_expr = (f"{ts_expr} + CAST({h} % {mod} AS BIGINT) - {half}")
+    return f"""
+WITH j AS (SELECT user_id, event_id, {ts_expr} AS ts_us FROM events),
+m AS (
+  SELECT user_id, ts_us,
+         max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS wm
+  FROM j
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN wm - ts_us > {late_us} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(max(CASE WHEN wm IS NULL THEN 0
+                     ELSE GREATEST(wm - ts_us, 0) END)
+            AS BIGINT) AS max_disorder_us
+FROM m GROUP BY user_id ORDER BY user_id
+"""

@@ -432,3 +432,43 @@ def test_dup_spans_planted_duplicate(ray_session):
     assert set(hit["doc_id"]) == {1, 2}
     assert (hit["ndocs"] == 2).all()
     assert 3 not in set(out2["doc_id"])
+
+
+def test_doc_dup_ratio_matches_oracle(ray_session, con):
+    from covertile import api_text
+    got = api_text.QUERIES["doc_dup_ratio"](SF).to_pandas().reset_index(
+        drop=True)
+    want = con.execute(api_text.ORACLES["doc_dup_ratio"]()).df()
+    _assert_frames_equal(got, want)
+    assert (got["n_dup"] <= got["n_windows"]).all()
+
+
+def test_doc_dup_ratio_join_fallback_identical(ray_session):
+    from covertile import curation
+    from covertile.sources import read_table
+    a = curation.doc_dup_ratio(
+        read_table(SF, "documents", ("doc_id", "text"))).to_pandas()
+    b = curation.doc_dup_ratio(
+        read_table(SF, "documents", ("doc_id", "text")),
+        broadcast_max=0).to_pandas()
+    _assert_frames_equal(a, b)
+
+
+def test_doc_dup_ratio_planted(ray_session):
+    """Two identical 64-char docs must have dup_ratio 1.0; a unique doc
+    0.0; docs shorter than the window are absent."""
+    import ray.data as rd
+    from covertile import curation
+    shared = "y" * 64
+    docs = rd.from_items([
+        {"doc_id": 1, "text": shared},
+        {"doc_id": 2, "text": shared},
+        {"doc_id": 3, "text": "".join(chr(97 + i % 26) for i in
+                                      range(100))},
+        {"doc_id": 4, "text": "short"},
+    ])
+    out = curation.doc_dup_ratio(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "dup_ratio"] == 1.0
+    assert out.loc[2, "dup_ratio"] == 1.0
+    assert out.loc[3, "dup_ratio"] == 0.0
+    assert 4 not in out.index

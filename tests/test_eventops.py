@@ -397,3 +397,60 @@ def test_cohort_retention_bucket_invariance(ray_session):
          .sort_values(["cohort_day", "day"]).reset_index(drop=True))
     assert a.equals(b)
     assert (a["day"] >= a["cohort_day"]).all()   # triangular matrix
+
+
+def test_late_events_matches_oracle(ray_session, con):
+    from covertile import api_events
+    got = api_events.QUERIES["late_events"](SF).to_pandas().reset_index(
+        drop=True)
+    want = con.execute(api_events.ORACLES["late_events"]()).df()
+    assert len(got) == len(want)
+    assert list(got.columns) == list(want.columns)
+    for c_ in got.columns:
+        assert np.array_equal(got[c_].to_numpy(), want[c_].to_numpy()), c_
+    # the sized jitter must actually plant disorder
+    assert got["n_late"].sum() > 0
+
+
+def test_late_events_chunking_invariant(ray_session):
+    """Running max is associative: extreme id-chunkings (7-event chunks
+    and one global chunk) must produce identical bytes."""
+    from covertile import eventops
+    from covertile.sources import read_table
+    ev = lambda: read_table(SF, "events", ("event_id", "ts", "user_id"))
+    a = eventops.late_events(ev(), jitter_minutes=480).to_pandas()
+    for chunk in (7, 10**9):
+        b = eventops.late_events(ev(), jitter_minutes=480,
+                                 id_chunk=chunk).to_pandas()
+        assert len(a) == len(b)
+        for c_ in a.columns:
+            assert np.array_equal(a[c_].to_numpy(), b[c_].to_numpy()), (
+                chunk, c_)
+
+
+def test_late_events_hand_case(ray_session):
+    """Exact watermark semantics on a hand stream: arrival order is
+    event_id; lateness strictly-greater-than the allowance; first event
+    never late; disorder clipped at 0."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.eventops import late_events
+    MIN = 60_000_000
+    ts = np.array([0, 10 * MIN, 3 * MIN, 9 * MIN + 1, 20 * MIN,
+                   0, 5 * MIN], dtype="datetime64[us]")
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4, 10, 11], pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+    })
+    out = (late_events(rd.from_arrow(tbl), late_minutes=1)
+           .to_pandas().set_index("user_id"))
+    # user 1: wm before e2 is 10min -> disorder 7min (late);
+    # e3 disorder 59s+... wait: wm 10min, ts 9min+1us -> 60s-1us, NOT
+    # late at 60s allowance (strict >); e4 in order.
+    assert out.loc[1, "n_events"] == 5
+    assert out.loc[1, "n_late"] == 1
+    assert out.loc[1, "max_disorder_us"] == 7 * MIN
+    # user 2 strictly in order
+    assert out.loc[2, "n_late"] == 0
+    assert out.loc[2, "max_disorder_us"] == 0
