@@ -321,6 +321,18 @@ def sql_doc_dup_ratio() -> str:
     return curation.doc_dup_ratio_sql()
 
 
+
+def q_hll_profile(sf_dir: str):
+    from . import curation
+    return curation.hll_profile(
+        _docs(sf_dir, columns=curation.PROFILE_COLUMNS))
+
+
+def sql_hll_profile() -> str:
+    from . import curation
+    return curation.hll_profile_sql()
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
@@ -354,6 +366,7 @@ QUERIES = {
     "cross_source_overlap": q_cross_source_overlap,
     "dup_spans": q_dup_spans,
     "doc_dup_ratio": q_doc_dup_ratio,
+    "hll_profile": q_hll_profile,
 }
 
 ORACLES = {
@@ -389,4 +402,5 @@ ORACLES = {
     "cross_source_overlap": sql_cross_source_overlap,
     "dup_spans": sql_dup_spans,
     "doc_dup_ratio": sql_doc_dup_ratio,
+    "hll_profile": sql_hll_profile,
 }

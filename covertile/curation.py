@@ -909,3 +909,158 @@ FROM w LEFT JOIN g USING (h)
 GROUP BY w.doc_id
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------- HLL distinct sketch
+
+HLL_P = 12                    # 2^12 = 4096 registers
+HLL_M = 1 << HLL_P
+HLL_W = 32                    # rho window: low 32 bits of the hash
+# registers hold rho in [1, 33]; 33 = all-zero window.  The window caps
+# rho, which biases HLL only when distinct counts approach m * 2^33 —
+# far beyond any estimate this sketch is asked for; in exchange every
+# 2^-rho term is a dyadic >= 2^-33, so the 4096-term register sum is
+# EXACTLY representable in float64 (45 bits) and the estimate is
+# bitwise-deterministic under any merge order.
+
+
+def _hll_rho(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rho) for uint64 hashes: bucket = top p bits, rho = one
+    plus the number of leading zeros of the low-32-bit window."""
+    bucket = (u >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = (u & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    # frexp exponent of an exactly-representable integer IS bit_length
+    e = np.frexp(w)[1]
+    return bucket, (np.int64(HLL_W + 1) - e).astype(np.int64)
+
+
+def hll_profile(ds, columns: tuple[str, ...] = PROFILE_COLUMNS):
+    """Approximate-distinct profile — the sketch twin of table_profile:
+    per column (column, n_rows, hll_est) sorted, where hll_est is a
+    HyperLogLog estimate (Flajolet et al. 2007; p=12, 4096 registers)
+    of the column's distinct count over its non-null values.
+
+    Unlike the exact table_profile (one (col, value-hash) exchange),
+    the corpus never shuffles AT ALL: per-block partials emit at most
+    4096 register rows + 1 count row per column, ONE metadata-sized
+    groupby merges registers via max (HLL merge is register-wise max,
+    associative and idempotent — retry-safe by construction), and a
+    single-task finalize applies the estimator.  Bitwise oracle: the
+    register sum is carried as the integer Σ 2^(33-rho) (exact, < 2^44)
+    and every float step is one identically-ordered expression on both
+    sides, including the small-range linear-counting branch (ln parity
+    is the bm25 libm contract)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cols, bks, rhos, ns = [], [], [], []
+        for c in columns:
+            col = batch[c]
+            if pa.types.is_string(col.type) or \
+                    pa.types.is_large_string(col.type):
+                vals = np.asarray(col.drop_null(), dtype=object)
+            else:
+                arr = col.drop_null().to_numpy(zero_copy_only=False)
+                vals = arr.astype("U").astype(object)
+            n = len(vals)
+            if n:
+                bucket, rho = _hll_rho(T.md5_u64(vals))
+                uk, inv = np.unique(bucket, return_inverse=True)
+                mx = np.zeros(len(uk), np.int64)
+                np.maximum.at(mx, inv, rho)
+                cols.append(np.full(len(uk), c, dtype=object))
+                bks.append(uk)
+                rhos.append(mx)
+                ns.append(np.zeros(len(uk), np.int64))
+            cols.append(np.array([c], dtype=object))
+            bks.append(np.array([-1], np.int64))   # count row
+            rhos.append(np.zeros(1, np.int64))
+            ns.append(np.array([n], np.int64))
+        return pa.table({
+            "column": pa.array(np.concatenate(cols), pa.string()),
+            "bucket": np.concatenate(bks),
+            "rho": np.concatenate(rhos),
+            "n": np.concatenate(ns),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["column", "bucket"]).aggregate(
+               *_hll_aggs()))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import math
+        col = np.asarray(batch["column"], dtype=object)
+        bk = batch["bucket"].to_numpy()
+        rho = batch["max(rho)"].to_numpy()
+        n = batch["sum(n)"].to_numpy()
+        out_c, out_n, out_e = [], [], []
+        for c in sorted(columns):
+            sel = col == c
+            regs = rho[sel & (bk >= 0)]
+            n_rows = int(n[sel & (bk == -1)].sum())
+            np_present = len(regs)
+            s_int = int(np.sum(np.int64(1) << (HLL_W + 1 - regs))) \
+                if np_present else 0
+            sp = s_int / float(1 << (HLL_W + 1))
+            m = float(HLL_M)
+            e = ((0.7213 / (1.0 + 1.079 / m)) * m * m) \
+                / (sp + (m - float(np_present)))
+            v = HLL_M - np_present
+            if e <= 2.5 * m and v > 0:
+                e = m * math.log(m / float(v))
+            out_c.append(c)
+            out_n.append(n_rows)
+            out_e.append(e)
+        return pa.table({
+            "column": pa.array(out_c, pa.string()),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "hll_est": pa.array(out_e, pa.float64()),
+        })
+
+    return (agg.repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def _hll_aggs():
+    from ray.data.aggregate import Max, Sum
+    return Max("rho"), Sum("n")
+
+
+def hll_profile_sql(table: str = "documents",
+                    columns: tuple[str, ...] = PROFILE_COLUMNS) -> str:
+    m = HLL_M
+    alpha_expr = f"(0.7213 / (1.0 + 1.079 / {float(m)}))"
+    parts = []
+    for c in sorted(columns):
+        cast = c if c in ("text", "lang", "source") \
+            else f"CAST({c} AS VARCHAR)"
+        u = T.md5_u64_sql(cast)
+        # rho via an exact integer CASE ladder (no float log2)
+        ladder = " ".join(
+            f"WHEN w >= {1 << (HLL_W - k)} THEN {k}"
+            for k in range(1, HLL_W + 1))
+        parts.append(f"""
+SELECT '{c}' AS "column", n_rows, CASE
+         WHEN e <= {2.5 * m} AND ({m} - np) > 0
+         THEN {float(m)} * ln({float(m)} / CAST({m} - np AS DOUBLE))
+         ELSE e END AS hll_est
+FROM (
+  SELECT n_rows, np,
+         ({alpha_expr} * {float(m)} * {float(m)})
+         / (CAST(s_int AS DOUBLE) / {float(1 << (HLL_W + 1))}
+            + ({float(m)} - CAST(np AS DOUBLE))) AS e
+  FROM (
+    SELECT count(*) AS np,
+           CAST(COALESCE(sum(CAST(1 AS BIGINT) << ({HLL_W + 1} - M)), 0)
+                AS BIGINT) AS s_int,
+           (SELECT count({c}) FROM {table}) AS n_rows
+    FROM (
+      SELECT CAST(u >> {64 - HLL_P} AS BIGINT) AS bucket,
+             max(CASE {ladder} ELSE {HLL_W + 1} END) AS M
+      FROM (SELECT u, CAST(u & 4294967295 AS BIGINT) AS w
+            FROM (SELECT {u} AS u FROM {table}
+                  WHERE {c} IS NOT NULL))
+      GROUP BY bucket
+    )
+  )
+)""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'

@@ -1480,6 +1480,33 @@ LATE_ID_CHUNK = 8192      # arrival-id chunk width (hot-user spreading)
 
 _I64_MIN = np.int64(np.iinfo(np.int64).min)
 
+# 3-round xorshift-multiply mixer with 32-BIT multiplier constants
+# (murmur3-fmix upper words): every engine step is exact uint64
+# arithmetic and every SQL step fits HUGEINT (64x32-bit products), so
+# DuckDB mirrors it bitwise via mod-2^64 casts — unlike md5_u64 this
+# costs no per-row Python (measured 0.08s vs ~15s for 5M distinct ids).
+_MIX_C1 = np.uint64(0xFF51AFD7)
+_MIX_C2 = np.uint64(0xC4CEB9FE)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64)
+    z = (z ^ (z >> np.uint64(33))) * _MIX_C1
+    z = (z ^ (z >> np.uint64(29))) * _MIX_C2
+    return z ^ (z >> np.uint64(32))
+
+
+def _mix64_sql(expr: str) -> str:
+    w = "18446744073709551616"  # 2^64
+
+    def mul(e, c):
+        return f"CAST((CAST(({e}) AS HUGEINT) * {c}) % {w} AS UBIGINT)"
+
+    z0 = f"CAST({expr} AS UBIGINT)"
+    z1 = mul(f"xor({z0}, {z0} >> 33)", int(_MIX_C1))
+    z2 = mul(f"xor({z1}, {z1} >> 29)", int(_MIX_C2))
+    return f"xor({z2}, {z2} >> 32)"
+
 
 def _seg_exclusive_cummax(ts: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """Per-segment EXCLUSIVE running max (segments contiguous, given by
@@ -1546,9 +1573,7 @@ def late_events(events_ds, late_minutes: int = LATE_MINUTES,
         eid = batch["event_id"].to_numpy()
         ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
         if jit_mod is not None:
-            from .textops import md5_u64
-            jit = (md5_u64(eid.astype("U").astype(object)) % jit_mod
-                   ).astype(np.int64) - jit_half
+            jit = (_mix64(eid) % jit_mod).astype(np.int64) - jit_half
             ts = ts + jit
         ck = eid // ch
         h = (uid.astype(np.uint64) * PHI + ck.astype(np.uint64)) * PHI
@@ -1666,13 +1691,12 @@ def late_events(events_ds, late_minutes: int = LATE_MINUTES,
 
 def late_events_sql(late_minutes: int = LATE_MINUTES,
                     jitter_minutes: int | None = None) -> str:
-    from .textops import md5_u64_sql
     late_us = int(late_minutes) * _US_PER_MIN
     ts_expr = "CAST(epoch_us(ts) AS BIGINT)"
     if jitter_minutes:
         mod = 2 * int(jitter_minutes) * _US_PER_MIN + 1
         half = int(jitter_minutes) * _US_PER_MIN
-        h = md5_u64_sql("CAST(event_id AS VARCHAR)")
+        h = _mix64_sql("event_id")
         ts_expr = (f"{ts_expr} + CAST({h} % {mod} AS BIGINT) - {half}")
     return f"""
 WITH j AS (SELECT user_id, event_id, {ts_expr} AS ts_us FROM events),

@@ -472,3 +472,34 @@ def test_doc_dup_ratio_planted(ray_session):
     assert out.loc[2, "dup_ratio"] == 1.0
     assert out.loc[3, "dup_ratio"] == 0.0
     assert 4 not in out.index
+
+
+def test_hll_profile_matches_oracle(ray_session, con):
+    from covertile import api_text
+    got = api_text.QUERIES["hll_profile"](SF).to_pandas().reset_index(
+        drop=True)
+    want = con.execute(api_text.ORACLES["hll_profile"]()).df()
+    _assert_frames_equal(got, want)
+
+
+def test_hll_profile_estimates_and_merge_order(ray_session, con):
+    """The estimate must sit within HLL's error envelope of the exact
+    distinct count (sigma = 1.04/sqrt(4096) ~ 1.6%; assert 10%), and the
+    register merge must be block-order-independent (1 block vs many)."""
+    from covertile import api_text, curation
+    from covertile.sources import read_table
+    got = api_text.QUERIES["hll_profile"](SF).to_pandas().set_index(
+        "column")
+    exact = api_text.QUERIES["table_profile"](SF).to_pandas().set_index(
+        "column")
+    for c in got.index:
+        nd = int(exact.loc[c, "n_distinct"])
+        est = float(got.loc[c, "hll_est"])
+        assert abs(est - nd) <= max(0.10 * nd, 3.0), (c, est, nd)
+    one = curation.hll_profile(
+        read_table(SF, "documents",
+                   curation.PROFILE_COLUMNS).repartition(1)).to_pandas()
+    many = curation.hll_profile(
+        read_table(SF, "documents",
+                   curation.PROFILE_COLUMNS).repartition(37)).to_pandas()
+    _assert_frames_equal(one, many)
