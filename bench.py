@@ -663,6 +663,7 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("rolling_window", lambda: E.rolling_window(events).count())
     stage("late_events", lambda: E.late_events(
         events, jitter_minutes=480).count())
+    stage("uniques_sketch", lambda: E.uniques_sketch(events).count())
     stage("funnel", lambda: E.funnel(
         events, first_type="view", then_type="buy").count())
     stage("asof_join", lambda: E.asof_join(events, right_type="buy").count())

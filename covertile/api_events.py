@@ -125,6 +125,16 @@ def sql_late_events() -> str:
         jitter_minutes=eventops.LATE_JITTER_MINUTES)
 
 
+
+def q_uniques_sketch(sf_dir: str):
+    return eventops.uniques_sketch(
+        _events(sf_dir, columns=("event_type", "ts", "user_id")))
+
+
+def sql_uniques_sketch() -> str:
+    return eventops.uniques_sketch_sql()
+
+
 QUERIES = {
     "events_window": q_tumbling_window,
     "cohort_retention": q_cohort_retention,
@@ -137,6 +147,7 @@ QUERIES = {
     "rolling_window": q_rolling_window,
     "transition_counts": q_transition_counts,
     "late_events": q_late_events,
+    "uniques_sketch": q_uniques_sketch,
 }
 
 ORACLES = {
@@ -151,4 +162,5 @@ ORACLES = {
     "rolling_window": sql_rolling_window,
     "transition_counts": sql_transition_counts,
     "late_events": sql_late_events,
+    "uniques_sketch": sql_uniques_sketch,
 }

@@ -934,6 +934,36 @@ def _hll_rho(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return bucket, (np.int64(HLL_W + 1) - e).astype(np.int64)
 
 
+def hll_estimate(regs: np.ndarray) -> float:
+    """HLL estimate from a group's non-zero registers (rho values in
+    [1, 33]); identical float expression order to hll_estimate_sql."""
+    import math
+    np_present = len(regs)
+    s_int = int(np.sum(np.int64(1) << (HLL_W + 1 - regs))) \
+        if np_present else 0
+    sp = s_int / float(1 << (HLL_W + 1))
+    m = float(HLL_M)
+    e = ((0.7213 / (1.0 + 1.079 / m)) * m * m) \
+        / (sp + (m - float(np_present)))
+    v = HLL_M - np_present
+    if e <= 2.5 * m and v > 0:
+        e = m * math.log(m / float(v))
+    return e
+
+
+def hll_estimate_sql(np_col: str, sint_col: str) -> str:
+    """The estimator as one SQL expression over (register count,
+    integer register sum) columns — mirrors hll_estimate bitwise."""
+    m = HLL_M
+    alpha = f"(0.7213 / (1.0 + 1.079 / {float(m)}))"
+    e = (f"({alpha} * {float(m)} * {float(m)})"
+         f" / (CAST({sint_col} AS DOUBLE) / {float(1 << (HLL_W + 1))}"
+         f" + ({float(m)} - CAST({np_col} AS DOUBLE)))")
+    return (f"CASE WHEN {e} <= {2.5 * m} AND ({m} - {np_col}) > 0 "
+            f"THEN {float(m)} * ln({float(m)}"
+            f" / CAST({m} - {np_col} AS DOUBLE)) ELSE {e} END")
+
+
 def hll_profile(ds, columns: tuple[str, ...] = PROFILE_COLUMNS):
     """Approximate-distinct profile — the sketch twin of table_profile:
     per column (column, n_rows, hll_est) sorted, where hll_est is a
@@ -986,7 +1016,6 @@ def hll_profile(ds, columns: tuple[str, ...] = PROFILE_COLUMNS):
                *_hll_aggs()))
 
     def finalize(batch: pa.Table) -> pa.Table:
-        import math
         col = np.asarray(batch["column"], dtype=object)
         bk = batch["bucket"].to_numpy()
         rho = batch["max(rho)"].to_numpy()
@@ -994,21 +1023,9 @@ def hll_profile(ds, columns: tuple[str, ...] = PROFILE_COLUMNS):
         out_c, out_n, out_e = [], [], []
         for c in sorted(columns):
             sel = col == c
-            regs = rho[sel & (bk >= 0)]
-            n_rows = int(n[sel & (bk == -1)].sum())
-            np_present = len(regs)
-            s_int = int(np.sum(np.int64(1) << (HLL_W + 1 - regs))) \
-                if np_present else 0
-            sp = s_int / float(1 << (HLL_W + 1))
-            m = float(HLL_M)
-            e = ((0.7213 / (1.0 + 1.079 / m)) * m * m) \
-                / (sp + (m - float(np_present)))
-            v = HLL_M - np_present
-            if e <= 2.5 * m and v > 0:
-                e = m * math.log(m / float(v))
             out_c.append(c)
-            out_n.append(n_rows)
-            out_e.append(e)
+            out_n.append(int(n[sel & (bk == -1)].sum()))
+            out_e.append(hll_estimate(rho[sel & (bk >= 0)]))
         return pa.table({
             "column": pa.array(out_c, pa.string()),
             "n_rows": pa.array(out_n, pa.int64()),
@@ -1027,40 +1044,34 @@ def _hll_aggs():
 
 def hll_profile_sql(table: str = "documents",
                     columns: tuple[str, ...] = PROFILE_COLUMNS) -> str:
-    m = HLL_M
-    alpha_expr = f"(0.7213 / (1.0 + 1.079 / {float(m)}))"
     parts = []
     for c in sorted(columns):
         cast = c if c in ("text", "lang", "source") \
             else f"CAST({c} AS VARCHAR)"
         u = T.md5_u64_sql(cast)
-        # rho via an exact integer CASE ladder (no float log2)
-        ladder = " ".join(
-            f"WHEN w >= {1 << (HLL_W - k)} THEN {k}"
-            for k in range(1, HLL_W + 1))
         parts.append(f"""
-SELECT '{c}' AS "column", n_rows, CASE
-         WHEN e <= {2.5 * m} AND ({m} - np) > 0
-         THEN {float(m)} * ln({float(m)} / CAST({m} - np AS DOUBLE))
-         ELSE e END AS hll_est
+SELECT '{c}' AS "column", n_rows,
+       {hll_estimate_sql("np", "s_int")} AS hll_est
 FROM (
-  SELECT n_rows, np,
-         ({alpha_expr} * {float(m)} * {float(m)})
-         / (CAST(s_int AS DOUBLE) / {float(1 << (HLL_W + 1))}
-            + ({float(m)} - CAST(np AS DOUBLE))) AS e
+  SELECT count(*) AS np,
+         CAST(COALESCE(sum(CAST(1 AS BIGINT) << ({HLL_W + 1} - M)), 0)
+              AS BIGINT) AS s_int,
+         (SELECT count({c}) FROM {table}) AS n_rows
   FROM (
-    SELECT count(*) AS np,
-           CAST(COALESCE(sum(CAST(1 AS BIGINT) << ({HLL_W + 1} - M)), 0)
-                AS BIGINT) AS s_int,
-           (SELECT count({c}) FROM {table}) AS n_rows
-    FROM (
-      SELECT CAST(u >> {64 - HLL_P} AS BIGINT) AS bucket,
-             max(CASE {ladder} ELSE {HLL_W + 1} END) AS M
-      FROM (SELECT u, CAST(u & 4294967295 AS BIGINT) AS w
-            FROM (SELECT {u} AS u FROM {table}
-                  WHERE {c} IS NOT NULL))
-      GROUP BY bucket
-    )
+    SELECT CAST(u >> {64 - HLL_P} AS BIGINT) AS bucket,
+           max(CASE {hll_rho_ladder_sql()} END) AS M
+    FROM (SELECT u, CAST(u & 4294967295 AS BIGINT) AS w
+          FROM (SELECT {u} AS u FROM {table}
+                WHERE {c} IS NOT NULL))
+    GROUP BY bucket
   )
 )""")
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+def hll_rho_ladder_sql(w_col: str = "w") -> str:
+    """rho as an exact integer CASE ladder over the 32-bit window column
+    (no float log2): CASE WHEN w >= 2^31 THEN 1 ... ELSE 33."""
+    return " ".join(
+        f"WHEN {w_col} >= {1 << (HLL_W - k)} THEN {k}"
+        for k in range(1, HLL_W + 1)) + f" ELSE {HLL_W + 1}"

@@ -1716,3 +1716,122 @@ SELECT user_id,
             AS BIGINT) AS max_disorder_us
 FROM m GROUP BY user_id ORDER BY user_id
 """
+
+
+# --------------------------------------- windowed distinct-user sketch
+
+_US_PER_DAY = 86_400_000_000
+
+
+def uniques_sketch(events_ds, nbuckets: int | None = None):
+    """Per-(event_type, day) APPROXIMATE distinct users — the
+    streaming-dashboard sketch composition: exact per-window distinct
+    (cohort_retention's shape) re-shuffles user ids per window, which at
+    100 TB is the cost HLL exists to avoid.  -> (event_type, day,
+    n_events, hll_users) sorted, day = epoch-day of ts.
+
+    Scale shape: user ids hash through the vectorized _mix64 (bitwise
+    SQL mirror, no per-row Python); per-block partials pre-merge HLL
+    registers per (type, day) group — at most 4096 register rows + one
+    count row per group per block, and register-wise max is associative
+    and idempotent, so the merge is retry-safe; ONE exchange keyed by a
+    hash of (type, day) (sizing-derived buckets), whose groups combine
+    partials and apply the shared curation.hll_estimate — bitwise: the
+    register sum rides as the exact integer Σ2^(33-rho)."""
+    from .curation import HLL_M, _hll_rho, hll_estimate
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    SHIFT = _bucket_shift(nbuckets)
+    M64 = np.int64(HLL_M)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"], dtype=object)
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        uid = batch["user_id"].to_numpy()
+        day = ts // np.int64(_US_PER_DAY)
+        bucket, rho = _hll_rho(_mix64(uid))
+        # group key: (type, day) — dictionary-encode the type strings
+        tu, tinv = np.unique(et, return_inverse=True)
+        gkey = tinv.astype(np.int64) * np.int64(1 << 40) + day
+        # register partials: max rho per (group, bucket)
+        guk, ginv = np.unique(gkey * M64 + bucket, return_inverse=True)
+        mx = np.zeros(len(guk), np.int64)
+        np.maximum.at(mx, ginv, rho)
+        r_g, r_bk = guk // M64, guk % M64
+        # count rows: events per group (bucket = -1)
+        cuk, cinv = np.unique(gkey, return_inverse=True)
+        cn = np.bincount(cinv, minlength=len(cuk)).astype(np.int64)
+        g_all = np.concatenate([r_g, cuk])
+        et_all = tu[(g_all // (1 << 40)).astype(np.int64)]
+        day_all = g_all % (1 << 40)
+        return pa.table({
+            "event_type": pa.array(et_all, pa.string()),
+            "day": day_all,
+            "bucket": np.concatenate([r_bk,
+                                      np.full(len(cuk), -1, np.int64)]),
+            "rho": np.concatenate([mx, np.zeros(len(cuk), np.int64)]),
+            "n": np.concatenate([np.zeros(len(r_g), np.int64), cn]),
+            "bk": ((_mix64(g_all) * PHI) >> SHIFT).astype(np.int64),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        et = np.asarray(g["event_type"], dtype=object)
+        day = g["day"].to_numpy()
+        bucket = g["bucket"].to_numpy()
+        rho = g["rho"].to_numpy()
+        n = g["n"].to_numpy()
+        tu, tinv = np.unique(et, return_inverse=True)
+        gkey = tinv.astype(np.int64) * np.int64(1 << 40) + day
+        out_t, out_d, out_n, out_e = [], [], [], []
+        from .curation import HLL_M
+        for gk in np.unique(gkey):
+            sel = gkey == gk
+            regs_all = np.zeros(HLL_M, np.int64)
+            rb = bucket[sel & (bucket >= 0)]
+            rr = rho[sel & (bucket >= 0)]
+            np.maximum.at(regs_all, rb, rr)
+            regs = regs_all[regs_all > 0]
+            out_t.append(tu[int(gk) >> 40])
+            out_d.append(int(gk) % (1 << 40))
+            out_n.append(int(n[sel].sum()))
+            out_e.append(hll_estimate(regs))
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "day": pa.array(out_d, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "hll_users": pa.array(out_e, pa.float64()),
+        })
+
+    return (events_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bk").map_groups(combine, batch_format="pyarrow")
+            .sort(["event_type", "day"]))
+
+
+def uniques_sketch_sql() -> str:
+    from .curation import (HLL_P, HLL_W, hll_estimate_sql,
+                           hll_rho_ladder_sql)
+    u = _mix64_sql("user_id")
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // {_US_PER_DAY} AS day,
+         {u} AS u
+  FROM events
+),
+w AS (SELECT event_type, day,
+             CAST(u >> {64 - HLL_P} AS BIGINT) AS bucket,
+             CASE {hll_rho_ladder_sql(
+                 "CAST(u & 4294967295 AS BIGINT)")} END AS rho
+      FROM e),
+g AS (SELECT event_type, day, bucket, max(rho) AS M
+      FROM w GROUP BY event_type, day, bucket),
+s AS (SELECT event_type, day, count(*) AS np,
+             CAST(COALESCE(sum(CAST(1 AS BIGINT) << ({HLL_W + 1} - M)),
+                           0) AS BIGINT) AS s_int
+      FROM g GROUP BY event_type, day),
+n AS (SELECT event_type, day, count(*) AS n_events
+      FROM e GROUP BY event_type, day)
+SELECT event_type, day, n_events,
+       {hll_estimate_sql("np", "s_int")} AS hll_users
+FROM s JOIN n USING (event_type, day)
+ORDER BY event_type, day
+"""

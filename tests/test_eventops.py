@@ -454,3 +454,43 @@ def test_late_events_hand_case(ray_session):
     # user 2 strictly in order
     assert out.loc[2, "n_late"] == 0
     assert out.loc[2, "max_disorder_us"] == 0
+
+
+def test_uniques_sketch_matches_oracle(ray_session, con):
+    from covertile import api_events
+    got = api_events.QUERIES["uniques_sketch"](SF).to_pandas(
+        ).reset_index(drop=True)
+    want = con.execute(api_events.ORACLES["uniques_sketch"]()).df()
+    assert len(got) == len(want)
+    assert list(got.columns) == list(want.columns)
+    for c_ in got.columns:
+        a, b = got[c_].to_numpy(), want[c_].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.array_equal(a.view(np.int64), b.view(np.int64)), c_
+        else:
+            assert np.array_equal(a, b), c_
+
+
+def test_uniques_sketch_envelope_and_merge_order(ray_session, con):
+    """Estimates sit near the exact per-window distincts (coarse check:
+    windows here hold few users, where HLL linear counting is near
+    exact) and the register merge is block-order independent."""
+    from covertile import eventops
+    from covertile.sources import read_table
+    exact = con.execute("""
+        SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               count(DISTINCT user_id) AS nd
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    ev = lambda n: read_table(
+        SF, "events", ("event_type", "ts", "user_id")).repartition(n)
+    a = eventops.uniques_sketch(ev(1)).to_pandas()
+    b = eventops.uniques_sketch(ev(29)).to_pandas()
+    for c_ in a.columns:
+        assert np.array_equal(a[c_].to_numpy(), b[c_].to_numpy()), c_
+    assert np.array_equal(
+        a[["event_type", "day"]].to_numpy(dtype=object),
+        exact[["event_type", "day"]].to_numpy(dtype=object))
+    nd = exact["nd"].to_numpy().astype(float)
+    est = a["hll_users"].to_numpy()
+    assert np.all(np.abs(est - nd) <= np.maximum(0.15 * nd, 3.0))
