@@ -571,6 +571,9 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("exact_dedup", lambda: T.exact_dedup(docs).count())
     stage("dedup_keep_best", lambda: T.dedup_keep_best(docs).count())
     stage("dup_spans", lambda: C.dup_spans(docs).count())
+    stage("hll_profile", lambda: C.hll_profile(
+        docs, columns=("doc_id", "text", "lang")).count())
+    stage("cms_topk_counts", lambda: len(C.cms_topk_counts(docs)))
 
     def run_cross_source():
         # the generated corpus has no source column; lang plays one

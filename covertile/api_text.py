@@ -333,6 +333,17 @@ def sql_hll_profile() -> str:
     return curation.hll_profile_sql()
 
 
+
+def q_cms_topk_counts(sf_dir: str):
+    from . import curation
+    return curation.cms_topk_counts(_docs(sf_dir))
+
+
+def sql_cms_topk_counts() -> str:
+    from . import curation
+    return curation.cms_topk_counts_sql()
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
@@ -367,6 +378,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "doc_dup_ratio": q_doc_dup_ratio,
     "hll_profile": q_hll_profile,
+    "cms_topk_counts": q_cms_topk_counts,
 }
 
 ORACLES = {
@@ -403,4 +415,5 @@ ORACLES = {
     "dup_spans": sql_dup_spans,
     "doc_dup_ratio": sql_doc_dup_ratio,
     "hll_profile": sql_hll_profile,
+    "cms_topk_counts": sql_cms_topk_counts,
 }

@@ -1075,3 +1075,114 @@ def hll_rho_ladder_sql(w_col: str = "w") -> str:
     return " ".join(
         f"WHEN {w_col} >= {1 << (HLL_W - k)} THEN {k}"
         for k in range(1, HLL_W + 1)) + f" ELSE {HLL_W + 1}"
+
+
+# -------------------------------------------------- count-min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 16          # 65536 cells per row; sketch = 2 MB of i64
+CMS_TOPK = 50
+# per-row salt added to the md5 token hash before the 32-bit-multiplier
+# mix (eventops._mix64): independent-enough row hashes, every step
+# bitwise-mirrorable in SQL
+CMS_SALTS = tuple(int(np.uint64(i) * np.uint64(0x9E3779B97F4A7C15))
+                  for i in range(CMS_DEPTH))
+
+
+def _cms_buckets(u: np.ndarray) -> list[np.ndarray]:
+    from .eventops import _mix64
+    return [(_mix64(u + np.uint64(s)) & np.uint64(CMS_WIDTH - 1))
+            .astype(np.int64) for s in CMS_SALTS]
+
+
+def cms_topk_counts(docs_ds, k: int = CMS_TOPK):
+    """Count-min sketch over the corpus token stream, read back at the
+    exact top-k tokens -> (token, n_exact, cms_est) sorted by token.
+    The third sketch-family member: a fixed 4x65536 integer table (2 MB
+    anywhere) whose cells are SUMS — associative, so per-block partials
+    merge exactly under any order/retry — and whose point estimate
+    min_i(cell_i) upper-bounds the true count (one-sided error,
+    asserted in tests).  Bitwise oracle: cells are exact int64 sums and
+    the probe is a min over the same 4 cells on both sides.
+
+    Scale shape: per-block value_counts partials pre-sum per (row,
+    cell), so the ONE exchange carries at most 4 x 65536 rows per block
+    regardless of corpus size (vs topk_terms' vocab-sized exchange);
+    the materialized sketch is driver-sized by construction.  The exact
+    top-k probe list reuses textops.topk_terms (its own vocab-keyed
+    exchange)."""
+    from . import textops as _T
+
+    def part(batch: pa.Table) -> pa.Table:
+        flat = _T._token_lists(_T._text_col(batch)).flatten()
+        vc = pc.value_counts(flat)
+        u = _T.md5_u64(vc.field("values"))
+        c = vc.field("counts").cast(pa.int64()).to_numpy()
+        rbs, cs = [], []
+        for i, b in enumerate(_cms_buckets(u)):
+            rb = np.int64(i) * np.int64(CMS_WIDTH) + b
+            uk, inv = np.unique(rb, return_inverse=True)
+            rbs.append(uk)
+            cs.append(np.bincount(inv, weights=c,
+                                  minlength=len(uk)).astype(np.int64))
+        return pa.table({"rb": np.concatenate(rbs),
+                         "c": np.concatenate(cs)})
+
+    cms_rows = (docs_ds.map_batches(part, batch_format="pyarrow")
+                .groupby("rb").sum("c"))
+    cells = np.zeros(CMS_DEPTH * CMS_WIDTH, np.int64)
+    for b in cms_rows.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"):
+        cells[b["rb"].to_numpy()] = b["sum(c)"].to_numpy()
+
+    top = _T.topk_terms(docs_ds, k=k).to_pandas()
+    toks = np.asarray(top["token"], dtype=object)
+    n_exact = top["n"].to_numpy()
+    u = _T.md5_u64(toks)
+    est = np.full(len(toks), np.iinfo(np.int64).max, np.int64)
+    for i, b in enumerate(_cms_buckets(u)):
+        est = np.minimum(est, cells[i * CMS_WIDTH + b])
+    order = np.argsort(toks.astype("U"), kind="stable") \
+        if len(toks) else np.zeros(0, np.int64)
+    return pa.table({
+        "token": pa.array(toks[order], pa.string()),
+        "n_exact": n_exact[order],
+        "cms_est": est[order],
+    })
+
+
+def cms_topk_counts_sql(k: int = CMS_TOPK) -> str:
+    from . import textops as _T
+    from .eventops import _mix64_sql
+    w64 = "18446744073709551616"
+
+    def b_expr(i):
+        salted = (f"CAST((CAST(u AS HUGEINT) + {CMS_SALTS[i]}) % {w64}"
+                  f" AS UBIGINT)")
+        return (f"CAST({_mix64_sql(salted)} & {CMS_WIDTH - 1}"
+                f" AS BIGINT)")
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} * {CMS_WIDTH} + {b_expr(i)} AS rb, c FROM h"
+        for i in range(CMS_DEPTH))
+    probe_cells = " OR ".join(
+        f"c.rb = {i} * {CMS_WIDTH} + p.b{i}" for i in range(CMS_DEPTH))
+    probe_bs = ", ".join(f"{b_expr(i)} AS b{i}"
+                         for i in range(CMS_DEPTH))
+    return f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+             FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY token),
+h AS (SELECT token, c, {_T.md5_u64_sql("token")} AS u FROM cnt),
+cms AS (SELECT rb, CAST(sum(c) AS BIGINT) AS s
+        FROM ({cell_rows}) GROUP BY rb),
+top AS (SELECT token, c AS n_exact FROM cnt
+        ORDER BY c DESC, token LIMIT {int(k)}),
+probes AS (SELECT t.token, t.n_exact, {probe_bs}
+           FROM top t JOIN h ON t.token = h.token)
+SELECT p.token, p.n_exact,
+       (SELECT min(c.s) FROM cms c WHERE {probe_cells}) AS cms_est
+FROM probes p
+ORDER BY p.token
+"""

@@ -503,3 +503,26 @@ def test_hll_profile_estimates_and_merge_order(ray_session, con):
         read_table(SF, "documents",
                    curation.PROFILE_COLUMNS).repartition(37)).to_pandas()
     _assert_frames_equal(one, many)
+
+
+def test_cms_topk_counts_matches_oracle(ray_session, con):
+    from covertile import api_text
+    got = api_text.QUERIES["cms_topk_counts"](SF).to_pandas(
+        ).reset_index(drop=True)
+    want = con.execute(api_text.ORACLES["cms_topk_counts"]()).df()
+    _assert_frames_equal(got, want)
+    # one-sided error: the CMS estimate never undercounts
+    assert (got["cms_est"] >= got["n_exact"]).all()
+    assert len(got) > 0
+
+
+def test_cms_merge_is_block_order_independent(ray_session):
+    from covertile import curation
+    from covertile.sources import read_table
+    a = curation.cms_topk_counts(
+        read_table(SF, "documents", ("doc_id", "text"))
+        .repartition(1)).to_pandas()
+    b = curation.cms_topk_counts(
+        read_table(SF, "documents", ("doc_id", "text"))
+        .repartition(31)).to_pandas()
+    _assert_frames_equal(a, b)
