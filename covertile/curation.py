@@ -1085,7 +1085,7 @@ CMS_TOPK = 50
 # per-row salt added to the md5 token hash before the 32-bit-multiplier
 # mix (eventops._mix64): independent-enough row hashes, every step
 # bitwise-mirrorable in SQL
-CMS_SALTS = tuple(int(np.uint64(i) * np.uint64(0x9E3779B97F4A7C15))
+CMS_SALTS = tuple((i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
                   for i in range(CMS_DEPTH))
 
 
