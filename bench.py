@@ -542,6 +542,7 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("repetition_stats", lambda: docs.map_batches(
         T.repetition_stats_batch, batch_format="pyarrow").count())
     stage("token_rarity", lambda: T.token_rarity(docs).count())
+    stage("bigram_lm_score", lambda: T.bigram_lm_score(docs).count())
 
     srcs = pa.array(np.array([f"src{i}" for i in range(20)]))
 

@@ -44,6 +44,14 @@ def sql_mixture_rebalance() -> str:
     return T.mixture_rebalance_sql()
 
 
+def q_bigram_lm_score(sf_dir: str):
+    return T.bigram_lm_score(_docs(sf_dir))
+
+
+def sql_bigram_lm_score() -> str:
+    return T.bigram_lm_score_sql()
+
+
 def q_repetition_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         T.repetition_stats_batch, batch_format="pyarrow").sort("doc_id")
@@ -348,6 +356,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
     "token_rarity": q_token_rarity,
+    "bigram_lm_score": q_bigram_lm_score,
     "mixture_rebalance": q_mixture_rebalance,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
@@ -385,6 +394,7 @@ ORACLES = {
     "token_stats": sql_token_stats,
     "repetition_stats": sql_repetition_stats,
     "token_rarity": sql_token_rarity,
+    "bigram_lm_score": sql_bigram_lm_score,
     "mixture_rebalance": sql_mixture_rebalance,
     "lang_id": sql_lang_id,
     "doc_fingerprint": sql_fingerprint,

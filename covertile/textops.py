@@ -1421,6 +1421,255 @@ GROUP BY tok.doc_id ORDER BY tok.doc_id
 """
 
 
+# -------------------------------------------------- bigram LM score
+
+def _bigram_arrays(batch: pa.Table):
+    """Per-batch bigram occurrence arrays: (doc_ids, token_lens, flat
+    tokens, w1, bg) where w1[i] is the prefix token and bg[i] the
+    'w1 w2' joined bigram string at every bigram position, in document
+    order.  Tokens never contain a space (single-space split), so
+    bigram strings and unigram tokens are disjoint key spaces — one
+    vocabulary table can hold corpus counts for both."""
+    toks = _token_lists(_text_col(batch))
+    lens = np.asarray(pc.list_value_length(toks), np.int64)
+    off = _segment_offsets(lens)
+    keep = np.ones(int(off[-1]), bool)
+    keep[off[1:] - 1] = False          # each doc's final token: no successor
+    idx = np.flatnonzero(keep)
+    flat = toks.flatten()
+    w1 = flat.take(pa.array(idx, pa.int64()))
+    w2 = flat.take(pa.array(idx + 1, pa.int64()))
+    bg = pc.binary_join_element_wise(w1, w2, " ")
+    return batch["doc_id"].to_numpy(), lens, flat, w1, bg
+
+
+def bigram_lm_score(docs_ds,
+                    broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
+    """Corpus-bigram-LM quality score per document (the perplexity-filter
+    shape of a pretraining pipeline, in integer-exact form):
+
+      doc_id, n_bigrams,
+      n_hapax     — this doc's bigram occurrences whose CORPUS count is 1
+                    (unique-to-this-doc word transitions: high = novel or
+                    garbled text, low = boilerplate),
+      sum_bg      — Σ corpus count of each bigram occurrence,
+      sum_prefix  — Σ corpus count of each bigram's prefix unigram,
+      cond_score  — sum_bg / sum_prefix: the prefix-count-weighted mean
+                    of the conditional probabilities c(w1 w2)/c(w1) the
+                    corpus bigram model assigns this doc (one terminal
+                    float division — bitwise-mirrorable, unlike a sum of
+                    per-bigram log-probs whose float order and libm ulps
+                    SQL cannot pin),
+      mean_bg     — sum_bg / n_bigrams.
+
+    Single-token docs have n_bigrams = 0 and NULL for every other stat
+    (real Arrow nulls, the repetition_stats precedent).
+
+    Scale shape (token_rarity's two phases, one corpus pass each):
+    1. ONE vocabulary aggregate for unigrams AND bigrams together
+       (disjoint string spaces, see _bigram_arrays): per-block
+       value_counts partials, one vocab-sized hash-bucket exchange.
+    2. re-attach: vocab ≤ broadcast_max -> ray.put one sorted
+       (md5_u64, count) array pair, per-block searchsorted (zero extra
+       shuffles); above the cap -> per-block (doc, key)-deduped
+       occurrence rows hash-join the vocab table, then one doc-bucket
+       exchange combines exact int64 partials.  Both paths byte-equal
+       (pinned by tests/test_textops.py)."""
+    import ray as _ray
+
+    from .joins import hash_join_int_key
+    from .sizing import bucket_shift
+    _shift = bucket_shift()
+
+    def vocab_part(batch: pa.Table) -> pa.Table:
+        _, _, flat, _, bg = _bigram_arrays(batch)
+        vc = pc.value_counts(pa.concat_arrays(
+            [flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+             else flat, bg]))
+        th = md5_u64(vc.field("values"))
+        return pa.table({"th": th.view(np.int64),
+                         "c": vc.field("counts").cast(pa.int64()),
+                         "bk": (th >> _shift).astype(np.int64)})
+
+    def vocab_combine(g: pa.Table) -> pa.Table:
+        th = g["th"].to_numpy()
+        u, inv = np.unique(th, return_inverse=True)
+        n = np.bincount(inv, weights=g["c"].to_numpy(),
+                        minlength=len(u)).astype(np.int64)
+        return pa.table({"th": u, "n": n})
+
+    vocab = (docs_ds.map_batches(vocab_part, batch_format="pyarrow")
+             .groupby("bk").map_groups(vocab_combine,
+                                       batch_format="pyarrow")
+             .materialize())
+
+    def _final_table(d, nbg, hap, sbg, spre) -> pa.Table:
+        null = nbg == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cond = sbg.astype(np.float64) / spre.astype(np.float64)
+            mean = sbg.astype(np.float64) / nbg.astype(np.float64)
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "n_bigrams": pa.array(nbg, pa.int64()),
+            "n_hapax": pa.array(hap, pa.int64(), mask=null),
+            "sum_bg": pa.array(sbg, pa.int64(), mask=null),
+            "sum_prefix": pa.array(spre, pa.int64(), mask=null),
+            "cond_score": pa.array(cond, pa.float64(), mask=null),
+            "mean_bg": pa.array(mean, pa.float64(), mask=null),
+        })
+
+    if vocab.count() <= broadcast_max:
+        ths, ns = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
+        for b in vocab.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+            ths.append(b["th"].to_numpy())
+            ns.append(b["n"].to_numpy())
+        th_all, n_all = np.concatenate(ths), np.concatenate(ns)
+        order = np.argsort(th_all)
+        ref = _ray.put((th_all[order], n_all[order]))
+
+        def score(batch: pa.Table) -> pa.Table:
+            ids, lens, _, w1, bg = _bigram_arrays(batch)
+            if len(ids) == 0:
+                z = np.zeros(0, np.int64)
+                return _final_table(z, z, z, z, z)
+            thv, nv = _ray.get(ref)
+            n_bg = nv[np.searchsorted(thv, md5_u64(bg).view(np.int64))]
+            n_ug = nv[np.searchsorted(thv, md5_u64(w1).view(np.int64))]
+            nbg_l = lens - 1
+            doc_of = np.repeat(np.arange(len(ids)), nbg_l)
+            # int64 add.at accumulators: exact at any corpus frequency
+            # (the token_rarity overflow note applies here too)
+            sbg = np.zeros(len(ids), np.int64)
+            spre = np.zeros(len(ids), np.int64)
+            hap = np.zeros(len(ids), np.int64)
+            np.add.at(sbg, doc_of, n_bg)
+            np.add.at(spre, doc_of, n_ug)
+            np.add.at(hap, doc_of, (n_bg == 1).astype(np.int64))
+            return _final_table(ids, nbg_l, hap, sbg, spre)
+
+        return (docs_ds.map_batches(score, batch_format="pyarrow")
+                .sort("doc_id"))
+
+    # ---- open-vocabulary fallback: occurrence rows join the vocab table
+    KIND_BG, KIND_PREFIX, KIND_SENTINEL = 0, 1, 2
+
+    def _dedup_occ(th: np.ndarray, doc_of: np.ndarray):
+        if len(th) == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        order = np.lexsort((th, doc_of))
+        d_s, h_s = doc_of[order], th[order]
+        new = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])))
+        starts = np.flatnonzero(new)
+        occ = np.diff(np.append(starts, len(d_s)))
+        return h_s[starts], d_s[starts], occ
+
+    def occ_part(batch: pa.Table) -> pa.Table:
+        ids, lens, flat, w1, bg = _bigram_arrays(batch)
+        nbg_l = lens - 1
+        doc_of = np.repeat(np.arange(len(ids)), nbg_l)
+        parts = []
+        for kind, arr in ((KIND_BG, bg), (KIND_PREFIX, w1)):
+            h, d, occ = _dedup_occ(md5_u64(arr).view(np.int64), doc_of)
+            parts.append((h, ids[d], occ,
+                          np.full(len(h), kind, np.int64)))
+        # zero-bigram docs: a sentinel row keyed by the doc's only token
+        # (guaranteed present in the vocab) with occ = 0, so the doc
+        # survives the inner join and gets its NULL row
+        z = np.flatnonzero(nbg_l == 0)
+        if len(z):
+            off = _segment_offsets(lens)
+            first = flat.take(pa.array(off[z], pa.int64()))
+            parts.append((md5_u64(first).view(np.int64), ids[z],
+                          np.zeros(len(z), np.int64),
+                          np.full(len(z), KIND_SENTINEL, np.int64)))
+        return pa.table({
+            "th": np.concatenate([p[0] for p in parts]),
+            "doc_id": np.concatenate([p[1] for p in parts]),
+            "occ": np.concatenate([p[2] for p in parts]),
+            "kind": np.concatenate([p[3] for p in parts]),
+        })
+
+    joined = hash_join_int_key(
+        docs_ds.map_batches(occ_part, batch_format="pyarrow"),
+        vocab, key="th",
+        left_schema=pa.schema([("th", pa.int64()), ("doc_id", pa.int64()),
+                               ("occ", pa.int64()),
+                               ("kind", pa.int64())]),
+        right_schema=pa.schema([("th", pa.int64()), ("n", pa.int64())]))
+
+    def _isum(inv, vals, n):
+        out = np.zeros(n, np.int64)
+        np.add.at(out, inv, vals)
+        return out
+
+    def doc_part(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        occ = batch["occ"].to_numpy()
+        n = batch["n"].to_numpy()
+        kind = batch["kind"].to_numpy()
+        u, inv = np.unique(d, return_inverse=True)
+        is_bg = (kind == KIND_BG).astype(np.int64)
+        is_pre = (kind == KIND_PREFIX).astype(np.int64)
+        return pa.table({
+            "doc_id": u,
+            "nbg": _isum(inv, occ * is_bg, len(u)),
+            "hap": _isum(inv, occ * is_bg * (n == 1), len(u)),
+            "sbg": _isum(inv, occ * n * is_bg, len(u)),
+            "spre": _isum(inv, occ * n * is_pre, len(u)),
+            "bk": _coarse_bucket(u),
+        })
+
+    def doc_combine(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy()
+        u, inv = np.unique(d, return_inverse=True)
+        return _final_table(
+            u,
+            _isum(inv, g["nbg"].to_numpy(), len(u)),
+            _isum(inv, g["hap"].to_numpy(), len(u)),
+            _isum(inv, g["sbg"].to_numpy(), len(u)),
+            _isum(inv, g["spre"].to_numpy(), len(u)))
+
+    return (joined.map_batches(doc_part, batch_format="pyarrow")
+            .groupby("bk").map_groups(doc_combine, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+def bigram_lm_score_sql() -> str:
+    return """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ug AS (SELECT tok, COUNT(*) AS n
+       FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+pos AS (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t),
+bgo AS (SELECT doc_id, toks[i] AS w1,
+               toks[i] || ' ' || toks[i + 1] AS bg
+        FROM pos),
+bgc AS (SELECT bg, COUNT(*) AS n FROM bgo GROUP BY bg),
+per AS (
+  SELECT o.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(CASE WHEN bgc.n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+         CAST(SUM(bgc.n) AS BIGINT) AS sum_bg,
+         CAST(SUM(ug.n) AS BIGINT) AS sum_prefix
+  FROM bgo o JOIN bgc ON o.bg = bgc.bg JOIN ug ON o.w1 = ug.tok
+  GROUP BY o.doc_id)
+SELECT t.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       per.n_hapax, per.sum_bg, per.sum_prefix,
+       CAST(per.sum_bg AS DOUBLE) / CAST(per.sum_prefix AS DOUBLE)
+         AS cond_score,
+       CAST(per.sum_bg AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE)
+         AS mean_bg
+FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # ------------------------------------------------- deterministic sampling
 
 SAMPLE_MULT = 2654435761   # Knuth multiplicative hash; doc ids < 2^31 keep

@@ -31,7 +31,8 @@ def assert_matches(got, want, name):
 
 
 @pytest.mark.parametrize("name", [
-    "token_stats", "repetition_stats", "token_rarity", "mixture_rebalance",
+    "token_stats", "repetition_stats", "token_rarity", "bigram_lm_score",
+    "mixture_rebalance",
     "lang_id", "doc_fingerprint", "exact_dedup",
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
@@ -91,6 +92,33 @@ def test_token_rarity_join_fallback_equals_broadcast(ray_session, con):
     assert_matches(joinp, bcast, "token_rarity fallback")
     want = con.execute(T.token_rarity_sql()).df()
     assert_matches(bcast, want[bcast.columns], "token_rarity oracle")
+
+
+def test_bigram_lm_score_fallback_and_edges(ray_session):
+    """broadcast_max=0 forces the occurrence×vocab hash-join path; its
+    bytes must equal the broadcast path's and DuckDB's, including the
+    NULL rows for zero-bigram docs (single token / empty text)."""
+    import pandas as pd
+    import ray.data as rd
+    from covertile import textops as T
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": ["", "one", "a b", "a b", "a b c a b", "solo",
+                 "x y x y x", "b c b"],
+    })
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM docs")
+    want = c.execute(T.bigram_lm_score_sql()).df()
+    ds = rd.from_pandas(docs).repartition(3)
+    bcast = fetch(T.bigram_lm_score(ds))
+    joinp = fetch(T.bigram_lm_score(rd.from_pandas(docs).repartition(3),
+                                    broadcast_max=0))
+    assert_matches(joinp, bcast, "bigram_lm_score fallback")
+    assert_matches(bcast, want[bcast.columns], "bigram_lm_score oracle")
+    # zero-bigram docs ("", "one", "solo") carry NULL stats
+    assert bcast["n_hapax"].isna().tolist() == [
+        True, True, False, False, False, True, False, False]
 
 
 def test_mixture_rebalance_empty_input(ray_session):
