@@ -112,6 +112,29 @@ def sql_promo_revenue_share() -> str:
     return relops.promo_revenue_share_sql()
 
 
+def q_order_priority_counts(sf_dir: str):
+    return relops.order_priority_counts(
+        _t(sf_dir, "lineitem", ("l_orderkey", "l_shipdate")),
+        _t(sf_dir, "orders",
+           ("o_orderkey", "o_orderdate", "o_orderpriority")))
+
+
+def sql_order_priority_counts() -> str:
+    return relops.order_priority_counts_sql()
+
+
+def q_large_order_customers(sf_dir: str):
+    return relops.large_order_customers(
+        _t(sf_dir, "lineitem", ("l_orderkey", "l_quantity")),
+        _t(sf_dir, "orders",
+           ("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")),
+        _t(sf_dir, "customer", ("c_custkey", "c_name")))
+
+
+def sql_large_order_customers() -> str:
+    return relops.large_order_customers_sql()
+
+
 QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "pricing_summary": q_pricing_summary,
@@ -120,6 +143,8 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "returned_item_report": q_returned_item_report,
     "promo_revenue_share": q_promo_revenue_share,
+    "order_priority_counts": q_order_priority_counts,
+    "large_order_customers": q_large_order_customers,
 }
 
 ORACLES = {
@@ -130,4 +155,6 @@ ORACLES = {
     "shipping_priority": sql_shipping_priority,
     "returned_item_report": sql_returned_item_report,
     "promo_revenue_share": sql_promo_revenue_share,
+    "order_priority_counts": sql_order_priority_counts,
+    "large_order_customers": sql_large_order_customers,
 }

@@ -767,3 +767,244 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= DATE '{date_lo}'
   AND l_shipdate <  DATE '{date_hi}'
 """
+
+
+# --------------------------------------- order-priority counts (Q4)
+
+Q4_LATE_DAYS = 90
+
+
+def order_priority_counts(li_ds, od_ds, late_days: int = Q4_LATE_DAYS,
+                          nbuckets: int = 64):
+    """TPC-H-Q4-shaped EXISTS semi-join rollup: orders with at least one
+    lineitem shipped more than `late_days` after the order date, counted
+    per o_orderpriority -> (o_orderpriority, n_orders), sorted.
+
+    The EXISTS predicate compares columns ACROSS the two tables
+    (l_shipdate vs o_orderdate), so unlike idle_customers' anti-join the
+    order row itself must reach the bucket.  Shape: lineitem collapses
+    per block to one (orderkey, max shipdate) row — max is the complete
+    sufficient statistic for any 'exists a lineitem later than X'
+    predicate — both sides bucket by hash(orderkey) in ONE declared
+    shuffle, each bucket resolves the semi-join with a searchsorted
+    lookup, and the 5-row priority rollup follows the metadata-sized
+    tree-combine discipline (idle_customers / eventops.tumbling_window)."""
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+
+    def bk_of(keys: np.ndarray) -> np.ndarray:
+        return ((keys.astype(np.uint64) * PHI) >> np.uint64(40)
+                ).astype(np.int64) % np.int64(nbuckets)
+
+    def li_route(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        ok, inv = np.unique(batch["l_orderkey"].to_numpy(),
+                            return_inverse=True)
+        mx = np.full(len(ok), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ship)
+        return pa.table({
+            "bk": bk_of(ok), "key": ok,
+            "side": np.ones(len(ok), np.int8),
+            "ship_us": mx,
+            "odate_us": np.zeros(len(ok), np.int64),
+            "prio": pa.array([""] * len(ok), pa.string()),
+        })
+
+    def od_route(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy()
+        return pa.table({
+            "bk": bk_of(key), "key": key,
+            "side": np.zeros(len(key), np.int8),
+            "ship_us": np.zeros(len(key), np.int64),
+            "odate_us": batch["o_orderdate"].to_numpy().astype(
+                "datetime64[us]").view(np.int64),
+            "prio": batch["o_orderpriority"],
+        })
+
+    def semi(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        key = group["key"].to_numpy()
+        li = side == 1
+        lk, inv = np.unique(key[li], return_inverse=True)
+        mx = np.full(len(lk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, group["ship_us"].to_numpy()[li])
+        okey = key[~li]
+        pos = np.searchsorted(lk, okey)
+        pos_ok = (pos < len(lk))
+        pos_c = np.minimum(pos, max(len(lk) - 1, 0))
+        hit = pos_ok & (len(lk) > 0) & (lk[pos_c] == okey) & (
+            mx[pos_c] > group["odate_us"].to_numpy()[~li] + late_us)
+        prio = np.asarray(group["prio"], dtype=object)[~li][hit]
+        uk, inv2 = np.unique(prio, return_inverse=True)
+        return pa.table({
+            "prio": pa.array(uk, pa.string()),
+            "n": np.bincount(inv2, minlength=len(uk)).astype(np.int64),
+        })
+
+    routed = (li_ds.map_batches(li_route, batch_format="pyarrow")
+              .union(od_ds.map_batches(od_route, batch_format="pyarrow")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        prio = np.asarray(batch["prio"], dtype=object)
+        uk, inv = np.unique(prio, return_inverse=True)
+        return pa.table({
+            "o_orderpriority": pa.array(uk, pa.string()),
+            "n_orders": np.bincount(
+                inv, weights=batch["n"].to_numpy(),
+                minlength=len(uk)).astype(np.int64),
+        })
+
+    return (routed.groupby("bk").map_groups(semi, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def order_priority_counts_sql(late_days: int = Q4_LATE_DAYS) -> str:
+    return f"""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {int(late_days)} DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------- large-order customers (Q18)
+
+Q18_QTY_THRESHOLD = 200
+Q18_K = 100
+
+
+def large_order_customers(li_ds, od_ds, cu_ds,
+                          threshold: int = Q18_QTY_THRESHOLD,
+                          k: int = Q18_K):
+    """TPC-H-Q18-shaped HAVING + join-back: orders whose total lineitem
+    quantity exceeds `threshold`, joined back to their customer ->
+    (rank, c_custkey, c_name, o_orderkey, o_orderdate_us, o_totalprice,
+    sum_qty), top-k by quantity (ties by orderkey).
+
+    Shape: lineitem collapses per block to (orderkey, qty partial) —
+    quantities are 2-decimal-exact so the partial is an int64 in
+    quantity-cents; one bucketed hash join attaches the order row; the
+    HAVING filter runs inside the join's merge output (per-orderkey
+    groupby + threshold), and only the surviving candidate rows — rare
+    by construction at any scale, that's what a tail threshold means —
+    flow into a second bucketed join against customer and the top-k
+    partial/merge discipline (shipping_priority)."""
+    import pyarrow.compute as pc
+
+    thr_units = np.int64(threshold) * np.int64(100)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        qty = _cents(batch["l_quantity"])
+        ok, inv = np.unique(batch["l_orderkey"].to_numpy(),
+                            return_inverse=True)
+        return pa.table({
+            "o_orderkey": ok,
+            "qty_units": np.bincount(inv, weights=qty,
+                                     minlength=len(ok)).astype(np.int64),
+        })
+
+    def od_project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "o_orderdate_us": batch["o_orderdate"].to_numpy().astype(
+                "datetime64[us]").view(np.int64),
+            "o_totalprice_cents": _cents(batch["o_totalprice"]),
+        })
+
+    j1 = hash_join_int_key(
+        li_ds.map_batches(li_partial, batch_format="pyarrow"),
+        od_ds.map_batches(od_project, batch_format="pyarrow"),
+        key="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("qty_units", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate_us", pa.int64()),
+                                ("o_totalprice_cents", pa.int64())]))
+
+    # per-orderkey merge of lineitem partials; order columns are
+    # functionally dependent on the key so they ride as grouping columns
+    agg = (j1.groupby(["o_orderkey", "o_custkey", "o_orderdate_us",
+                       "o_totalprice_cents"]).sum("qty_units"))
+
+    def having(batch: pa.Table) -> pa.Table:
+        q = batch["sum(qty_units)"].to_numpy()
+        keep = q > thr_units
+        sel = batch.filter(pa.array(keep))
+        # per-block top-k prune under the final total order: the merge
+        # task never sees more than k rows per block
+        qs = q[keep]
+        order = np.lexsort((sel["o_orderkey"].to_numpy(), -qs))[:k]
+        sel = sel.take(pa.array(order))
+        return pa.table({
+            "c_custkey": sel["o_custkey"],
+            "o_orderkey": sel["o_orderkey"],
+            "o_orderdate_us": sel["o_orderdate_us"],
+            "o_totalprice_cents": sel["o_totalprice_cents"],
+            "qty_units": sel["sum(qty_units)"],
+        })
+
+    def cu_project(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "c_name": batch["c_name"]})
+
+    j2 = hash_join_int_key(
+        agg.map_batches(having, batch_format="pyarrow"),
+        cu_ds.map_batches(cu_project, batch_format="pyarrow"),
+        key="c_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("o_orderkey", pa.int64()),
+                               ("o_orderdate_us", pa.int64()),
+                               ("o_totalprice_cents", pa.int64()),
+                               ("qty_units", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_name", pa.string())]))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        q = batch["qty_units"].to_numpy()
+        ok = batch["o_orderkey"].to_numpy()
+        order = np.lexsort((ok, -q))[:k]
+        sel = batch.take(pa.array(order))
+        return pa.table({
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "c_custkey": sel["c_custkey"],
+            "c_name": sel["c_name"],
+            "o_orderkey": sel["o_orderkey"],
+            "o_orderdate_us": sel["o_orderdate_us"],
+            "o_totalprice": pc.divide(
+                pc.cast(sel["o_totalprice_cents"], pa.float64()), 100.0),
+            "sum_qty": pc.divide(
+                pc.cast(sel["qty_units"], pa.float64()), 100.0),
+        })
+
+    return (j2.repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None))
+
+
+def large_order_customers_sql(threshold: int = Q18_QTY_THRESHOLD,
+                              k: int = Q18_K) -> str:
+    q = "CAST(round(l_quantity * 100.0) AS BIGINT)"
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum({q}) AS BIGINT) AS qty_units
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum({q}) AS BIGINT) > {int(threshold)} * 100
+)
+SELECT CAST(row_number() OVER (ORDER BY big.qty_units DESC, o_orderkey)
+            AS BIGINT) AS rank,
+       c_custkey, c_name, o_orderkey,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS DOUBLE)
+         / 100.0 AS o_totalprice,
+       CAST(big.qty_units AS DOUBLE) / 100.0 AS sum_qty
+FROM big JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY big.qty_units DESC, o_orderkey LIMIT {int(k)}
+"""

@@ -118,7 +118,9 @@ def test_hash_join_stale_declared_schema_fails_loudly(ray_session):
 
 
 @pytest.mark.parametrize("name", ["returned_item_report",
-                                  "promo_revenue_share"])
+                                  "promo_revenue_share",
+                                  "order_priority_counts",
+                                  "large_order_customers"])
 def test_new_rel_query_matches_oracle(ray_session, con, name):
     from covertile import api_rel
     got = api_rel.QUERIES[name](SF).to_pandas().reset_index(drop=True)
