@@ -544,6 +544,17 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("token_rarity", lambda: T.token_rarity(docs).count())
     stage("bigram_lm_score", lambda: T.bigram_lm_score(docs).count())
 
+    def run_ngram_diversity():
+        def with_source(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "source", pa.array(
+                    np.asarray(b["doc_id"].to_numpy() % 5).astype(str),
+                    pa.string()))
+        return T.ngram_diversity(docs.map_batches(
+            with_source, batch_format="pyarrow")).count()
+
+    stage("ngram_diversity", run_ngram_diversity)
+
     srcs = pa.array(np.array([f"src{i}" for i in range(20)]))
 
     def add_source(batch: pa.Table) -> pa.Table:

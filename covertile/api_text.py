@@ -52,6 +52,14 @@ def sql_bigram_lm_score() -> str:
     return T.bigram_lm_score_sql()
 
 
+def q_ngram_diversity(sf_dir: str):
+    return T.ngram_diversity(_docs(sf_dir, ("text", "source")))
+
+
+def sql_ngram_diversity() -> str:
+    return T.ngram_diversity_sql()
+
+
 def q_repetition_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         T.repetition_stats_batch, batch_format="pyarrow").sort("doc_id")
@@ -357,6 +365,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "token_rarity": q_token_rarity,
     "bigram_lm_score": q_bigram_lm_score,
+    "ngram_diversity": q_ngram_diversity,
     "mixture_rebalance": q_mixture_rebalance,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
@@ -395,6 +404,7 @@ ORACLES = {
     "repetition_stats": sql_repetition_stats,
     "token_rarity": sql_token_rarity,
     "bigram_lm_score": sql_bigram_lm_score,
+    "ngram_diversity": sql_ngram_diversity,
     "mixture_rebalance": sql_mixture_rebalance,
     "lang_id": sql_lang_id,
     "doc_fingerprint": sql_fingerprint,

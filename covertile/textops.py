@@ -1440,7 +1440,9 @@ def _bigram_arrays(batch: pa.Table):
     w1 = flat.take(pa.array(idx, pa.int64()))
     w2 = flat.take(pa.array(idx + 1, pa.int64()))
     bg = pc.binary_join_element_wise(w1, w2, " ")
-    return batch["doc_id"].to_numpy(), lens, flat, w1, bg
+    ids = (batch["doc_id"].to_numpy()
+           if "doc_id" in batch.column_names else None)
+    return ids, lens, flat, w1, bg
 
 
 def bigram_lm_score(docs_ds,
@@ -1667,6 +1669,118 @@ SELECT t.doc_id,
          AS mean_bg
 FROM t LEFT JOIN per ON t.doc_id = per.doc_id
 ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------- n-gram diversity (TTR)
+
+def _pair_first(src: np.ndarray, th: np.ndarray) -> np.ndarray:
+    """Indices of the first occurrence of each distinct (source, hash)
+    pair (any representative works — callers only count or re-emit)."""
+    if len(th) == 0:
+        return np.zeros(0, np.int64)
+    _, code = np.unique(src, return_inverse=True)
+    order = np.lexsort((th, code))
+    c_s, h_s = code[order], th[order]
+    new = np.concatenate(
+        ([True], (c_s[1:] != c_s[:-1]) | (h_s[1:] != h_s[:-1])))
+    return order[np.flatnonzero(new)]
+
+
+def ngram_diversity(docs_ds):
+    """Per-source bigram type-token ratio -> (source, n_bigrams,
+    n_distinct, diversity), sorted by source.  Low diversity = template
+    or boilerplate-heavy source, the standard corpus-mix health signal.
+
+    Exact distinct at scale: per-block (source, bigram-hash) pairs are
+    deduped BEFORE the exchange, the ONE shuffle is keyed by hash bucket
+    (so a bucket sees every copy of a given bigram and its per-source
+    dedup is globally exact), and per-bucket partial counts — plus the
+    per-source occurrence totals, which ride the same exchange as
+    metadata-sized rows — tree-combine in a terminal sources-sized task.
+    diversity = n_distinct / n_bigrams is the single terminal division
+    (bitwise vs the oracle)."""
+    from .sizing import bucket_shift
+    _shift = bucket_shift()
+
+    def part(batch: pa.Table) -> pa.Table:
+        _, lens, _, _, bg = _bigram_arrays(batch)
+        src = np.asarray(batch["source"], dtype=object)
+        nbg_l = lens - 1
+        src_of = np.repeat(src, nbg_l)
+        th = md5_u64(bg)
+        # per-block dedup of (source, bigram) pairs: integer source
+        # codes + lexsort, no string-key concatenation
+        first = _pair_first(src_of, th.view(np.int64))
+        thi = th.view(np.int64)
+        # per-source occurrence totals (metadata-sized, kind=1)
+        us, inv = np.unique(src, return_inverse=True)
+        tot = np.zeros(len(us), np.int64)
+        np.add.at(tot, inv, nbg_l)
+        keep = tot > 0
+        return pa.table({
+            "bk": np.concatenate([(th[first] >> _shift).astype(np.int64),
+                                  np.full(int(keep.sum()), -1, np.int64)]),
+            "source": pa.array(np.concatenate([src_of[first], us[keep]]),
+                               pa.string()),
+            "th": np.concatenate([thi[first],
+                                  np.zeros(int(keep.sum()), np.int64)]),
+            "cnt": np.concatenate([np.zeros(len(first), np.int64),
+                                   tot[keep]]),
+        })
+
+    def bucket(g: pa.Table) -> pa.Table:
+        src = np.asarray(g["source"], dtype=object)
+        if len(g) and g["bk"][0].as_py() == -1:
+            u, inv = np.unique(src, return_inverse=True)
+            tot = np.zeros(len(u), np.int64)
+            np.add.at(tot, inv, g["cnt"].to_numpy())
+            return pa.table({"source": pa.array(u, pa.string()),
+                             "tot": tot,
+                             "dist": np.zeros(len(u), np.int64)})
+        th = g["th"].to_numpy()
+        first = _pair_first(src, th)
+        u, inv = np.unique(src[first], return_inverse=True)
+        return pa.table({"source": pa.array(u, pa.string()),
+                         "tot": np.zeros(len(u), np.int64),
+                         "dist": np.bincount(
+                             inv, minlength=len(u)).astype(np.int64)})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"], dtype=object)
+        u, inv = np.unique(src, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        dist = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, batch["tot"].to_numpy())
+        np.add.at(dist, inv, batch["dist"].to_numpy())
+        keep = tot > 0   # a source of only zero-bigram docs: absent in SQL
+        u, tot, dist = u[keep], tot[keep], dist[keep]
+        return pa.table({
+            "source": pa.array(u, pa.string()),
+            "n_bigrams": tot,
+            "n_distinct": dist,
+            "diversity": dist.astype(np.float64) / tot.astype(np.float64),
+        })
+
+    return (docs_ds.map_batches(part, batch_format="pyarrow")
+            .groupby("bk").map_groups(bucket, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def ngram_diversity_sql() -> str:
+    return """
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT source, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t),
+bg AS (SELECT source, toks[i] || ' ' || toks[i + 1] AS bg FROM pos)
+SELECT source,
+       COUNT(*) AS n_bigrams,
+       COUNT(DISTINCT bg) AS n_distinct,
+       CAST(COUNT(DISTINCT bg) AS DOUBLE) / COUNT(*) AS diversity
+FROM bg GROUP BY source ORDER BY source
 """
 
 

@@ -32,7 +32,7 @@ def assert_matches(got, want, name):
 
 @pytest.mark.parametrize("name", [
     "token_stats", "repetition_stats", "token_rarity", "bigram_lm_score",
-    "mixture_rebalance",
+    "ngram_diversity", "mixture_rebalance",
     "lang_id", "doc_fingerprint", "exact_dedup",
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
