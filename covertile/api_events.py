@@ -135,6 +135,15 @@ def sql_uniques_sketch() -> str:
     return eventops.uniques_sketch_sql()
 
 
+def q_window_heavy_hitters(sf_dir: str):
+    return eventops.window_heavy_hitters(
+        _events(sf_dir, columns=("ts", "user_id")))
+
+
+def sql_window_heavy_hitters() -> str:
+    return eventops.window_heavy_hitters_sql()
+
+
 QUERIES = {
     "events_window": q_tumbling_window,
     "cohort_retention": q_cohort_retention,
@@ -148,6 +157,7 @@ QUERIES = {
     "transition_counts": q_transition_counts,
     "late_events": q_late_events,
     "uniques_sketch": q_uniques_sketch,
+    "window_heavy_hitters": q_window_heavy_hitters,
 }
 
 ORACLES = {
@@ -163,4 +173,5 @@ ORACLES = {
     "transition_counts": sql_transition_counts,
     "late_events": sql_late_events,
     "uniques_sketch": sql_uniques_sketch,
+    "window_heavy_hitters": sql_window_heavy_hitters,
 }

@@ -1835,3 +1835,87 @@ SELECT event_type, day, n_events,
 FROM s JOIN n USING (event_type, day)
 ORDER BY event_type, day
 """
+
+
+# ------------------------------------------- windowed heavy hitters
+
+HH_K = 10
+
+
+def window_heavy_hitters(events_ds, window_minutes: int = WINDOW_MINUTES,
+                         k: int = HH_K):
+    """Top-k users per tumbling window by event count ->
+    (window_start_us, rank, user_id, n_events), sorted.  The windowed
+    heavy-hitter report: who dominates each hour of traffic.
+
+    Shape: per-block (window, user) partial counts collapse each block
+    before the ONE exchange (keyed by window, so a group holds every
+    partial for its window and the per-window top-k is globally exact);
+    each group emits ≤ k rows, so the terminal rank/sort task sees
+    n_windows × k metadata-sized rows.  Counts are int64; there are no
+    floats anywhere."""
+    win_us = np.int64(window_minutes * _US_PER_MIN)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        win = (ts // win_us) * win_us
+        uid = batch["user_id"].to_numpy()
+        order = np.lexsort((uid, win))
+        w_s, u_s = win[order], uid[order]
+        new = np.concatenate(
+            ([True], (w_s[1:] != w_s[:-1]) | (u_s[1:] != u_s[:-1])))
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(w_s)))
+        return pa.table({
+            "window_start_us": w_s[starts],
+            "user_id": u_s[starts],
+            "n": n.astype(np.int64),
+        })
+
+    def topk(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        u, inv = np.unique(uid, return_inverse=True)
+        c = np.bincount(inv, weights=g["n"].to_numpy(),
+                        minlength=len(u)).astype(np.int64)
+        order = np.lexsort((u, -c))[:k]
+        return pa.table({
+            "window_start_us": np.full(
+                len(order), g["window_start_us"][0].as_py(), np.int64),
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "user_id": u[order],
+            "n_events": c[order],
+        })
+
+    def final(batch: pa.Table) -> pa.Table:
+        order = np.lexsort((batch["rank"].to_numpy(),
+                            batch["window_start_us"].to_numpy()))
+        return batch.take(pa.array(order))
+
+    return (events_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("window_start_us")
+            .map_groups(topk, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def window_heavy_hitters_sql(window_minutes: int = WINDOW_MINUTES,
+                             k: int = HH_K) -> str:
+    w = window_minutes
+    return f"""
+WITH c AS (
+  SELECT CAST(epoch_us(time_bucket(INTERVAL {w} MINUTE, ts)) AS BIGINT)
+           AS window_start_us,
+         user_id, count(*) AS n_events
+  FROM events GROUP BY window_start_us, user_id
+),
+r AS (
+  SELECT window_start_us, user_id, n_events,
+         CAST(row_number() OVER (PARTITION BY window_start_us
+                                 ORDER BY n_events DESC, user_id)
+              AS BIGINT) AS rank
+  FROM c
+)
+SELECT window_start_us, rank, user_id, n_events
+FROM r WHERE rank <= {int(k)}
+ORDER BY window_start_us, rank
+"""

@@ -18,7 +18,8 @@ def con():
 @pytest.mark.parametrize("name", ["events_window", "sessionize",
                                   "asof_join", "range_join", "funnel",
                                   "hopping_window", "props_stats",
-                                  "cohort_retention"])
+                                  "cohort_retention",
+                                  "window_heavy_hitters"])
 def test_event_query_matches_oracle(ray_session, con, name):
     from covertile import api_events
     got = api_events.QUERIES[name](SF).to_pandas().reset_index(drop=True)
