@@ -554,6 +554,7 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
             with_source, batch_format="pyarrow")).count()
 
     stage("ngram_diversity", run_ngram_diversity)
+    stage("tfidf_keywords", lambda: T.tfidf_keywords(docs).count())
 
     srcs = pa.array(np.array([f"src{i}" for i in range(20)]))
 

@@ -60,6 +60,14 @@ def sql_ngram_diversity() -> str:
     return T.ngram_diversity_sql()
 
 
+def q_tfidf_keywords(sf_dir: str):
+    return T.tfidf_keywords(_docs(sf_dir))
+
+
+def sql_tfidf_keywords() -> str:
+    return T.tfidf_keywords_sql()
+
+
 def q_repetition_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         T.repetition_stats_batch, batch_format="pyarrow").sort("doc_id")
@@ -366,6 +374,7 @@ QUERIES = {
     "token_rarity": q_token_rarity,
     "bigram_lm_score": q_bigram_lm_score,
     "ngram_diversity": q_ngram_diversity,
+    "tfidf_keywords": q_tfidf_keywords,
     "mixture_rebalance": q_mixture_rebalance,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
@@ -405,6 +414,7 @@ ORACLES = {
     "token_rarity": sql_token_rarity,
     "bigram_lm_score": sql_bigram_lm_score,
     "ngram_diversity": sql_ngram_diversity,
+    "tfidf_keywords": sql_tfidf_keywords,
     "mixture_rebalance": sql_mixture_rebalance,
     "lang_id": sql_lang_id,
     "doc_fingerprint": sql_fingerprint,

@@ -1784,6 +1784,175 @@ FROM bg GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------- tf-idf keyword extraction
+
+TFIDF_K = 3
+
+
+def tfidf_keywords(docs_ds, k: int = TFIDF_K,
+                   broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
+    """Top-k salient terms per document -> (doc_id, rank, token, tf, df,
+    score), sorted.  score = tf / df: term frequency over document
+    frequency — monotone in tf·idf for any fixed tf (and the standard
+    salience ranking when idf is the only discriminator) but computed as
+    ONE exactly-rounded integer division, so the float and the ranking
+    it induces are bitwise-identical in numpy and SQL; a log-based idf
+    would hang the rank order on libm ulps no oracle can pin.  Ties
+    break by token byte order (UTF-8 code-point order — what DuckDB's
+    binary collation compares).
+
+    Shape: a doc's tokens live in its own row, so per-doc tf is complete
+    inside every block; only the df vocabulary is global.  Phase 1
+    aggregates df (per-block per-doc-deduped value_counts partials, one
+    vocab-sized exchange).  Phase 2 re-attaches: vocab ≤ broadcast_max
+    -> one ray.put sorted array + per-block searchsorted and the top-k
+    emits directly (zero extra shuffles); above the cap -> per-block
+    (doc, token, tf) rows hash-join the df table, then one doc-bucket
+    exchange reassembles docs for the top-k (token strings ride the
+    join: the tie-break needs them).  Both paths byte-equal (pinned by
+    tests/test_textops.py)."""
+    import ray as _ray
+
+    from .joins import hash_join_int_key
+    from .sizing import bucket_shift
+    _shift = bucket_shift()
+
+    def _doc_tf(batch: pa.Table):
+        """Per-(doc, token) tf rows, complete within the block."""
+        toks = _token_lists(_text_col(batch))
+        lens = np.asarray(pc.list_value_length(toks), np.int64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = toks.flatten()
+        th = md5_u64(flat).view(np.int64)
+        order = np.lexsort((th, doc_of))
+        d_s, h_s = doc_of[order], th[order]
+        new = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])))
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(d_s))).astype(np.int64)
+        first = order[starts]
+        return (batch["doc_id"].to_numpy(), d_s[starts], first, tf,
+                h_s[starts], flat)
+
+    def df_part(batch: pa.Table) -> pa.Table:
+        _, _, _, _, th, _ = _doc_tf(batch)
+        u, cnt = np.unique(th, return_counts=True)
+        return pa.table({"th": u, "c": cnt.astype(np.int64),
+                         "bk": (u.view(np.uint64) >> _shift)
+                         .astype(np.int64)})
+
+    def df_combine(g: pa.Table) -> pa.Table:
+        th = g["th"].to_numpy()
+        u, inv = np.unique(th, return_inverse=True)
+        n = np.bincount(inv, weights=g["c"].to_numpy(),
+                        minlength=len(u)).astype(np.int64)
+        return pa.table({"th": u, "n": n})
+
+    vocab = (docs_ds.map_batches(df_part, batch_format="pyarrow")
+             .groupby("bk").map_groups(df_combine, batch_format="pyarrow")
+             .materialize())
+
+    def _topk_rows(ids, doc_idx, tok, tf, df):
+        """Per-doc top-k under (score DESC, token ASC); doc_idx groups
+        rows (sorted), tok is a numpy unicode array."""
+        with np.errstate(divide="ignore"):
+            score = tf.astype(np.float64) / df.astype(np.float64)
+        order = np.lexsort((tok, -score, doc_idx))
+        d_o = doc_idx[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(d_o[1:] != d_o[:-1]) + 1))
+        pos = np.arange(len(d_o)) - np.repeat(
+            starts, np.diff(np.append(starts, len(d_o))))
+        keep = order[pos < k]
+        rank = (pos[pos < k] + 1).astype(np.int64)
+        return pa.table({
+            "doc_id": ids[doc_idx[keep]],
+            "rank": rank,
+            "token": pa.array(tok[keep], pa.string()),
+            "tf": tf[keep],
+            "df": df[keep],
+            "score": score[keep],
+        })
+
+    if vocab.count() <= broadcast_max:
+        ths, ns = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
+        for b in vocab.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+            ths.append(b["th"].to_numpy())
+            ns.append(b["n"].to_numpy())
+        th_all, n_all = np.concatenate(ths), np.concatenate(ns)
+        o = np.argsort(th_all)
+        ref = _ray.put((th_all[o], n_all[o]))
+
+        def extract(batch: pa.Table) -> pa.Table:
+            ids, d_idx, first, tf, th, flat = _doc_tf(batch)
+            if len(ids) == 0 or len(d_idx) == 0:
+                z = np.zeros(0, np.int64)
+                return _topk_rows(np.zeros(0, np.int64), z,
+                                  np.zeros(0, "U1"), z, z)
+            thv, nv = _ray.get(ref)
+            df = nv[np.searchsorted(thv, th)]
+            tok = np.asarray(flat.take(pa.array(first, pa.int64())),
+                             dtype=object).astype(str)
+            return _topk_rows(ids, d_idx, tok, tf, df)
+
+        return (docs_ds.map_batches(extract, batch_format="pyarrow")
+                .sort(["doc_id", "rank"]))
+
+    # ---- open-vocabulary fallback: tf rows join the df table
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, d_idx, first, tf, th, flat = _doc_tf(batch)
+        return pa.table({
+            "th": th,
+            "doc_id": ids[d_idx],
+            "tf": tf,
+            "token": flat.take(pa.array(first, pa.int64())),
+        })
+
+    joined = hash_join_int_key(
+        docs_ds.map_batches(tf_rows, batch_format="pyarrow"),
+        vocab, key="th",
+        left_schema=pa.schema([("th", pa.int64()), ("doc_id", pa.int64()),
+                               ("tf", pa.int64()),
+                               ("token", pa.string())]),
+        right_schema=pa.schema([("th", pa.int64()), ("n", pa.int64())]))
+
+    def regroup(batch: pa.Table) -> pa.Table:
+        return batch.append_column("bk", pa.array(
+            _coarse_bucket(batch["doc_id"].to_numpy()), pa.int64()))
+
+    def doc_topk(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy()
+        u, inv = np.unique(d, return_inverse=True)
+        tok = np.asarray(g["token"], dtype=object).astype(str)
+        return _topk_rows(u, inv, tok, g["tf"].to_numpy(),
+                          g["n"].to_numpy())
+
+    return (joined.map_batches(regroup, batch_format="pyarrow")
+            .groupby("bk").map_groups(doc_topk, batch_format="pyarrow")
+            .sort(["doc_id", "rank"]))
+
+
+def tfidf_keywords_sql(k: int = TFIDF_K) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+s AS (
+  SELECT doc_id, t AS token, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                     t) AS rk
+  FROM tf JOIN df USING (t)
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM s WHERE rk <= {int(k)} ORDER BY doc_id, rank
+"""
+
+
 # ------------------------------------------------- deterministic sampling
 
 SAMPLE_MULT = 2654435761   # Knuth multiplicative hash; doc ids < 2^31 keep

@@ -32,7 +32,7 @@ def assert_matches(got, want, name):
 
 @pytest.mark.parametrize("name", [
     "token_stats", "repetition_stats", "token_rarity", "bigram_lm_score",
-    "ngram_diversity", "mixture_rebalance",
+    "ngram_diversity", "tfidf_keywords", "mixture_rebalance",
     "lang_id", "doc_fingerprint", "exact_dedup",
     "ngram_jaccard_dedup", "simhash_dedup", "minhash_lsh_dedup",
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
@@ -119,6 +119,22 @@ def test_bigram_lm_score_fallback_and_edges(ray_session):
     # zero-bigram docs ("", "one", "solo") carry NULL stats
     assert bcast["n_hapax"].isna().tolist() == [
         True, True, False, False, False, True, False, False]
+
+
+def test_tfidf_keywords_fallback_equals_broadcast(ray_session, con):
+    """broadcast_max=0 forces the tf-rows×df hash-join path; its bytes
+    must equal the broadcast path's (and the oracle's)."""
+    from covertile import textops as T
+    from covertile.sources import read_table
+
+    bcast = fetch(T.tfidf_keywords(read_table(SF, "documents",
+                                              ("doc_id", "text"))))
+    joinp = fetch(T.tfidf_keywords(read_table(SF, "documents",
+                                              ("doc_id", "text")),
+                                   broadcast_max=0))
+    assert_matches(joinp, bcast, "tfidf_keywords fallback")
+    want = con.execute(T.tfidf_keywords_sql()).df()
+    assert_matches(bcast, want[bcast.columns], "tfidf_keywords oracle")
 
 
 def test_mixture_rebalance_empty_input(ray_session):
