@@ -25,7 +25,7 @@ import pyarrow as pa
 
 __all__ = ["fvecs_dim_count", "read_fvecs", "write_fvecs_shards",
            "write_graph_text_single", "write_graph_text_shards",
-           "read_table", "read_lance_fragments"]
+           "read_table", "read_lance_fragments", "write_jsonl_shards"]
 
 
 def _lance_module():
@@ -116,9 +116,42 @@ def read_table(sf_dir: str, name: str, columns=None, filter=None):
         if columns:
             ds = ds.select_columns(list(columns))
         return ds
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+    pq_path = os.path.join(sf_dir, f"{name}.parquet")
+    jsonl_path = os.path.join(sf_dir, f"{name}.jsonl")
+    if not os.path.exists(pq_path) and os.path.exists(jsonl_path):
+        # newline-delimited JSON (the interchange format LLM corpora
+        # actually arrive in).  JSON is row-major, so projection cannot
+        # prune the read itself; it is applied immediately after parse
+        # so only the selected columns flow downstream.  Types degrade
+        # to JSON's (int64/double/string) — callers needing
+        # timestamps/float32 should convert to parquet first.
+        ds = rd.read_json(jsonl_path)
+        if filter is not None:
+            ds = ds.map_batches(lambda t: t.filter(filter),
+                                batch_format="pyarrow")
+        if columns:
+            ds = ds.select_columns(list(columns))
+        return ds
+    return rd.read_parquet(pq_path,
                            columns=list(columns) if columns else None,
                            filter=filter)
+
+
+def write_jsonl_shards(ds, out_dir: str) -> dict:
+    """Dataset -> newline-delimited JSON, one shard file per block plus
+    a manifest (the graph-sink resumability discipline: a re-run lists
+    the manifest and skips finished shards).  Returns the manifest."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_json(out_dir)
+    shards = sorted(f for f in os.listdir(out_dir)
+                    if f.endswith(".json") or f.endswith(".jsonl"))
+    manifest = {"format": "jsonl", "shards": shards}
+    # beside (not inside) the shard dir: readers scan every file in it
+    with open(out_dir.rstrip("/") + ".manifest.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest
 
 
 def fvecs_dim_count(path: str) -> tuple[int, int]:

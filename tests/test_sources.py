@@ -223,3 +223,25 @@ def test_read_table_filter_pushdown(ray_session):
         f"SELECT vec_id FROM read_parquet('{sf}/embeddings.parquet') "
         f"WHERE label IN (0, 1) ORDER BY vec_id").df()
     assert sorted(t["vec_id"]) == list(want["vec_id"])
+
+
+def test_jsonl_roundtrip_and_dispatch(ray_session, tmp_path):
+    """write_jsonl_shards -> read_table dispatch on <name>.jsonl when no
+    parquet twin exists: rows, projection and filter all honored."""
+    import pyarrow.compute as pc
+    from covertile.sources import read_table, write_jsonl_shards
+
+    docs = read_table("/root/testdata/sf0.001", "documents").limit(50)
+    out = str(tmp_path / "documents.jsonl")
+    manifest = write_jsonl_shards(docs, out)
+    assert manifest["shards"], "at least one shard written"
+
+    back = read_table(str(tmp_path), "documents",
+                      columns=("doc_id", "lang"),
+                      filter=pc.field("lang") == "en")
+    df = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = (docs.to_pandas().query("lang == 'en'")
+            [["doc_id", "lang"]].sort_values("doc_id")
+            .reset_index(drop=True))
+    assert list(df.columns) == ["doc_id", "lang"]
+    assert df.equals(want)
