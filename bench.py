@@ -682,6 +682,7 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("uniques_sketch", lambda: E.uniques_sketch(events).count())
     stage("window_heavy_hitters",
           lambda: E.window_heavy_hitters(events).count())
+    stage("value_histogram", lambda: E.value_histogram(events).count())
     stage("funnel", lambda: E.funnel(
         events, first_type="view", then_type="buy").count())
     stage("asof_join", lambda: E.asof_join(events, right_type="buy").count())

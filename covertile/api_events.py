@@ -135,6 +135,15 @@ def sql_uniques_sketch() -> str:
     return eventops.uniques_sketch_sql()
 
 
+def q_value_histogram(sf_dir: str):
+    return eventops.value_histogram(
+        _events(sf_dir, columns=("event_type", "value")))
+
+
+def sql_value_histogram() -> str:
+    return eventops.value_histogram_sql()
+
+
 def q_window_heavy_hitters(sf_dir: str):
     return eventops.window_heavy_hitters(
         _events(sf_dir, columns=("ts", "user_id")))
@@ -158,6 +167,7 @@ QUERIES = {
     "late_events": q_late_events,
     "uniques_sketch": q_uniques_sketch,
     "window_heavy_hitters": q_window_heavy_hitters,
+    "value_histogram": q_value_histogram,
 }
 
 ORACLES = {
@@ -174,4 +184,5 @@ ORACLES = {
     "late_events": sql_late_events,
     "uniques_sketch": sql_uniques_sketch,
     "window_heavy_hitters": sql_window_heavy_hitters,
+    "value_histogram": sql_value_histogram,
 }

@@ -1919,3 +1919,80 @@ SELECT window_start_us, rank, user_id, n_events
 FROM r WHERE rank <= {int(k)}
 ORDER BY window_start_us, rank
 """
+
+
+# --------------------------------------------- log2 value histogram
+
+def value_histogram(events_ds):
+    """Mergeable log2-bucket histogram of event value per event_type ->
+    (event_type, bucket, n_events), sorted.  bucket k holds cents in
+    [2^k, 2^(k+1)); bucket -1 holds zero/negative values.  This is the
+    sketch answer to group-quantiles at scale: per-block bincount
+    partials make the ONE exchange metadata-sized (n_types × ≤64 rows
+    per block) no matter how many events stream through, and bucket
+    counts are associative int64 sums — retry-safe under any merge
+    order, unlike a distributed exact quantile's value exchange.
+
+    The bucket index is integer-exact on both sides: numpy reads the
+    binary exponent via frexp (exact for any |cents| < 2^53 — every
+    2-decimal money value is), the oracle uses a descending CASE ladder
+    over integer thresholds (the hll_rho_ladder precedent in
+    curation.py) — no float log2 on either side."""
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = np.round(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        _, e = np.frexp(cents.astype(np.float64))
+        bucket = np.where(cents > 0, e - 1, -1).astype(np.int64)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        dct = pc.dictionary_encode(et)
+        codes = np.asarray(dct.indices).astype(np.int64)
+        key = codes * np.int64(65) + (bucket + 1)
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({
+            "event_type": dct.dictionary.take(pa.array(uk // 65)),
+            "bucket": (uk % 65) - 1,
+            "n_events": n,
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        dct = pc.dictionary_encode(et)
+        codes = np.asarray(dct.indices).astype(np.int64)
+        b = batch["bucket"].to_numpy()
+        key = codes * np.int64(65) + (b + 1)
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, weights=batch["n_events"].to_numpy(),
+                        minlength=len(uk)).astype(np.int64)
+        tvals = np.asarray(dct.dictionary, dtype=object)
+        et_out = tvals[(uk // 65)]
+        order = np.lexsort(((uk % 65) - 1, et_out.astype(str)))
+        return pa.table({
+            "event_type": pa.array(et_out[order], pa.string()),
+            "bucket": ((uk % 65) - 1)[order],
+            "n_events": n[order],
+        })
+
+    return (events_ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def value_histogram_sql() -> str:
+    ladder = " ".join(f"WHEN cents >= {1 << k} THEN {k}"
+                      for k in range(62, -1, -1))
+    return f"""
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100.0) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type,
+       CAST(CASE {ladder} ELSE -1 END AS BIGINT) AS bucket,
+       count(*) AS n_events
+FROM c GROUP BY event_type, bucket ORDER BY event_type, bucket
+"""

@@ -19,7 +19,8 @@ def con():
                                   "asof_join", "range_join", "funnel",
                                   "hopping_window", "props_stats",
                                   "cohort_retention",
-                                  "window_heavy_hitters"])
+                                  "window_heavy_hitters",
+                                  "value_histogram"])
 def test_event_query_matches_oracle(ray_session, con, name):
     from covertile import api_events
     got = api_events.QUERIES[name](SF).to_pandas().reset_index(drop=True)
