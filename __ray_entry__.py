@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_stats": api.q_cell_stats,
         "span_stats": api.q_span_stats,
         "doc_enrich": api.q_doc_enrich,
+        "triangle_counts": api.q_triangle_counts,
         "index_lineage": api.q_index_lineage,
     }
     out.update(api_text.QUERIES)
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_stats": api.sql_cell_stats(),
         "span_stats": api.sql_span_stats(),
         "doc_enrich": api.sql_doc_enrich(),
+        "triangle_counts": api.sql_triangle_counts(),
     }
     out.update({k: v() for k, v in api_text.ORACLES.items()})
     out.update({k: v() for k, v in api_vec.ORACLES.items()})

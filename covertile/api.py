@@ -396,3 +396,38 @@ def q_index_lineage(sf_dir: str):
     return rd.from_items(
         [{k: int(r[k]) for k in keep} for r in
          sorted(rows, key=lambda r: r["pid"])])
+
+
+# ------------------------------------------------- triangle counting
+
+#: the triangle query runs the epsilon join at double the headline
+#: radius: at EPS_RADIUS the sf graphs are triangle-free (verified in
+#: DuckDB), which would make the driver row vacuous evidence.
+TRI_RADIUS = 2 * EPS_RADIUS
+
+
+def q_triangle_counts(sf_dir: str):
+    from .graphops import triangle_counts
+    idx, points, _ = _index_for(sf_dir, TRI_RADIUS)
+    return triangle_counts(epsilon_graph(idx, points, TRI_RADIUS))
+
+
+def sql_triangle_counts() -> str:
+    d = geometry.dist_sql("a.x", "a.y", "b.x", "b.y")
+    return f"""
+WITH pts AS ({geometry.pts_cte()}),
+e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM pts a, pts b
+  WHERE {d} <= {TRI_RADIUS} AND a.doc_id < b.doc_id
+),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+x AS (SELECT a AS p FROM t UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+SELECT p AS point_id, count(*) AS n_triangles
+FROM x GROUP BY p ORDER BY p
+"""
