@@ -1423,26 +1423,37 @@ GROUP BY tok.doc_id ORDER BY tok.doc_id
 
 # -------------------------------------------------- bigram LM score
 
-def _bigram_arrays(batch: pa.Table):
-    """Per-batch bigram occurrence arrays: (doc_ids, token_lens, flat
-    tokens, w1, bg) where w1[i] is the prefix token and bg[i] the
-    'w1 w2' joined bigram string at every bigram position, in document
-    order.  Tokens never contain a space (single-space split), so
-    bigram strings and unigram tokens are disjoint key spaces — one
-    vocabulary table can hold corpus counts for both."""
+def _mix64_pair(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit combine of two token hashes — the bigram
+    key, without ever building or md5-hashing the bigram string."""
+    from .eventops import _mix64
+    return _mix64(h1 ^ _mix64(h2))
+
+
+def _bigram_hash_arrays(batch: pa.Table):
+    """Per-batch bigram occurrence arrays in HASH space: (doc_ids,
+    token_lens, tok_h, seg_offsets, pre_h, bg_h).  tok_h = md5_u64 over
+    the flat tokens (one cached hash per in-batch unique token); at
+    every bigram position pre_h is the prefix token's hash and bg_h the
+    order-sensitive mix of the two token hashes.  Bigram STRINGS are
+    never built: the keys are engine-internal (the SQL oracles join on
+    strings), and benchmarking showed md5 over the bigram vocabulary —
+    far larger than the unigram one, so the per-worker cache can't
+    help — dominating these stages.  Unigram keys (raw md5_u64) and
+    bigram keys (mixed) collide only in the same 2^-64 birthday class
+    as md5_u64 itself, so one vocabulary table holds both."""
     toks = _token_lists(_text_col(batch))
     lens = np.asarray(pc.list_value_length(toks), np.int64)
     off = _segment_offsets(lens)
     keep = np.ones(int(off[-1]), bool)
     keep[off[1:] - 1] = False          # each doc's final token: no successor
     idx = np.flatnonzero(keep)
-    flat = toks.flatten()
-    w1 = flat.take(pa.array(idx, pa.int64()))
-    w2 = flat.take(pa.array(idx + 1, pa.int64()))
-    bg = pc.binary_join_element_wise(w1, w2, " ")
+    h = md5_u64(toks.flatten())
+    pre_h = h[idx]
+    bg_h = _mix64_pair(pre_h, h[idx + 1])
     ids = (batch["doc_id"].to_numpy()
            if "doc_id" in batch.column_names else None)
-    return ids, lens, flat, w1, bg
+    return ids, lens, h, off, pre_h, bg_h
 
 
 def bigram_lm_score(docs_ds,
@@ -1469,7 +1480,7 @@ def bigram_lm_score(docs_ds,
 
     Scale shape (token_rarity's two phases, one corpus pass each):
     1. ONE vocabulary aggregate for unigrams AND bigrams together
-       (disjoint string spaces, see _bigram_arrays): per-block
+       (disjoint key spaces, see _bigram_hash_arrays): per-block
        value_counts partials, one vocab-sized hash-bucket exchange.
     2. re-attach: vocab ≤ broadcast_max -> ray.put one sorted
        (md5_u64, count) array pair, per-block searchsorted (zero extra
@@ -1484,14 +1495,12 @@ def bigram_lm_score(docs_ds,
     _shift = bucket_shift()
 
     def vocab_part(batch: pa.Table) -> pa.Table:
-        _, _, flat, _, bg = _bigram_arrays(batch)
-        vc = pc.value_counts(pa.concat_arrays(
-            [flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
-             else flat, bg]))
-        th = md5_u64(vc.field("values"))
-        return pa.table({"th": th.view(np.int64),
-                         "c": vc.field("counts").cast(pa.int64()),
-                         "bk": (th >> _shift).astype(np.int64)})
+        _, _, h, _, _, bg_h = _bigram_hash_arrays(batch)
+        keys = np.concatenate([h, bg_h])
+        u, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"th": u.view(np.int64),
+                         "c": cnt.astype(np.int64),
+                         "bk": (u >> _shift).astype(np.int64)})
 
     def vocab_combine(g: pa.Table) -> pa.Table:
         th = g["th"].to_numpy()
@@ -1531,13 +1540,13 @@ def bigram_lm_score(docs_ds,
         ref = _ray.put((th_all[order], n_all[order]))
 
         def score(batch: pa.Table) -> pa.Table:
-            ids, lens, _, w1, bg = _bigram_arrays(batch)
+            ids, lens, _, _, pre_h, bg_h = _bigram_hash_arrays(batch)
             if len(ids) == 0:
                 z = np.zeros(0, np.int64)
                 return _final_table(z, z, z, z, z)
             thv, nv = _ray.get(ref)
-            n_bg = nv[np.searchsorted(thv, md5_u64(bg).view(np.int64))]
-            n_ug = nv[np.searchsorted(thv, md5_u64(w1).view(np.int64))]
+            n_bg = nv[np.searchsorted(thv, bg_h.view(np.int64))]
+            n_ug = nv[np.searchsorted(thv, pre_h.view(np.int64))]
             nbg_l = lens - 1
             doc_of = np.repeat(np.arange(len(ids)), nbg_l)
             # int64 add.at accumulators: exact at any corpus frequency
@@ -1569,12 +1578,12 @@ def bigram_lm_score(docs_ds,
         return h_s[starts], d_s[starts], occ
 
     def occ_part(batch: pa.Table) -> pa.Table:
-        ids, lens, flat, w1, bg = _bigram_arrays(batch)
+        ids, lens, tok_h, off, pre_h, bg_h = _bigram_hash_arrays(batch)
         nbg_l = lens - 1
         doc_of = np.repeat(np.arange(len(ids)), nbg_l)
         parts = []
-        for kind, arr in ((KIND_BG, bg), (KIND_PREFIX, w1)):
-            h, d, occ = _dedup_occ(md5_u64(arr).view(np.int64), doc_of)
+        for kind, arr in ((KIND_BG, bg_h), (KIND_PREFIX, pre_h)):
+            h, d, occ = _dedup_occ(arr.view(np.int64), doc_of)
             parts.append((h, ids[d], occ,
                           np.full(len(h), kind, np.int64)))
         # zero-bigram docs: a sentinel row keyed by the doc's only token
@@ -1582,9 +1591,7 @@ def bigram_lm_score(docs_ds,
         # survives the inner join and gets its NULL row
         z = np.flatnonzero(nbg_l == 0)
         if len(z):
-            off = _segment_offsets(lens)
-            first = flat.take(pa.array(off[z], pa.int64()))
-            parts.append((md5_u64(first).view(np.int64), ids[z],
+            parts.append((tok_h[off[z]].view(np.int64), ids[z],
                           np.zeros(len(z), np.int64),
                           np.full(len(z), KIND_SENTINEL, np.int64)))
         return pa.table({
@@ -1704,11 +1711,11 @@ def ngram_diversity(docs_ds):
     _shift = bucket_shift()
 
     def part(batch: pa.Table) -> pa.Table:
-        _, lens, _, _, bg = _bigram_arrays(batch)
+        _, lens, _, _, _, bg_h = _bigram_hash_arrays(batch)
         src = np.asarray(batch["source"], dtype=object)
         nbg_l = lens - 1
         src_of = np.repeat(src, nbg_l)
-        th = md5_u64(bg)
+        th = bg_h
         # per-block dedup of (source, bigram) pairs: integer source
         # codes + lexsort, no string-key concatenation
         first = _pair_first(src_of, th.view(np.int64))
