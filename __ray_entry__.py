@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": api.q_span_stats,
         "doc_enrich": api.q_doc_enrich,
         "triangle_counts": api.q_triangle_counts,
+        "spatial_components": api.q_spatial_components,
         "index_lineage": api.q_index_lineage,
     }
     out.update(api_text.QUERIES)
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "span_stats": api.sql_span_stats(),
         "doc_enrich": api.sql_doc_enrich(),
         "triangle_counts": api.sql_triangle_counts(),
+        "spatial_components": api.sql_spatial_components(),
     }
     out.update({k: v() for k, v in api_text.ORACLES.items()})
     out.update({k: v() for k, v in api_vec.ORACLES.items()})

@@ -431,3 +431,46 @@ x AS (SELECT a AS p FROM t UNION ALL SELECT b FROM t
 SELECT p AS point_id, count(*) AS n_triangles
 FROM x GROUP BY p ORDER BY p
 """
+
+
+def q_spatial_components(sf_dir: str):
+    """Connected components over the engine's epsilon graph at
+    TRI_RADIUS -> (point_id, component_id = min point_id reachable),
+    for every point in at least one edge.  Reuses the edge-resident
+    min-label propagation actors (textops.dup_components): the graph
+    family composes — any pair-producing join feeds the same component
+    machinery."""
+    from .textops import dup_components
+    idx, points, _ = _index_for(sf_dir, TRI_RADIUS)
+    edges = epsilon_graph(idx, points, TRI_RADIUS)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src_id"].to_numpy()
+        d = batch["dst_id"].to_numpy()
+        keep = s < d
+        return pa.table({"a_id": s[keep], "b_id": d[keep]})
+
+    out = dup_components(edges.map_batches(canon, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["point_id", "component_id"]),
+        batch_format="pyarrow")
+
+
+def sql_spatial_components() -> str:
+    d = geometry.dist_sql("a.x", "a.y", "b.x", "b.y")
+    return f"""
+WITH RECURSIVE pts AS ({geometry.pts_cte()}),
+e0 AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM pts a, pts b
+  WHERE {d} <= {TRI_RADIUS} AND a.doc_id < b.doc_id
+),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+lab(node, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.v, lab.lbl FROM e JOIN lab ON lab.node = e.u
+)
+SELECT node AS point_id, min(lbl) AS component_id FROM lab GROUP BY node
+ORDER BY point_id
+"""

@@ -71,3 +71,21 @@ def test_triangle_counts_matches_oracle(ray_session):
     for c in got.columns:
         assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
     assert got["n_triangles"].sum() > 0, "vacuous fixture"
+
+
+def test_spatial_components_matches_oracle(ray_session):
+    """Epsilon-graph components through the shared dup_components
+    machinery vs the recursive-CTE closure at sf0.001."""
+    from covertile import api
+
+    got = (api.q_spatial_components(SF).to_pandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(api.sql_spatial_components()).df()
+    assert len(got) == len(want)
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+    assert (got["component_id"] != got["point_id"]).any(), "vacuous"
