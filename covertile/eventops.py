@@ -1858,6 +1858,9 @@ def window_heavy_hitters(events_ds, window_minutes: int = WINDOW_MINUTES,
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        if len(ts) == 0:
+            z = np.zeros(0, np.int64)
+            return pa.table({"window_start_us": z, "user_id": z, "n": z})
         win = (ts // win_us) * win_us
         uid = batch["user_id"].to_numpy()
         order = np.lexsort((uid, win))

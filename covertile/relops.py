@@ -827,13 +827,16 @@ def order_priority_counts(li_ds, od_ds, late_days: int = Q4_LATE_DAYS,
         key = group["key"].to_numpy()
         li = side == 1
         lk, inv = np.unique(key[li], return_inverse=True)
+        okey = key[~li]
+        if len(lk) == 0 or len(okey) == 0:
+            return pa.table({"prio": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
         mx = np.full(len(lk), np.iinfo(np.int64).min, np.int64)
         np.maximum.at(mx, inv, group["ship_us"].to_numpy()[li])
-        okey = key[~li]
         pos = np.searchsorted(lk, okey)
         pos_ok = (pos < len(lk))
-        pos_c = np.minimum(pos, max(len(lk) - 1, 0))
-        hit = pos_ok & (len(lk) > 0) & (lk[pos_c] == okey) & (
+        pos_c = np.minimum(pos, len(lk) - 1)
+        hit = pos_ok & (lk[pos_c] == okey) & (
             mx[pos_c] > group["odate_us"].to_numpy()[~li] + late_us)
         prio = np.asarray(group["prio"], dtype=object)[~li][hit]
         uk, inv2 = np.unique(prio, return_inverse=True)

@@ -496,3 +496,16 @@ def test_uniques_sketch_envelope_and_merge_order(ray_session, con):
     nd = exact["nd"].to_numpy().astype(float)
     est = a["hll_users"].to_numpy()
     assert np.all(np.abs(est - nd) <= np.maximum(0.15 * nd, 3.0))
+
+
+def test_window_heavy_hitters_empty_block(ray_session):
+    """Empty input blocks flow through the partial without indexing."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import eventops
+
+    empty = pa.table({
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+    })
+    assert eventops.window_heavy_hitters(rd.from_arrow(empty)).count() == 0

@@ -134,3 +134,25 @@ def test_new_rel_query_matches_oracle(ray_session, con, name):
             assert np.array_equal(a.view(np.int64), b.view(np.int64)), c
         else:
             assert np.array_equal(a, b), c
+
+
+def test_order_priority_counts_empty_bucket(ray_session):
+    """A hash bucket holding orders but no lineitems (or vice versa)
+    must resolve to zero matches, not an index error."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import relops
+
+    li = pa.table({
+        "l_orderkey": pa.array([1], pa.int64()),
+        "l_shipdate": pa.array([np.datetime64("1995-06-01", "us")]),
+    })
+    od = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * 8),
+        "o_orderpriority": pa.array(["1-URGENT"] * 8, pa.string()),
+    })
+    got = relops.order_priority_counts(
+        rd.from_arrow(li), rd.from_arrow(od)).to_pandas()
+    assert got["n_orders"].sum() == 1  # only order 1 has a late lineitem
