@@ -1826,6 +1826,10 @@ def tfidf_keywords(docs_ds, k: int = TFIDF_K,
 
     def _doc_tf(batch: pa.Table):
         """Per-(doc, token) tf rows, complete within the block."""
+        if len(batch) == 0:
+            z = np.zeros(0, np.int64)
+            return (z, z, z, z, z,
+                    pa.array([], pa.string()))
         toks = _token_lists(_text_col(batch))
         lens = np.asarray(pc.list_value_length(toks), np.int64)
         doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)

@@ -137,6 +137,18 @@ def test_tfidf_keywords_fallback_equals_broadcast(ray_session, con):
     assert_matches(bcast, want[bcast.columns], "tfidf_keywords oracle")
 
 
+def test_bigram_family_empty_input(ray_session):
+    """Empty corpora flow through both vocabulary-pass operators."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import textops as T
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    assert T.tfidf_keywords(rd.from_arrow(empty)).count() == 0
+    assert T.bigram_lm_score(rd.from_arrow(empty)).count() == 0
+
+
 def test_mixture_rebalance_empty_input(ray_session):
     """An empty corpus returns an empty typed relation (the oracle's
     behavior), not a zero-size-reduction crash."""
