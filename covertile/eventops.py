@@ -1763,6 +1763,13 @@ def uniques_sketch(events_ds, nbuckets: int | None = None):
         g_all = np.concatenate([r_g, cuk])
         et_all = tu[(g_all // (1 << 40)).astype(np.int64)]
         day_all = g_all % (1 << 40)
+        # Shuffle key MUST be a pure function of (event_type, day):
+        # gkey embeds the batch-LOCAL np.unique type index, which drifts
+        # when a batch lacks one of the types, splitting the same group
+        # across two bk buckets (combine would then emit it twice).
+        from .textops import md5_u64
+        pure = md5_u64(pa.array(et_all, pa.string())) \
+            + day_all.astype(np.uint64)
         return pa.table({
             "event_type": pa.array(et_all, pa.string()),
             "day": day_all,
@@ -1770,7 +1777,7 @@ def uniques_sketch(events_ds, nbuckets: int | None = None):
                                       np.full(len(cuk), -1, np.int64)]),
             "rho": np.concatenate([mx, np.zeros(len(cuk), np.int64)]),
             "n": np.concatenate([np.zeros(len(r_g), np.int64), cn]),
-            "bk": ((_mix64(g_all) * PHI) >> SHIFT).astype(np.int64),
+            "bk": ((_mix64(pure) * PHI) >> SHIFT).astype(np.int64),
         })
 
     def combine(g: pa.Table) -> pa.Table:

@@ -498,6 +498,23 @@ def test_uniques_sketch_envelope_and_merge_order(ray_session, con):
     assert np.all(np.abs(est - nd) <= np.maximum(0.15 * nd, 3.0))
 
 
+def test_uniques_sketch_type_disjoint_batches(ray_session):
+    """Regression: the shuffle key must be a pure function of
+    (event_type, day).  Sorting by event_type makes most batches hold a
+    SINGLE type, so a key derived from the batch-local np.unique type
+    index would split the same group across buckets and emit duplicate
+    (event_type, day) rows."""
+    from covertile import eventops
+    from covertile.sources import read_table
+    ev = read_table(SF, "events", ("event_type", "ts", "user_id"))
+    base = eventops.uniques_sketch(ev).to_pandas()
+    sorted_ev = ev.sort("event_type").repartition(13)
+    got = eventops.uniques_sketch(sorted_ev).to_pandas()
+    assert len(got) == len(base)
+    for c_ in base.columns:
+        assert np.array_equal(got[c_].to_numpy(), base[c_].to_numpy()), c_
+
+
 def test_window_heavy_hitters_empty_block(ray_session):
     """Empty input blocks flow through the partial without indexing."""
     import pyarrow as pa
