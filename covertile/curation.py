@@ -27,6 +27,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from .joins import mat
 import pyarrow.compute as pc
 
 from . import textops as T
@@ -157,7 +159,7 @@ def sequence_pack(docs_ds, seq_len: int = SEQ_LEN,
             "last_seq": (start + np.maximum(n, 1) - 1) // L,
         })
 
-    return (counted.map_batches(bucketize, batch_format="pyarrow")
+    return (mat(counted.map_batches(bucketize, batch_format="pyarrow"))
             .groupby("bk").map_groups(assign, batch_format="pyarrow")
             .sort("doc_id"))
 
@@ -353,7 +355,7 @@ def split_contamination(docs_ds, k: int = CONTAM_K,
                 minlength=len(uk_h)).astype(np.int64)
         return pa.table(cols)
 
-    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
+    agg = (mat(docs_ds.map_batches(partial, batch_format="pyarrow"))
            .groupby("sh").sum([f"n_{n}" for n in names]))
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -515,7 +517,8 @@ def table_profile(ds, columns: tuple[str, ...] = PROFILE_COLUMNS):
             "nd": np.bincount(col, minlength=len(cols)).astype(np.int64),
         })
 
-    distinct = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+    distinct = (mat(ds.map_batches(distinct_partial,
+                                   batch_format="pyarrow"))
                 .groupby(["col", "k"]).count()
                 .map_batches(count_per_col, batch_format="pyarrow")
                 .repartition(1))
@@ -690,7 +693,7 @@ def _dup_window_candidates(docs_ds, w: int, s: int):
         hit = nd > 1
         return pa.table({"h": u[hit], "ndocs": nd[hit]})
 
-    return (docs_ds.map_batches(census, batch_format="pyarrow")
+    return (mat(docs_ds.map_batches(census, batch_format="pyarrow"))
             .groupby("bk").map_groups(combine, batch_format="pyarrow")
             .materialize())
 
@@ -883,7 +886,7 @@ def doc_dup_ratio(docs_ds, w: int = DUPSPAN_W, s: int = DUPSPAN_S,
         nd = np.bincount(inv, weights=g["nd"].to_numpy()).astype(np.int64)
         return _out(u, nw, nd)
 
-    return (joined.map_batches(partial, batch_format="pyarrow")
+    return (mat(joined.map_batches(partial, batch_format="pyarrow"))
             .groupby("bk").map_groups(merge, batch_format="pyarrow")
             .sort("doc_id"))
 
@@ -1011,7 +1014,7 @@ def hll_profile(ds, columns: tuple[str, ...] = PROFILE_COLUMNS):
             "n": np.concatenate(ns),
         })
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
+    agg = (mat(ds.map_batches(partial, batch_format="pyarrow"))
            .groupby(["column", "bucket"]).aggregate(
                *_hll_aggs()))
 
@@ -1146,7 +1149,7 @@ def cms_topk_counts(docs_ds, k: int = CMS_TOPK):
         nz = np.flatnonzero(dense)
         return pa.table({"rb": nz + base, "c": dense[nz]})
 
-    cms_rows = (docs_ds.map_batches(part, batch_format="pyarrow")
+    cms_rows = (mat(docs_ds.map_batches(part, batch_format="pyarrow"))
                 .groupby("bk").map_groups(merge, batch_format="pyarrow"))
     cells = np.zeros(n_cells, np.int64)
     for b in cms_rows.iter_batches(batch_size=None,

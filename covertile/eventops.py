@@ -28,6 +28,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .joins import mat
+
 WINDOW_MINUTES = 60
 SESSION_GAP_MINUTES = 30
 
@@ -400,9 +402,10 @@ def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MINUTES,
                 sess_n, u_first_sess),
         })
 
-    part_rows = (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+    part_rows = (mat(events_ds.map_batches(add_bucket,
+                                           batch_format="pyarrow"))
                  .groupby("bk").map_groups(parts, batch_format="pyarrow"))
-    return (part_rows.map_batches(user_bucket, batch_format="pyarrow")
+    return (mat(part_rows.map_batches(user_bucket, batch_format="pyarrow"))
             .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
             .sort("user_id"))
 
@@ -582,9 +585,10 @@ def asof_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
             pass  # no rights anywhere for these users: drop (inner join)
         return pa.concat_tables(out) if out else empty
 
-    staged = (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+    staged = (mat(events_ds.map_batches(add_bucket,
+                                        batch_format="pyarrow"))
               .groupby("bk").map_groups(parts, batch_format="pyarrow"))
-    return (staged.map_batches(user_bucket, batch_format="pyarrow")
+    return (mat(staged.map_batches(user_bucket, batch_format="pyarrow"))
             .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
             .sort("event_id"))
 
@@ -706,7 +710,7 @@ def range_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
             "sum_view_value": s.astype(np.float64) / 100.0,
         })
 
-    return (events_ds.map_batches(route, batch_format="pyarrow")
+    return (mat(events_ds.map_batches(route, batch_format="pyarrow"))
             .groupby("bk").map_groups(agg, batch_format="pyarrow")
             .sort("event_id"))
 
@@ -862,9 +866,9 @@ def funnel(events_ds, first_type: str = FUNNEL_FIRST,
             "latency_us": pu_o - su_o,
         })
 
-    return (events_ds.map_batches(route, batch_format="pyarrow")
-            .groupby("bk").map_groups(parts, batch_format="pyarrow")
-            .map_batches(user_bucket, batch_format="pyarrow")
+    staged = (mat(events_ds.map_batches(route, batch_format="pyarrow"))
+              .groupby("bk").map_groups(parts, batch_format="pyarrow"))
+    return (mat(staged.map_batches(user_bucket, batch_format="pyarrow"))
             .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
             .sort("user_id"))
 
@@ -1143,9 +1147,9 @@ def rolling_window(events_ds, n: int = ROLLING_N,
         nw = (i - j + 1)[head]
         return pa.concat_tables([out_done, _finish(eid[head], nw, s)])
 
-    return (events_ds.map_batches(route, batch_format="pyarrow")
-            .groupby("bk").map_groups(parts, batch_format="pyarrow")
-            .map_batches(user_bucket, batch_format="pyarrow")
+    staged = (mat(events_ds.map_batches(route, batch_format="pyarrow"))
+              .groupby("bk").map_groups(parts, batch_format="pyarrow"))
+    return (mat(staged.map_batches(user_bucket, batch_format="pyarrow"))
             .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
             .sort("event_id"))
 
@@ -1345,9 +1349,9 @@ def transition_counts(events_ds, chunk_hours: int = SESSION_CHUNK_HOURS,
         return out.sort_by([("prev_type", "ascending"),
                             ("next_type", "ascending")])
 
-    return (events_ds.map_batches(route, batch_format="pyarrow")
-            .groupby("bk").map_groups(parts, batch_format="pyarrow")
-            .map_batches(user_bucket, batch_format="pyarrow")
+    staged = (mat(events_ds.map_batches(route, batch_format="pyarrow"))
+              .groupby("bk").map_groups(parts, batch_format="pyarrow"))
+    return (mat(staged.map_batches(user_bucket, batch_format="pyarrow"))
             .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
             .repartition(1)
             .map_batches(combine, batch_format="pyarrow",
@@ -1450,9 +1454,10 @@ def cohort_retention(events_ds, num_buckets: int | None = None):
                          "day": batch["day"],
                          "n_users": batch["sum(n_users)"]})
 
-    return (events_ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("__bucket")
-            .map_groups(bucket_matrix, batch_format="pyarrow")
+    staged = (mat(events_ds.map_batches(partial, batch_format="pyarrow"))
+              .groupby("__bucket")
+              .map_groups(bucket_matrix, batch_format="pyarrow"))
+    return (mat(staged)
             .groupby(["cohort_day", "day"]).aggregate(Sum("n_users"))
             .map_batches(finish, batch_format="pyarrow"))
 
@@ -1683,8 +1688,9 @@ def late_events(events_ds, late_minutes: int = LATE_MINUTES,
             "max_disorder_us": out_md,
         })
 
-    return (events_ds.map_batches(route, batch_format="pyarrow")
-            .groupby("bk").map_groups(parts, batch_format="pyarrow")
+    staged = (mat(events_ds.map_batches(route, batch_format="pyarrow"))
+              .groupby("bk").map_groups(parts, batch_format="pyarrow"))
+    return (mat(staged)
             .groupby("bk").map_groups(stitch, batch_format="pyarrow")
             .sort("user_id"))
 
@@ -1808,7 +1814,7 @@ def uniques_sketch(events_ds, nbuckets: int | None = None):
             "hll_users": pa.array(out_e, pa.float64()),
         })
 
-    return (events_ds.map_batches(partial, batch_format="pyarrow")
+    return (mat(events_ds.map_batches(partial, batch_format="pyarrow"))
             .groupby("bk").map_groups(combine, batch_format="pyarrow")
             .sort(["event_type", "day"]))
 
@@ -1901,7 +1907,7 @@ def window_heavy_hitters(events_ds, window_minutes: int = WINDOW_MINUTES,
                             batch["window_start_us"].to_numpy()))
         return batch.take(pa.array(order))
 
-    return (events_ds.map_batches(partial, batch_format="pyarrow")
+    return (mat(events_ds.map_batches(partial, batch_format="pyarrow"))
             .groupby("window_start_us")
             .map_groups(topk, batch_format="pyarrow")
             .repartition(1)

@@ -27,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .joins import mat
+
 #: broadcast cap for the vertex->degree table (rows); beyond this the
 #: degree attach needs the token_rarity-style hash-join fallback.
 DEGREE_BROADCAST_MAX = 4_000_000
@@ -67,7 +69,7 @@ def triangle_counts(edges_ds):
                         minlength=len(ids)).astype(np.int64)
         return pa.table({"vid": ids, "d": d})
 
-    deg = (edges_ds.map_batches(deg_part, batch_format="pyarrow")
+    deg = (mat(edges_ds.map_batches(deg_part, batch_format="pyarrow"))
            .groupby("bk").map_groups(deg_combine, batch_format="pyarrow")
            .materialize())
     n_verts = deg.count()
@@ -172,9 +174,11 @@ def triangle_counts(edges_ds):
                         minlength=len(ids)).astype(np.int64)
         return pa.table({"point_id": ids, "n_triangles": n})
 
-    return (edges_ds.map_batches(orient, batch_format="pyarrow")
-            .groupby("bk").map_groups(wedges, batch_format="pyarrow")
-            .groupby("bk2").map_groups(close_check, batch_format="pyarrow")
-            .groupby("bk3").map_groups(vertex_combine,
-                                       batch_format="pyarrow")
+    oriented = mat(edges_ds.map_batches(orient, batch_format="pyarrow"))
+    wedge_rows = mat(oriented.groupby("bk").map_groups(
+        wedges, batch_format="pyarrow"))
+    closed = mat(wedge_rows.groupby("bk2").map_groups(
+        close_check, batch_format="pyarrow"))
+    return (closed.groupby("bk3").map_groups(vertex_combine,
+                                             batch_format="pyarrow")
             .sort("point_id"))

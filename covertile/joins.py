@@ -16,7 +16,24 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_join_int_key"]
+__all__ = ["hash_join_int_key", "mat"]
+
+
+def mat(ds):
+    """Materialize a partial/bucketed table before feeding it into a
+    sort-based exchange (groupby / aggregate / sort).
+
+    Ray executes a LAZY upstream once more per exchange it feeds —
+    schema fetch plus boundary sampling: measured 2x for one groupby
+    (topk_terms' tokenize scan 2.46s -> 1.13s at 200k docs) and ~5x for
+    two chained groupbys (the MinHash shingle+signature scan, 28.6s ->
+    5.4s).  Materializing pins the expensive scan to exactly ONE
+    execution; the exchange input lives in the object store either way
+    (the sort shuffle materializes its input blocks), so the footprint
+    cost is bounded by one extra copy of the partial table, which call
+    sites keep partial-sized (value_counts vocab rows, fingerprints,
+    band keys — never the raw corpus payload)."""
+    return ds.materialize()
 
 
 def hash_join_int_key(left_ds, right_ds, key: str,
@@ -143,4 +160,9 @@ def hash_join_int_key(left_ds, right_ds, key: str,
             out = out.append_column(name, pc.take(rt[name], idx_arr))
         return out
 
-    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+    # mat(): even with declared schemas the bucket groupby re-executes
+    # the lazy union's upstream once more (measured 1.9s vs 1.18s on an
+    # 8-block synthetic join); the tagged union is join-input-sized and
+    # the shuffle materializes it anyway.
+    return mat(both).groupby("__bucket").map_groups(
+        merge, batch_format="pyarrow")

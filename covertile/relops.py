@@ -28,7 +28,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from .joins import hash_join_int_key
+from .joins import hash_join_int_key, mat
 
 
 def _cents(col) -> np.ndarray:
@@ -90,7 +90,7 @@ def revenue_by_nation(li_ds, od_ds, cu_ds, nation_tbl: pa.Table):
                        / 10000.0,
         })
 
-    return (j2.map_batches(nation_partial, batch_format="pyarrow")
+    return (mat(j2.map_batches(nation_partial, batch_format="pyarrow"))
             .groupby("n_name").sum("units")
             .map_batches(finalize, batch_format="pyarrow")
             .sort("n_name"))
@@ -134,7 +134,7 @@ def pricing_summary(li_ds):
             "disc_u": seg(disc_units),
         })
 
-    agg = (li_ds.map_batches(partial, batch_format="pyarrow")
+    agg = (mat(li_ds.map_batches(partial, batch_format="pyarrow"))
            .groupby(["l_returnflag", "l_linestatus"])
            .sum(["n", "qty_c", "price_c", "disc_u"]))
 
@@ -278,7 +278,7 @@ def local_supplier_volume(li_ds, od_ds, cu_ds, su_ds, nation_tbl: pa.Table,
                        / 10000.0,
         })
 
-    return (j3.map_batches(nation_partial, batch_format="pyarrow")
+    return (mat(j3.map_batches(nation_partial, batch_format="pyarrow"))
             .groupby("n_name").sum("units")
             .map_batches(finalize, batch_format="pyarrow")
             .sort("n_name"))
@@ -388,7 +388,8 @@ def idle_customers(cu_ds, od_ds, cutoff: str = IDLE_CUTOFF,
             "total_acctbal": cents.astype(np.float64) / 100.0,
         })
 
-    return (routed.groupby("bk").map_groups(anti, batch_format="pyarrow")
+    return (mat(routed).groupby("bk").map_groups(anti,
+                                                 batch_format="pyarrow")
             .repartition(1)
             .map_batches(finalize, batch_format="pyarrow",
                          batch_size=None))
@@ -497,7 +498,8 @@ def shipping_priority(li_ds, od_ds, cu_ds, segment: str = Q3_SEGMENT,
     # per-orderkey merge of the per-block lineitem partials; orderdate /
     # priority are functionally dependent on the key, so they ride as
     # grouping columns
-    agg = (j2.groupby(["o_orderkey", "o_orderdate_us", "o_orderpriority"])
+    agg = (mat(j2)
+           .groupby(["o_orderkey", "o_orderdate_us", "o_orderpriority"])
            .sum("units"))
 
     def topk_part(batch: pa.Table) -> pa.Table:

@@ -35,6 +35,8 @@ import os
 
 import numpy as np
 import pyarrow as pa
+
+from .joins import mat
 import pyarrow.compute as pc
 
 from . import textops as T
@@ -363,7 +365,7 @@ def bm25_topk_store(store_dir: str, terms: tuple[str, ...] = BM25_QUERY,
             "score": score[order],
         })
 
-    return (cand.map_batches(score_partial, batch_format="pyarrow")
+    return (mat(cand.map_batches(score_partial, batch_format="pyarrow"))
             .groupby("gk").map_groups(group_topk, batch_format="pyarrow")
             .repartition(1)
             .map_batches(merge, batch_format="pyarrow", batch_size=None))

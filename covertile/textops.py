@@ -51,6 +51,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .joins import mat
+
 STOPWORDS = ("the", "a", "of", "to", "in", "is", "and")
 SHINGLE_K = 8
 JACCARD_TAU = 0.5
@@ -337,7 +339,7 @@ def exact_dedup(docs_ds):
     # native Arrow aggregate: no per-group Python UDF (one distinct
     # fingerprint per doc in the common case — map_groups would pay ~1ms
     # of Python per group)
-    return (docs_ds.map_batches(partial, batch_format="pyarrow")
+    return (mat(docs_ds.map_batches(partial, batch_format="pyarrow"))
             .groupby("fingerprint").aggregate(Min("keep_id"), Sum("n_dups"))
             .map_batches(rename, batch_format="pyarrow"))
 
@@ -407,7 +409,7 @@ def dedup_keep_best(docs_ds):
                          "keep_id": keep, "keep_n_chars": nc,
                          "n_dups": batch["sum(n_dups)"]})
 
-    return (docs_ds.map_batches(partial, batch_format="pyarrow")
+    return (mat(docs_ds.map_batches(partial, batch_format="pyarrow"))
             .groupby("fingerprint").aggregate(Max("best"), Sum("n_dups"))
             .map_batches(finish, batch_format="pyarrow"))
 
@@ -486,9 +488,10 @@ def cross_source_overlap(docs_ds, k: int = OVERLAP_PREFIX_K):
             "n_sources": pa.array(ns[keep]),
             "n_docs": pa.array(nd[keep])})
 
-    return (docs_ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["fingerprint", "source"]).aggregate(Sum("n"))
-            .map_batches(pair_done, batch_format="pyarrow")
+    pairs = mat(docs_ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["fingerprint", "source"]).aggregate(Sum("n")) \
+        .map_batches(pair_done, batch_format="pyarrow")
+    return (mat(pairs)
             .groupby("fingerprint").aggregate(Sum("one"), Sum("n"))
             .map_batches(finish, batch_format="pyarrow"))
 
@@ -506,21 +509,15 @@ HAVING count(DISTINCT source) > 1 ORDER BY fingerprint
 
 # -------------------------------------------------------- shingles (hashed)
 
-def shingle_batch(batch: pa.Table, k: int = SHINGLE_K):
-    """Per doc: sorted uint64 ids of the DISTINCT k-byte shingles.
-
-    Fully vectorized over the batch's flat UTF-8 buffer: the shingle id is
-    the k bytes packed big-endian into a uint64 — INJECTIVE for k <= 8
-    (the default), so Jaccard set sizes/intersections (and hence the jacc
-    values checked bitwise against the md5-based SQL oracle) are identical
-    for ASCII text, where byte k-grams == the oracle's char k-grams.  For
-    k > 8 the pack degrades to an FNV-style rolling hash (collisions
-    astronomically unlikely but possible).  Returns (doc_ids,
-    list-of-arrays)."""
+def _shingle_flat(batch: pa.Table, k: int):
+    """Vectorized shingle core: (doc_ids, per-doc distinct-shingle
+    counts, flat per-doc-sorted uint64 hashes) — segment layout, no
+    Python list of per-doc arrays (np.split + re-concatenate measured
+    ~80% of the shingle pass at 200k docs)."""
     text = _text_col(batch)
     ids = batch["doc_id"].to_numpy()
     if len(ids) == 0:
-        return ids, []
+        return ids, np.zeros(0, np.int64), np.zeros(0, np.uint64)
     ta = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
     if not pa.types.is_large_string(ta.type):
         ta = ta.cast(pa.large_string())
@@ -531,7 +528,7 @@ def shingle_batch(batch: pa.Table, k: int = SHINGLE_K):
     n_sh = np.maximum(0, blen - k + 1)
     tot = int(n_sh.sum())
     if tot == 0:
-        return ids, [np.zeros(0, np.uint64) for _ in ids]
+        return ids, np.zeros(len(ids), np.int64), np.zeros(0, np.uint64)
     rows = np.repeat(np.arange(len(ids)), n_sh)
     excl = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
     starts = (np.repeat(off[:-1], n_sh)
@@ -546,7 +543,25 @@ def shingle_batch(batch: pa.Table, k: int = SHINGLE_K):
     keep[0] = True
     keep[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
     rs, hs = rs[keep], hs[keep]
-    counts = np.bincount(rs, minlength=len(ids))
+    counts = np.bincount(rs, minlength=len(ids)).astype(np.int64)
+    return ids, counts, hs
+
+
+def shingle_batch(batch: pa.Table, k: int = SHINGLE_K):
+    """Per doc: sorted uint64 ids of the DISTINCT k-byte shingles.
+
+    Fully vectorized over the batch's flat UTF-8 buffer: the shingle id is
+    the k bytes packed big-endian into a uint64 — INJECTIVE for k <= 8
+    (the default), so Jaccard set sizes/intersections (and hence the jacc
+    values checked bitwise against the md5-based SQL oracle) are identical
+    for ASCII text, where byte k-grams == the oracle's char k-grams.  For
+    k > 8 the pack degrades to an FNV-style rolling hash (collisions
+    astronomically unlikely but possible).  Returns (doc_ids,
+    list-of-arrays); hot paths use _shingle_flat's segment layout
+    directly."""
+    ids, counts, hs = _shingle_flat(batch, k)
+    if len(ids) == 0:
+        return ids, []
     return ids, np.split(hs, np.cumsum(counts)[:-1])
 
 
@@ -558,9 +573,7 @@ def shingle_sql_expr(k: int = SHINGLE_K) -> str:
 
 
 def _shingle_table(batch: pa.Table, k: int) -> pa.Table:
-    ids, sets = shingle_batch(batch, k)
-    lens = np.fromiter((len(s) for s in sets), np.int64, len(sets))
-    flat = np.concatenate(sets) if sets else np.zeros(0, np.uint64)
+    ids, lens, flat = _shingle_flat(batch, k)
     off = _segment_offsets(lens)
     arr = pa.LargeListArray.from_arrays(off, pa.array(flat, pa.uint64()))
     return pa.table({"doc_id": ids, "n_sh": lens, "shingles": arr})
@@ -686,8 +699,12 @@ def _candidate_pairs(rows_ds, tau: float | None = None):
                 if len(ai) else np.zeros(0, np.int64))
         return pa.table({"pair": pa.array(pair, pa.int64())})
 
-    cand = (rows_ds.map_batches(bucket, batch_format="pyarrow")
-            .groupby("bk").map_groups(bucket_pairs, batch_format="pyarrow"))
+    # mat(): the lazy shingle/signature scan would re-execute per
+    # exchange (28.6s fused vs 5.4s materialized for MinHash at 200k
+    # docs); the bucketed table is id-sized (bands x docs), never
+    # corpus-sized.
+    cand = mat(rows_ds.map_batches(bucket, batch_format="pyarrow")) \
+        .groupby("bk").map_groups(bucket_pairs, batch_format="pyarrow")
 
     def pbucket(batch: pa.Table) -> pa.Table:
         p = batch["pair"].to_numpy()
@@ -697,7 +714,8 @@ def _candidate_pairs(rows_ds, tau: float | None = None):
         return pa.table({"pair": pa.array(np.unique(g["pair"].to_numpy()),
                                           pa.int64())})
 
-    return (cand.map_batches(pbucket, batch_format="pyarrow")
+    # Same rule for the (pair-sized) dedup exchange.
+    return (mat(cand.map_batches(pbucket, batch_format="pyarrow"))
             .groupby("bk").map_groups(uniq, batch_format="pyarrow"))
 
 
@@ -913,7 +931,7 @@ def _sampled_df(docs_ds, k: int, sample_mod: int, top_k: int = DF_TOP_K):
         u, c = np.unique(flat, return_counts=True)
         return pa.table({"sh": u.view(np.int64), "c": c.astype(np.int64)})
 
-    top = (docs_ds.map_batches(part, batch_format="pyarrow")
+    top = (mat(docs_ds.map_batches(part, batch_format="pyarrow"))
            .groupby("sh").sum("c")
            .sort(["sum(c)", "sh"], descending=[True, False])
            .limit(top_k))
@@ -1168,10 +1186,11 @@ def simhash_dup_pairs(docs_ds, max_ham: int = SIMHASH_HAM,
             "hamming": pa.array(group["hamming"].to_numpy()[ui], pa.int64()),
         })
 
-    return (docs_ds.map_batches(block_rows, batch_format="pyarrow")
-            .map_batches(add_coarse, batch_format="pyarrow")
+    cand = (mat(docs_ds.map_batches(block_rows, batch_format="pyarrow")
+                .map_batches(add_coarse, batch_format="pyarrow"))
             .groupby("bk").map_groups(bucket_pairs, batch_format="pyarrow")
-            .map_batches(pbucket, batch_format="pyarrow")
+            .map_batches(pbucket, batch_format="pyarrow"))
+    return (mat(cand)
             .groupby("bk2").map_groups(emit, batch_format="pyarrow"))
 
 
@@ -1227,7 +1246,7 @@ def topk_terms(docs_ds, k: int = TOPK_TERMS_K):
         return pa.table({"token": pa.array(u[order], pa.string()),
                          "n": n[order]})
 
-    return (docs_ds.map_batches(part, batch_format="pyarrow")
+    return (mat(docs_ds.map_batches(part, batch_format="pyarrow"))
             .groupby("bk").map_groups(combine, batch_format="pyarrow")
             .sort(["n", "token"], descending=[True, False])
             .limit(k))
@@ -1289,7 +1308,7 @@ def token_rarity(docs_ds, broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
                         minlength=len(u)).astype(np.int64)
         return pa.table({"th": u, "n": n})
 
-    vocab = (docs_ds.map_batches(vocab_part, batch_format="pyarrow")
+    vocab = (mat(docs_ds.map_batches(vocab_part, batch_format="pyarrow"))
              .groupby("bk").map_groups(vocab_combine,
                                        batch_format="pyarrow")
              .materialize())
@@ -1400,7 +1419,7 @@ def token_rarity(docs_ds, broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
         np.maximum.at(mx, inv, g["mx"].to_numpy())
         return _doc_table(u, nt, s, mn, mx)
 
-    return (joined.map_batches(doc_part, batch_format="pyarrow")
+    return (mat(joined.map_batches(doc_part, batch_format="pyarrow"))
             .groupby("bk").map_groups(doc_combine, batch_format="pyarrow")
             .sort("doc_id"))
 
@@ -1509,7 +1528,7 @@ def bigram_lm_score(docs_ds,
                         minlength=len(u)).astype(np.int64)
         return pa.table({"th": u, "n": n})
 
-    vocab = (docs_ds.map_batches(vocab_part, batch_format="pyarrow")
+    vocab = (mat(docs_ds.map_batches(vocab_part, batch_format="pyarrow"))
              .groupby("bk").map_groups(vocab_combine,
                                        batch_format="pyarrow")
              .materialize())
@@ -1641,7 +1660,7 @@ def bigram_lm_score(docs_ds,
             _isum(inv, g["sbg"].to_numpy(), len(u)),
             _isum(inv, g["spre"].to_numpy(), len(u)))
 
-    return (joined.map_batches(doc_part, batch_format="pyarrow")
+    return (mat(joined.map_batches(doc_part, batch_format="pyarrow"))
             .groupby("bk").map_groups(doc_combine, batch_format="pyarrow")
             .sort("doc_id"))
 
@@ -1769,7 +1788,7 @@ def ngram_diversity(docs_ds):
             "diversity": dist.astype(np.float64) / tot.astype(np.float64),
         })
 
-    return (docs_ds.map_batches(part, batch_format="pyarrow")
+    return (mat(docs_ds.map_batches(part, batch_format="pyarrow"))
             .groupby("bk").map_groups(bucket, batch_format="pyarrow")
             .repartition(1)
             .map_batches(finalize, batch_format="pyarrow",
@@ -1859,7 +1878,7 @@ def tfidf_keywords(docs_ds, k: int = TFIDF_K,
                         minlength=len(u)).astype(np.int64)
         return pa.table({"th": u, "n": n})
 
-    vocab = (docs_ds.map_batches(df_part, batch_format="pyarrow")
+    vocab = (mat(docs_ds.map_batches(df_part, batch_format="pyarrow"))
              .groupby("bk").map_groups(df_combine, batch_format="pyarrow")
              .materialize())
 
@@ -1939,7 +1958,7 @@ def tfidf_keywords(docs_ds, k: int = TFIDF_K,
         return _topk_rows(u, inv, tok, g["tf"].to_numpy(),
                           g["n"].to_numpy())
 
-    return (joined.map_batches(regroup, batch_format="pyarrow")
+    return (mat(joined.map_batches(regroup, batch_format="pyarrow"))
             .groupby("bk").map_groups(doc_topk, batch_format="pyarrow")
             .sort(["doc_id", "rank"]))
 
@@ -2042,7 +2061,7 @@ def mixture_rebalance(docs_ds):
         return pa.table({"source": vc.field("values"),
                          "c": vc.field("counts").cast(pa.int64())})
 
-    rows = (docs_ds.map_batches(part, batch_format="pyarrow")
+    rows = (mat(docs_ds.map_batches(part, batch_format="pyarrow"))
             .groupby("source").sum("c").take_all())  # ≤ |sources| rows
     if not rows:  # empty corpus: the oracle returns an empty relation
         import ray.data as _rd
@@ -2184,7 +2203,7 @@ def corpus_filter(docs_ds, min_tokens: int = FILTER_MIN_TOKENS,
     def emit(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch["min(doc_id)"]})
 
-    return (docs_ds.map_batches(gate, batch_format="pyarrow")
+    return (mat(docs_ds.map_batches(gate, batch_format="pyarrow"))
             .groupby("fp").min("doc_id")
             .map_batches(emit, batch_format="pyarrow")
             .sort("doc_id"))
@@ -2258,7 +2277,7 @@ def group_quantiles(docs_ds, group_col: str = "lang",
                 pa.int64())
         return pa.table(cols)
 
-    return (docs_ds.map_batches(part, batch_format="pyarrow")
+    return (mat(docs_ds.map_batches(part, batch_format="pyarrow"))
             .groupby(group_col).map_groups(quant, batch_format="pyarrow")
             .sort(group_col))
 
@@ -2632,7 +2651,7 @@ def grouped_topk(docs_ds, group_col: str = "lang",
             order_col: v[order],
         })
 
-    return (docs_ds.map_batches(part, batch_format="pyarrow")
+    return (mat(docs_ds.map_batches(part, batch_format="pyarrow"))
             .groupby(group_col).map_groups(final, batch_format="pyarrow")
             .sort([group_col, "rank"]))
 

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from .joins import mat
 import pyarrow.compute as pc
 
 ANN_K = 5
@@ -227,7 +229,7 @@ def _topk_merge_bucketed(scored_ds, k: int, value_col: str = "cos",
         return pa.table({"query_id": q_s[keep], "rank": rank[keep],
                          "neighbor_id": nid_s[keep]})
 
-    return (scored_ds.map_batches(bucket, batch_format="pyarrow")
+    return (mat(scored_ds.map_batches(bucket, batch_format="pyarrow"))
             .groupby("bk").map_groups(merge_bucket, batch_format="pyarrow"))
 
 
@@ -367,7 +369,8 @@ def cosine_pairs_partitioned(emb_ds, centroids: np.ndarray,
         return pa.table({"bucket": h_s[starts].astype(np.int64),
                          "min_cos": np.minimum.reduceat(v_s, starts)})
 
-    rad = (emb_ds.map_batches(radius_partial, batch_format="pyarrow")
+    rad = (mat(emb_ds.map_batches(radius_partial,
+                                  batch_format="pyarrow"))
            .groupby("bucket").min("min_cos")
            .take_all())  # ≤ K rows — a K-vector aggregate, never the data
     cos_r = np.full(len(cent), 2.0)  # empty bucket: no partner can home
@@ -473,7 +476,11 @@ def cosine_pairs_partitioned(emb_ds, centroids: np.ndarray,
         return pa.table({"a_id": np.concatenate(out_a),
                          "b_id": np.concatenate(out_b)})
 
-    return (emb_ds.map_batches(route, batch_format="pyarrow")
+    # mat(): the routed table duplicates halo vectors (bounded by the
+    # angular-halo analysis) and the shuffle materializes it anyway; the
+    # alternative is re-running the normalize+centroid-GEMM scan per
+    # exchange consumer.
+    return (mat(emb_ds.map_batches(route, batch_format="pyarrow"))
             .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
 
 
@@ -778,7 +785,8 @@ def cosine_lsh_pairs(emb_ds, tau: float = LSH_TAU,
         p = np.unique(id_s[ai] * _LSH_PAIR_SHIFT + id_s[bi])
         return pa.table({"pair": pa.array(p)})     # id_s[ai] < id_s[bi]
 
-    cand_pairs = (emb_ds.map_batches(band_rows, batch_format="pyarrow")
+    cand_pairs = (mat(emb_ds.map_batches(band_rows,
+                                         batch_format="pyarrow"))
                   .groupby("bk").map_groups(cands, batch_format="pyarrow"))
 
     def pbucket(batch: pa.Table) -> pa.Table:
@@ -790,7 +798,7 @@ def cosine_lsh_pairs(emb_ds, tau: float = LSH_TAU,
         return pa.table({"pair": pa.array(np.unique(g["pair"].to_numpy()),
                                           pa.int64())})
 
-    dedup = (cand_pairs.map_batches(pbucket, batch_format="pyarrow")
+    dedup = (mat(cand_pairs.map_batches(pbucket, batch_format="pyarrow"))
              .groupby("bk").map_groups(uniq, batch_format="pyarrow")
              .select_columns(["pair"]))
     return _verify_cosine(dedup, emb_ds, tau, chunk)
