@@ -293,8 +293,8 @@ def build_index(
             "build_wall_s": pa.array([wall], pa.float64()),
         })
 
-    (points_ds
-     .map_batches(assign_pid, batch_format="pyarrow")
+    from .joins import mat
+    (mat(points_ds.map_batches(assign_pid, batch_format="pyarrow"))
      .groupby("pid")
      .map_groups(build_group, batch_format="pyarrow")
      .count())  # consume: small lineage rows only

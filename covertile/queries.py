@@ -24,6 +24,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .joins import mat
+
 from . import cells, kernels, store
 from .actors import KnnCandidateActor, RadiusQueryActor
 from .pipeline import Index
@@ -200,7 +202,7 @@ def epsilon_graph(index: Index, points_ds, radius: float,
         })
 
     queries = points_ds.map_batches(add_radius, batch_format="pyarrow")
-    routed = route_queries(queries, index.plan)
+    routed = mat(route_queries(queries, index.plan))
     if mode == "groups":
         ck = index.ckpt_dir
 
@@ -460,11 +462,13 @@ def knn_join(index: Index, points_ds, k: int,
                 group["x"].to_numpy(), group["y"].to_numpy(), k, plan,
                 KNN_RADIUS_CAP))
 
-        home_routed = points_ds.map_batches(add_home, batch_format="pyarrow")
+        home_routed = mat(points_ds.map_batches(add_home,
+                                                batch_format="pyarrow"))
         phase1 = home_routed.groupby("pid").map_groups(
             home_group, batch_format="pyarrow")
     else:
-        home_routed = points_ds.map_batches(add_home, batch_format="pyarrow")
+        home_routed = mat(points_ds.map_batches(add_home,
+                                                batch_format="pyarrow"))
         phase1 = home_routed.sort("pid").map_batches(
             KnnHomeActor,
             fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k,
@@ -578,8 +582,8 @@ def knn_join(index: Index, points_ds, k: int,
         phase2 = queries.map_batches(phase2_batch, batch_format="pyarrow",
                                      batch_size=None)
     else:
-        routed = route_queries(
-            queries.repartition(64), index.plan, with_home=True)
+        routed = mat(route_queries(
+            queries.repartition(64), index.plan, with_home=True))
         cands = routed.sort("pid").map_batches(
             KnnCandidateActor,
             fn_constructor_kwargs={"ckpt_dir": index.ckpt_dir, "k": k},
@@ -587,7 +591,7 @@ def knn_join(index: Index, points_ds, k: int,
             batch_size=batch_size,
             concurrency=concurrency,
         )
-        phase2 = cands.groupby("home_pid").map_groups(
+        phase2 = mat(cands).groupby("home_pid").map_groups(
             lambda g: _knn_merge(g, k), batch_format="pyarrow")
     phase2 = (phase2
               .map_batches(lambda t: t.filter(pc.greater(t["rank"], 0)),
