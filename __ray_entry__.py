@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_agg": api.q_tile_agg,
         "cell_stats": api.q_cell_stats,
         "span_stats": api.q_span_stats,
+        "span_transitions": api.q_span_transitions,
         "doc_enrich": api.q_doc_enrich,
         "triangle_counts": api.q_triangle_counts,
         "spatial_components": api.q_spatial_components,
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_agg": api.sql_tile_agg(),
         "cell_stats": api.sql_cell_stats(),
         "span_stats": api.sql_span_stats(),
+        "span_transitions": api.sql_span_transitions(),
         "doc_enrich": api.sql_doc_enrich(),
         "triangle_counts": api.sql_triangle_counts(),
         "spatial_components": api.sql_spatial_components(),

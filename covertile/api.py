@@ -270,6 +270,90 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_span_transitions(sf_dir: str):
+    """Corpus-wide counts of ADJACENT span-kind pairs: (prev_kind,
+    next_kind, n).  Read off the ACTUAL nested spans column in offset
+    order, so this is the end-to-end machine check of the north rule's
+    span-sequence invariant — a reorder, drop or duplication anywhere in
+    the derive -> nested-Arrow -> flatten path changes these counts,
+    while per-doc tallies (span_stats) would not notice a swap.
+
+    Scale shape: pure per-batch pass over the span table into <= 4
+    partial rows per block, one 4-key exchange."""
+    import pyarrow.compute as pc
+
+    from . import spans as S
+    from .joins import mat
+    docs = _read_docs(sf_dir,
+                      columns=("doc_id", "text", "source", "n_chars"))
+    tbl = S.span_table(docs)
+    names = np.array(["text", "media"], dtype=object)
+
+    def part(batch: pa.Table) -> pa.Table:
+        col = batch["spans"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = np.asarray(pc.list_value_length(col), np.int64)
+        flat = col.flatten()
+        k = np.asarray(pc.equal(flat.field("kind"), "media")) \
+            .astype(np.int64)
+        off = np.asarray(flat.field("offset"), np.int64)
+        row = np.repeat(np.arange(len(lens)), lens)
+        order = np.lexsort((off, row))   # offset order within each doc
+        r_s, k_s = row[order], k[order]
+        same = r_s[1:] == r_s[:-1] if len(r_s) else np.zeros(0, bool)
+        code = k_s[:-1][same] * 2 + k_s[1:][same]
+        n = np.bincount(code, minlength=4).astype(np.int64)
+        return pa.table({
+            "prev_kind": pa.array(names[[0, 0, 1, 1]], pa.string()),
+            "next_kind": pa.array(names[[0, 1, 0, 1]], pa.string()),
+            "n": n,
+        })
+
+    agg = (mat(tbl.map_batches(part, batch_format="pyarrow"))
+           .groupby(["prev_kind", "next_kind"]).sum("n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = batch["sum(n)"].to_numpy() > 0  # oracle GROUP BY emits
+        return pa.table({                      # only occurring pairs
+            "prev_kind": batch["prev_kind"],
+            "next_kind": batch["next_kind"],
+            "n": batch["sum(n)"],
+        }).filter(pa.array(keep))
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+            .sort(["prev_kind", "next_kind"]))
+
+
+def sql_span_transitions() -> str:
+    """Mirrors interleave_spans' position formulas (spans.py): text i
+    sits at i + min(i, M), media j at min(j+1, T) + j; adjacency via a
+    per-doc lead() over pos."""
+    from .spans import MEDIA_MOD, TEXT_CHUNK
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         GREATEST(1, CAST(ceil(n_chars / {TEXT_CHUNK}.0) AS BIGINT)) AS t_n,
+         CAST(doc_id % {MEDIA_MOD} AS BIGINT) AS m_n
+  FROM documents),
+tx AS (SELECT doc_id, CAST(i + LEAST(i, m_n) AS BIGINT) AS pos,
+              'text' AS kind
+       FROM (SELECT doc_id, m_n, unnest(range(t_n)) AS i FROM d)),
+md AS (SELECT doc_id, CAST(LEAST(j + 1, t_n) + j AS BIGINT) AS pos,
+              'media' AS kind
+       FROM (SELECT doc_id, t_n, unnest(range(m_n)) AS j FROM d)),
+s AS (SELECT * FROM tx UNION ALL SELECT * FROM md),
+p AS (SELECT doc_id, kind AS prev_kind,
+             lead(kind) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS next_kind
+      FROM s)
+SELECT prev_kind, next_kind, count(*) AS n
+FROM p WHERE next_kind IS NOT NULL
+GROUP BY prev_kind, next_kind
+ORDER BY prev_kind, next_kind
+"""
+
+
 # ---------------------------------------------------- flagship: doc enrich
 
 def q_doc_enrich(sf_dir: str):
