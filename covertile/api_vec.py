@@ -187,6 +187,16 @@ def sql_frame_sample() -> str:
     return mediaops.frame_sample_sql()
 
 
+def q_media_dedup(sf_dir: str):
+    """Dedup by DECODED media content (dims + frames + pixels through
+    the native codec) — the media arm of the dedup family."""
+    return mediaops.media_dedup(sf_dir)
+
+
+def sql_media_dedup() -> str:
+    return mediaops.media_dedup_sql()
+
+
 def q_media_pixel_stats(sf_dir: str):
     """Full pixel decode (inflate + unfilter) of every payload — the
     driver row that proves the native codec end-to-end, not just header
@@ -232,6 +242,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "media_pixel_stats": q_media_pixel_stats,
+    "media_dedup": q_media_dedup,
     "sq_stats": q_sq_stats,
     "sq_ann_topk": q_sq_ann_topk,
     "ivf_sq_topk_store": q_ivf_sq_topk_store,
@@ -249,6 +260,7 @@ ORACLES = {
     "media_resize": sql_media_resize,
     "frame_sample": sql_frame_sample,
     "media_pixel_stats": sql_media_pixel_stats,
+    "media_dedup": sql_media_dedup,
     "sq_stats": sql_sq_stats,
     "sq_ann_topk": sql_sq_ann_topk,
     "ivf_sq_topk_store": sql_sq_ann_topk,

@@ -653,6 +653,141 @@ class MediaPixelStatsActor:
         return out
 
 
+class MediaPixelHashActor:
+    """Actor-pool content-hash stage: full native decode (decode_png)
+    then md5 over (width, height, n_frames, raw pixel bytes).  Two
+    payloads hash equal iff they decode to the same animation-aware
+    image — the media arm of the dedup family."""
+
+    def __init__(self):
+        self.codec = "native-png"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n = len(payload)
+        hh = np.empty(n, np.uint64)
+        w = np.empty(n, np.int64)
+        h = np.empty(n, np.int64)
+        for i in range(n):
+            buf = payload[i].as_py()
+            img = decode_png(buf)
+            h[i], w[i] = img.shape[0], img.shape[1]
+            m = hashlib.md5()
+            m.update(np.array([w[i], h[i], png_frames(buf)],
+                              np.int64).tobytes())
+            m.update(img.tobytes())
+            hh[i] = int.from_bytes(m.digest()[:8], "big")
+        out = batch.select(["media_ref"])
+        out = out.append_column("content_h",
+                                pa.array(hh.view(np.int64), pa.int64()))
+        out = out.append_column("width", pa.array(w, pa.int64()))
+        out = out.append_column("height", pa.array(h, pa.int64()))
+        return out
+
+
+def media_dedup(sf_dir: str, concurrency=(1, 4)):
+    """Exact media dedup by DECODED content: every payload is fully
+    decoded and hashed over (dims, frame count, pixels); spans sharing a
+    hash are one group -> (keep_ref = min media_ref, n_copies, width,
+    height) sorted by keep_ref.  Scale shape: per-batch pre-merge to one
+    row per distinct content per block, one coarse-bucket exchange
+    (exact_dedup's discipline); payload bytes never shuffle."""
+    from .joins import mat
+    from .textops import _coarse_bucket
+
+    hashed = _read_media_store(
+        sf_dir, ["doc_id", "media_ref", "offset", "payload"]
+    ).map_batches(
+        MediaPixelHashActor,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=concurrency,
+    )
+
+    def _merge(ch, refs, w, h, n_in):
+        order = np.lexsort((refs.astype("U"), ch))
+        ch_s, r_s = ch[order], refs[order]
+        w_s, h_s, n_s = w[order], h[order], n_in[order]
+        new = np.empty(len(ch_s), bool)
+        new[0] = True
+        new[1:] = ch_s[1:] != ch_s[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        n = np.zeros(len(starts), np.int64)
+        np.add.at(n, seg, n_s)
+        return ch_s[starts], r_s[starts], w_s[starts], h_s[starts], n
+
+    def part(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "content_h": pa.array([], pa.int64()),
+                "keep_ref": pa.array([], pa.string()),
+                "width": pa.array([], pa.int64()),
+                "height": pa.array([], pa.int64()),
+                "n_copies": pa.array([], pa.int64()),
+                "bk": pa.array([], pa.int64()),
+            })
+        ch, r, w, h, n = _merge(
+            batch["content_h"].to_numpy(),
+            np.asarray(batch["media_ref"], dtype=object),
+            batch["width"].to_numpy(), batch["height"].to_numpy(),
+            np.ones(len(batch), np.int64))
+        return pa.table({
+            "content_h": ch,
+            "keep_ref": pa.array(r, pa.string()),
+            "width": w, "height": h, "n_copies": n,
+            "bk": _coarse_bucket(ch),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        ch, r, w, h, n = _merge(
+            g["content_h"].to_numpy(),
+            np.asarray(g["keep_ref"], dtype=object),
+            g["width"].to_numpy(), g["height"].to_numpy(),
+            g["n_copies"].to_numpy())
+        return pa.table({
+            "keep_ref": pa.array(r, pa.string()),
+            "n_copies": n, "width": w, "height": h,
+        })
+
+    return (mat(hashed.map_batches(part, batch_format="pyarrow"))
+            .groupby("bk").map_groups(combine, batch_format="pyarrow")
+            .sort("keep_ref"))
+
+
+def media_dedup_sql() -> str:
+    """Oracle: the payload contract makes decoded content a pure
+    function of the ref's ascii sum through the moduli the pixel/dim/
+    frame formulas use — pixels depend on s % 256, width on s % 28,
+    height on s % 33, frames on s % 24 — so grouping by that residue
+    tuple IS grouping by decoded content."""
+    from .spans import MEDIA_MOD
+    asum = ("list_sum(list_transform(range(1, length(ref) + 1), "
+            "i -> ascii(substr(ref, CAST(i AS INT), 1))))")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(doc_id % {MEDIA_MOD} AS BIGINT) AS m_n
+  FROM documents),
+refs AS (
+  SELECT 'media://' || source || '/' || CAST(doc_id AS VARCHAR)
+         || '/' || CAST(j AS VARCHAR) AS ref
+  FROM (SELECT doc_id, source, unnest(range(m_n)) AS j FROM d)),
+ss AS (SELECT ref, CAST({asum} AS BIGINT) AS s FROM refs),
+g AS (
+  SELECT s % 256 AS c0, s % 28 AS c1, s % 33 AS c2, s % 24 AS c3,
+         min(ref) AS keep_ref, count(*) AS n_copies
+  FROM ss GROUP BY 1, 2, 3, 4)
+SELECT keep_ref, n_copies,
+       CAST(160 + 16 * c1 AS BIGINT) AS width,
+       CAST(90 + 9 * c2 AS BIGINT) AS height
+FROM g ORDER BY keep_ref
+"""
+
+
 def media_pixel_stats(sf_dir: str, concurrency=(1, 4)):
     return _read_media_store(
         sf_dir, ["doc_id", "media_ref", "offset", "payload"]

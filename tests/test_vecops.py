@@ -36,13 +36,32 @@ def assert_matches(got, want, name):
     "embedding_cosine_dedup", "cosine_lsh_dedup", "emb_knn",
     "ivf_topk_exact", "ivf_topk_store",
     "media_features", "media_resize", "frame_sample",
-    "media_pixel_stats",
+    "media_pixel_stats", "media_dedup",
 ])
 def test_vec_query_matches_oracle(ray_session, con, name):
     from covertile import api_vec
     got = fetch(api_vec.QUERIES[name](SF))
     want = con.execute(api_vec.ORACLES[name]()).df()
     assert_matches(got, want, name)
+
+
+def test_media_dedup_groups_by_decoded_content(ray_session):
+    """Two different refs whose payloads decode to identical
+    (dims, frames, pixels) land in ONE group, and every span is
+    accounted for exactly once."""
+    from covertile import api_vec, mediaops, spans
+    out = fetch(api_vec.QUERIES["media_dedup"](SF))
+    import duckdb as _dd
+    con = _dd.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    n_spans = con.execute(
+        f"SELECT CAST(SUM(doc_id % {spans.MEDIA_MOD}) AS BIGINT) "
+        f"FROM documents").fetchone()[0]
+    assert int(out["n_copies"].sum()) == int(n_spans)
+    assert (out["n_copies"] > 1).any()  # real cross-ref dup groups
+    # keep_ref is the lexicographic min of its group: unique keys
+    assert out["keep_ref"].is_unique
 
 
 def test_float_margins_are_safe(con):
