@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_stats": api.q_cell_stats,
         "span_stats": api.q_span_stats,
         "span_transitions": api.q_span_transitions,
+        "knn_radius_quantiles": api.q_knn_radius_quantiles,
         "doc_enrich": api.q_doc_enrich,
         "triangle_counts": api.q_triangle_counts,
         "spatial_components": api.q_spatial_components,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_stats": api.sql_cell_stats(),
         "span_stats": api.sql_span_stats(),
         "span_transitions": api.sql_span_transitions(),
+        "knn_radius_quantiles": api.sql_knn_radius_quantiles(),
         "doc_enrich": api.sql_doc_enrich(),
         "triangle_counts": api.sql_triangle_counts(),
         "spatial_components": api.sql_spatial_components(),

@@ -110,6 +110,62 @@ WHERE rank <= {KNN_K} ORDER BY query_id, rank
 """
 
 
+KNN_RADIUS_QS = (25, 50, 75, 90, 99)
+
+
+def q_knn_radius_quantiles(sf_dir: str):
+    """Exact discrete quantiles of the distance to the K-th nearest
+    neighbor — the standard diagnostic for choosing an epsilon radius
+    before a density query.  Composes the kNN engine with the
+    group_quantiles histogram discipline: the exchange carries one row
+    per DISTINCT k-th distance per block (the point-sized radius
+    column, never the k·n pair table)."""
+    import pyarrow.compute as pc
+
+    from .joins import mat
+    idx, points, n = _index_for(sf_dir, None)
+    kd = knn_join(idx, points, KNN_K, n_points_hint=n)
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["rank"], KNN_K))
+        uv, c = np.unique(t["dist"].to_numpy(), return_counts=True)
+        return pa.table({"g": np.zeros(len(uv), np.int64),
+                         "v": uv, "c": c.astype(np.int64)})
+
+    def quant(group: pa.Table) -> pa.Table:
+        v = group["v"].to_numpy()
+        c = group["c"].to_numpy()
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        uv, start = np.unique(v, return_index=True)
+        cum = np.cumsum(np.add.reduceat(c, start))
+        n_ = int(cum[-1])
+        cols = {"n_points": pa.array([n_], pa.int64())}
+        for pq in KNN_RADIUS_QS:
+            k = int(np.ceil(pq / 100.0 * n_))
+            cols[f"p{pq}"] = pa.array(
+                [float(uv[np.searchsorted(cum, max(k, 1), side="left")])],
+                pa.float64())
+        return pa.table(cols)
+
+    return (mat(kd.map_batches(part, batch_format="pyarrow"))
+            .groupby("g").map_groups(quant, batch_format="pyarrow"))
+
+
+def sql_knn_radius_quantiles() -> str:
+    base = sql_knn_join().strip()
+    base = base[: base.rindex("ORDER BY")]
+    qs = ",\n       ".join(
+        f"quantile_disc(dist, {pq / 100.0}) AS p{pq}"
+        for pq in KNN_RADIUS_QS)
+    return f"""
+WITH knn AS ({base})
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       {qs}
+FROM knn WHERE rank = {KNN_K}
+"""
+
+
 # ---------------------------------------------------------------- PIP join
 
 def q_pip_join(sf_dir: str):

@@ -37,7 +37,7 @@ def assert_matches(got_ds, sql, con):
 @pytest.mark.parametrize("name", [
     "epsilon_graph", "knn_join", "pip_join", "tile_assign",
     "tile_agg", "cell_stats", "span_stats", "span_transitions",
-    "doc_enrich",
+    "doc_enrich", "knn_radius_quantiles",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     import __ray_entry__ as E
