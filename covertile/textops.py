@@ -1262,10 +1262,38 @@ GROUP BY token ORDER BY n DESC, token LIMIT {k}
 
 # ------------------------------------------------------- token rarity
 
-TOKEN_RARITY_BROADCAST_MAX = 4_000_000  # vocab rows; ~64 MB broadcast
+#: Fallback vocab-row cap for the sorted-array broadcast when the
+#: object-store size is unavailable (~64 MB of (hash, n) pairs).
+TOKEN_RARITY_BROADCAST_MAX = 4_000_000
+
+#: Broadcast while the vocab arrays stay under this fraction of the
+#: CLUSTER object store (the knn_spill_threshold_rows discipline): the
+#: ray.put lives once per node in plasma, so the budget scales with the
+#: store rather than a host-tuned constant.
+VOCAB_BROADCAST_STORE_FRACTION = 1 / 32
+_VOCAB_ROW_BYTES = 16  # sorted (uint64 hash, int64 count) pair
 
 
-def token_rarity(docs_ds, broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
+def vocab_broadcast_max_rows() -> int:
+    """Vocab-row count up to which the re-attach phase broadcasts the
+    sorted (hash, count) arrays instead of hash-joining — derived from
+    the cluster object store, falling back to the fixed cap when Ray is
+    not initialised.  Both paths are byte-equal (pinned in
+    tests/test_textops.py), so this knob only moves the
+    broadcast-vs-shuffle crossover."""
+    try:
+        import ray
+        if ray.is_initialized():
+            store = ray.cluster_resources().get("object_store_memory")
+            if store:
+                return int(store * VOCAB_BROADCAST_STORE_FRACTION
+                           // _VOCAB_ROW_BYTES)
+    except Exception:
+        pass
+    return TOKEN_RARITY_BROADCAST_MAX
+
+
+def token_rarity(docs_ds, broadcast_max: int | None = None):
     """Global-vocabulary rarity statistics per document: each token's
     CORPUS frequency joined back onto the docs that use it ->
     (doc_id, n_tokens, sum_tf, min_tf, max_tf, mean_tf) sorted.  Low
@@ -1323,6 +1351,8 @@ def token_rarity(docs_ds, broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
             "mean_tf": sum_tf.astype(np.float64) / lens,
         })
 
+    if broadcast_max is None:
+        broadcast_max = vocab_broadcast_max_rows()
     if vocab.count() <= broadcast_max:
         ths, ns = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
         for b in vocab.iter_batches(batch_size=None,
@@ -1476,7 +1506,7 @@ def _bigram_hash_arrays(batch: pa.Table):
 
 
 def bigram_lm_score(docs_ds,
-                    broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
+                    broadcast_max: int | None = None):
     """Corpus-bigram-LM quality score per document (the perplexity-filter
     shape of a pretraining pipeline, in integer-exact form):
 
@@ -1548,6 +1578,8 @@ def bigram_lm_score(docs_ds,
             "mean_bg": pa.array(mean, pa.float64(), mask=null),
         })
 
+    if broadcast_max is None:
+        broadcast_max = vocab_broadcast_max_rows()
     if vocab.count() <= broadcast_max:
         ths, ns = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
         for b in vocab.iter_batches(batch_size=None,
@@ -1816,7 +1848,7 @@ TFIDF_K = 3
 
 
 def tfidf_keywords(docs_ds, k: int = TFIDF_K,
-                   broadcast_max: int = TOKEN_RARITY_BROADCAST_MAX):
+                   broadcast_max: int | None = None):
     """Top-k salient terms per document -> (doc_id, rank, token, tf, df,
     score), sorted.  score = tf / df: term frequency over document
     frequency — monotone in tf·idf for any fixed tf (and the standard
@@ -1904,6 +1936,8 @@ def tfidf_keywords(docs_ds, k: int = TFIDF_K,
             "score": score[keep],
         })
 
+    if broadcast_max is None:
+        broadcast_max = vocab_broadcast_max_rows()
     if vocab.count() <= broadcast_max:
         ths, ns = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
         for b in vocab.iter_batches(batch_size=None,
