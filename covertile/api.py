@@ -69,7 +69,7 @@ def _index_for(sf_dir: str, radius: float | None):
 
 def q_epsilon_graph(sf_dir: str):
     idx, points, _ = _index_for(sf_dir, EPS_RADIUS)
-    return epsilon_graph(idx, points, EPS_RADIUS).sort(["src_id", "dst_id"])
+    return epsilon_graph(idx, points, EPS_RADIUS).materialize().sort(["src_id", "dst_id"])
 
 
 def sql_epsilon_graph() -> str:
@@ -87,7 +87,7 @@ ORDER BY src_id, dst_id
 
 def q_knn_join(sf_dir: str):
     idx, points, n = _index_for(sf_dir, None)
-    return knn_join(idx, points, KNN_K, n_points_hint=n).sort(
+    return knn_join(idx, points, KNN_K, n_points_hint=n).materialize().sort(
         ["query_id", "rank"])
 
 
@@ -172,7 +172,7 @@ def q_pip_join(sf_dir: str):
     docs = _read_docs(sf_dir)
     points = derive_points(docs, 1)
     edges, offs, ids = shapes.make_polygons()
-    return pip_join(points, edges, offs, ids).sort(["doc_id", "polygon_id"])
+    return pip_join(points, edges, offs, ids).materialize().sort(["doc_id", "polygon_id"])
 
 
 def sql_pip_join() -> str:
@@ -185,7 +185,7 @@ def q_tile_assign(sf_dir: str):
     docs = _read_docs(sf_dir)
     points = derive_points(docs, 1)
     return tile_assign(points, shapes.TILE_MIN, shapes.TILE_MIN,
-                       shapes.TILE_SIDE, shapes.TILE_G).sort(
+                       shapes.TILE_SIDE, shapes.TILE_G).materialize().sort(
         ["tile_id", "doc_id"])
 
 
@@ -226,7 +226,7 @@ def q_tile_agg(sf_dir: str):
             "avg_chars": sc.astype(np.float64) / n.astype(np.float64),
         })
 
-    return agg.map_batches(finalize, batch_format="pyarrow").sort("tile_id")
+    return agg.map_batches(finalize, batch_format="pyarrow").materialize().sort("tile_id")
 
 
 def sql_tile_agg() -> str:
@@ -273,7 +273,7 @@ def q_cell_stats(sf_dir: str):
         return pa.table({"ix": ix, "iy": iy,
                          "n_docs": batch["sum(n)"]})
 
-    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+    return agg.map_batches(finalize, batch_format="pyarrow").materialize().sort(
         ["ix", "iy"])
 
 
@@ -310,7 +310,7 @@ def q_span_stats(sf_dir: str):
             "text_len": text_len.astype(np.int64),
         })
 
-    return tbl.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+    return tbl.map_batches(stats, batch_format="pyarrow").materialize().sort("doc_id")
 
 
 def sql_span_stats() -> str:
@@ -378,7 +378,7 @@ def q_span_transitions(sf_dir: str):
         }).filter(pa.array(keep))
 
     return (agg.map_batches(finish, batch_format="pyarrow")
-            .sort(["prev_kind", "next_kind"]))
+            .materialize().sort(["prev_kind", "next_kind"]))
 
 
 def sql_span_transitions() -> str:
@@ -457,7 +457,7 @@ def q_doc_enrich(sf_dir: str):
                                ("n_spans", pa.int64())]),
         right_schema=pa.schema([("doc_id", pa.int64()),
                                 ("eps_degree", pa.int64())]),
-    ).sort("doc_id")
+    ).materialize().sort("doc_id")
 
 
 def flagship(sf_dir: str):

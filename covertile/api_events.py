@@ -106,7 +106,7 @@ def sql_transition_counts() -> str:
 def q_cohort_retention(sf_dir: str):
     return eventops.cohort_retention(
         _events(sf_dir, columns=("ts", "user_id"))
-    ).sort(["cohort_day", "day"])
+    ).materialize().sort(["cohort_day", "day"])
 
 
 def sql_cohort_retention() -> str:

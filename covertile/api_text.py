@@ -21,7 +21,7 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
 
 def q_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        T.token_stats_batch, batch_format="pyarrow").sort("doc_id")
+        T.token_stats_batch, batch_format="pyarrow").materialize().sort("doc_id")
 
 
 def sql_token_stats() -> str:
@@ -70,7 +70,7 @@ def sql_tfidf_keywords() -> str:
 
 def q_repetition_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        T.repetition_stats_batch, batch_format="pyarrow").sort("doc_id")
+        T.repetition_stats_batch, batch_format="pyarrow").materialize().sort("doc_id")
 
 
 def sql_repetition_stats() -> str:
@@ -79,7 +79,7 @@ def sql_repetition_stats() -> str:
 
 def q_lang_id(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        T.lang_id_batch, batch_format="pyarrow").sort("doc_id")
+        T.lang_id_batch, batch_format="pyarrow").materialize().sort("doc_id")
 
 
 def sql_lang_id() -> str:
@@ -88,7 +88,7 @@ def sql_lang_id() -> str:
 
 def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        T.fingerprint_batch, batch_format="pyarrow").sort("doc_id")
+        T.fingerprint_batch, batch_format="pyarrow").materialize().sort("doc_id")
 
 
 def sql_fingerprint() -> str:
@@ -96,7 +96,7 @@ def sql_fingerprint() -> str:
 
 
 def q_exact_dedup(sf_dir: str):
-    return T.exact_dedup(_docs(sf_dir)).sort("fingerprint")
+    return T.exact_dedup(_docs(sf_dir)).materialize().sort("fingerprint")
 
 
 def sql_exact_dedup() -> str:
@@ -106,7 +106,7 @@ def sql_exact_dedup() -> str:
 def q_dedup_keep_best(sf_dir: str):
     return T.dedup_keep_best(
         _docs(sf_dir, columns=("doc_id", "text", "n_chars"))
-    ).sort("fingerprint")
+    ).materialize().sort("fingerprint")
 
 
 def sql_dedup_keep_best() -> str:
@@ -115,7 +115,7 @@ def sql_dedup_keep_best() -> str:
 
 def q_cross_source_overlap(sf_dir: str):
     return T.cross_source_overlap(
-        _docs(sf_dir, columns=("text", "source"))).sort("fingerprint")
+        _docs(sf_dir, columns=("text", "source"))).materialize().sort("fingerprint")
 
 
 def sql_cross_source_overlap() -> str:
@@ -123,7 +123,7 @@ def sql_cross_source_overlap() -> str:
 
 
 def q_ngram_jaccard(sf_dir: str):
-    return T.ngram_jaccard_pairs(_docs(sf_dir)).sort(["a_id", "b_id"])
+    return T.ngram_jaccard_pairs(_docs(sf_dir)).materialize().sort(["a_id", "b_id"])
 
 
 def sql_ngram_jaccard() -> str:
@@ -131,7 +131,7 @@ def sql_ngram_jaccard() -> str:
 
 
 def q_simhash_dups(sf_dir: str):
-    return T.simhash_dup_pairs(_docs(sf_dir)).sort(["a_id", "b_id"])
+    return T.simhash_dup_pairs(_docs(sf_dir)).materialize().sort(["a_id", "b_id"])
 
 
 def sql_simhash_dups() -> str:
@@ -139,7 +139,7 @@ def sql_simhash_dups() -> str:
 
 
 def q_minhash_lsh(sf_dir: str):
-    return T.minhash_lsh_pairs(_docs(sf_dir)).sort(["a_id", "b_id"])
+    return T.minhash_lsh_pairs(_docs(sf_dir)).materialize().sort(["a_id", "b_id"])
 
 
 def sql_minhash_lsh() -> str:
@@ -179,7 +179,7 @@ def sql_sample_stratified() -> str:
 
 def q_subword_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        T.subword_stats_batch, batch_format="pyarrow").sort("doc_id")
+        T.subword_stats_batch, batch_format="pyarrow").materialize().sort("doc_id")
 
 
 def sql_subword_stats() -> str:
@@ -188,7 +188,7 @@ def sql_subword_stats() -> str:
 
 def q_normalize(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        T.normalize_batch, batch_format="pyarrow").sort("doc_id")
+        T.normalize_batch, batch_format="pyarrow").materialize().sort("doc_id")
 
 
 def sql_normalize() -> str:

@@ -32,7 +32,7 @@ def _queries_of(sf_dir: str):
 
 def q_ann_topk(sf_dir: str):
     qid, qm = _queries_of(sf_dir)
-    return vecops.ann_topk(_emb(sf_dir), qid, qm).sort(["query_id", "rank"])
+    return vecops.ann_topk(_emb(sf_dir), qid, qm).materialize().sort(["query_id", "rank"])
 
 
 def sql_ann_topk() -> str:
@@ -46,7 +46,7 @@ def q_ann_topk_filtered(sf_dir: str):
     emb = read_table(
         sf_dir, "embeddings", ["vec_id", "embedding"],
         filter=pc.field("label").isin(list(vecops.ANN_FILTER_LABELS)))
-    return vecops.ann_topk(emb, qid, qm).sort(["query_id", "rank"])
+    return vecops.ann_topk(emb, qid, qm).materialize().sort(["query_id", "rank"])
 
 
 def sql_ann_topk_filtered() -> str:
@@ -63,7 +63,7 @@ def sql_sq_stats() -> str:
 
 def q_sq_ann_topk(sf_dir: str):
     qid, qm = _queries_of(sf_dir)
-    return vecops.sq_ann_topk(_emb(sf_dir), qid, qm).sort(
+    return vecops.sq_ann_topk(_emb(sf_dir), qid, qm).materialize().sort(
         ["query_id", "rank"])
 
 
@@ -84,7 +84,7 @@ def q_cosine_dedup(sf_dir: str):
     no driver-side corpus read, no whole-corpus broadcast (the round-1
     scale-killer)."""
     return vecops.cosine_pairs_partitioned(
-        _emb(sf_dir), _centroids_of(sf_dir)).sort(["a_id", "b_id"])
+        _emb(sf_dir), _centroids_of(sf_dir)).materialize().sort(["a_id", "b_id"])
 
 
 def sql_cosine_dedup() -> str:
@@ -99,7 +99,7 @@ def q_cosine_lsh_dedup(sf_dir: str):
     Precision 1.0 by construction; recall at this operating point is
     1.0 (asserted vs the exact O(n^2) oracle, margin ~1e-5/pair)."""
     return vecops.cosine_lsh_pairs(
-        vecops.with_planted_twins(_emb(sf_dir))).sort(["a_id", "b_id"])
+        vecops.with_planted_twins(_emb(sf_dir))).materialize().sort(["a_id", "b_id"])
 
 
 def sql_cosine_lsh_dedup() -> str:
@@ -112,7 +112,7 @@ def q_emb_knn(sf_dir: str):
     qt = vecops._load_query_table(
         os.path.join(sf_dir, "embeddings.parquet"), vecops.ANN_NUM_QUERIES)
     qid, qraw = vecops._raw_matrix(qt)
-    return vecops.emb_knn(_emb(sf_dir), qid, qraw).sort(["query_id", "rank"])
+    return vecops.emb_knn(_emb(sf_dir), qid, qraw).materialize().sort(["query_id", "rank"])
 
 
 def sql_emb_knn() -> str:
@@ -122,7 +122,7 @@ def sql_emb_knn() -> str:
 def q_ivf_topk(sf_dir: str):
     cent = _centroids_of(sf_dir)
     qid, qm = _queries_of(sf_dir)
-    return vecops.ivf_topk(_emb(sf_dir), qid, qm, cent).sort(
+    return vecops.ivf_topk(_emb(sf_dir), qid, qm, cent).materialize().sort(
         ["query_id", "rank"])
 
 
@@ -135,7 +135,7 @@ def q_ivf_topk_exact(sf_dir: str):
     cent = _centroids_of(sf_dir)
     qid, qm = _queries_of(sf_dir)
     return vecops.ivf_topk(_emb(sf_dir), qid, qm, cent,
-                           probes=len(cent)).sort(["query_id", "rank"])
+                           probes=len(cent)).materialize().sort(["query_id", "rank"])
 
 
 def q_ivf_topk_store(sf_dir: str):
@@ -155,7 +155,7 @@ def q_ivf_topk_store(sf_dir: str):
                          f"ivfstore-{os.getpid()}-{abs(hash(sf_dir)) % 99991}")
     shutil.rmtree(store, ignore_errors=True)
     vecops.ivf_build_store(_emb(sf_dir), cent, store)
-    return vecops.ivf_topk_store(store, qid, qm, probes=len(cent)).sort(
+    return vecops.ivf_topk_store(store, qid, qm, probes=len(cent)).materialize().sort(
         ["query_id", "rank"])
 
 
@@ -163,7 +163,7 @@ def q_media_features(sf_dir: str):
     """REAL bytes on the driver surface (VERDICT r04 #4): payload table
     -> native PNG header + acTL decode; fake_decode is no longer on this
     path (it remains a pytest fixture helper only)."""
-    return mediaops.media_features_real(sf_dir).sort(["doc_id", "offset"])
+    return mediaops.media_features_real(sf_dir).materialize().sort(["doc_id", "offset"])
 
 
 def sql_media_features() -> str:
@@ -171,7 +171,7 @@ def sql_media_features() -> str:
 
 
 def q_media_resize(sf_dir: str):
-    return mediaops.media_resize_real(sf_dir).sort(["doc_id", "offset"])
+    return mediaops.media_resize_real(sf_dir).materialize().sort(["doc_id", "offset"])
 
 
 def sql_media_resize() -> str:
@@ -179,7 +179,7 @@ def sql_media_resize() -> str:
 
 
 def q_frame_sample(sf_dir: str):
-    return mediaops.frame_sample_real(sf_dir).sort(
+    return mediaops.frame_sample_real(sf_dir).materialize().sort(
         ["doc_id", "offset", "sample_idx"])
 
 
@@ -201,7 +201,7 @@ def q_media_pixel_stats(sf_dir: str):
     """Full pixel decode (inflate + unfilter) of every payload — the
     driver row that proves the native codec end-to-end, not just header
     parsing."""
-    return mediaops.media_pixel_stats(sf_dir).sort(["doc_id", "offset"])
+    return mediaops.media_pixel_stats(sf_dir).materialize().sort(["doc_id", "offset"])
 
 
 def sql_media_pixel_stats() -> str:
@@ -225,7 +225,7 @@ def q_ivf_sq_topk_store(sf_dir: str):
     shutil.rmtree(store, ignore_errors=True)
     vecops.ivf_sq_build_store(_emb(sf_dir), cent, store)
     return vecops.ivf_sq_topk_store(store, qid, qm,
-                                    probes=len(cent)).sort(
+                                    probes=len(cent)).materialize().sort(
         ["query_id", "rank"])
 
 

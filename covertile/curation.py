@@ -161,6 +161,7 @@ def sequence_pack(docs_ds, seq_len: int = SEQ_LEN,
 
     return (mat(counted.map_batches(bucketize, batch_format="pyarrow"))
             .groupby("bk").map_groups(assign, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("doc_id"))
 
 
@@ -888,6 +889,7 @@ def doc_dup_ratio(docs_ds, w: int = DUPSPAN_W, s: int = DUPSPAN_S,
 
     return (mat(joined.map_batches(partial, batch_format="pyarrow"))
             .groupby("bk").map_groups(merge, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("doc_id"))
 
 

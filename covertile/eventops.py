@@ -407,6 +407,7 @@ def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MINUTES,
                  .groupby("bk").map_groups(parts, batch_format="pyarrow"))
     return (mat(part_rows.map_batches(user_bucket, batch_format="pyarrow"))
             .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("user_id"))
 
 
@@ -590,6 +591,7 @@ def asof_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
               .groupby("bk").map_groups(parts, batch_format="pyarrow"))
     return (mat(staged.map_batches(user_bucket, batch_format="pyarrow"))
             .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("event_id"))
 
 
@@ -712,6 +714,7 @@ def range_join(events_ds, right_type: str = ASOF_RIGHT_TYPE,
 
     return (mat(events_ds.map_batches(route, batch_format="pyarrow"))
             .groupby("bk").map_groups(agg, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("event_id"))
 
 
@@ -870,6 +873,7 @@ def funnel(events_ds, first_type: str = FUNNEL_FIRST,
               .groupby("bk").map_groups(parts, batch_format="pyarrow"))
     return (mat(staged.map_batches(user_bucket, batch_format="pyarrow"))
             .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("user_id"))
 
 
@@ -1151,6 +1155,7 @@ def rolling_window(events_ds, n: int = ROLLING_N,
               .groupby("bk").map_groups(parts, batch_format="pyarrow"))
     return (mat(staged.map_batches(user_bucket, batch_format="pyarrow"))
             .groupby("bk2").map_groups(stitch, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("event_id"))
 
 
@@ -1692,6 +1697,7 @@ def late_events(events_ds, late_minutes: int = LATE_MINUTES,
               .groupby("bk").map_groups(parts, batch_format="pyarrow"))
     return (mat(staged)
             .groupby("bk").map_groups(stitch, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("user_id"))
 
 
@@ -1816,6 +1822,7 @@ def uniques_sketch(events_ds, nbuckets: int | None = None):
 
     return (mat(events_ds.map_batches(partial, batch_format="pyarrow"))
             .groupby("bk").map_groups(combine, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort(["event_type", "day"]))
 
 

@@ -181,4 +181,5 @@ def triangle_counts(edges_ds):
         close_check, batch_format="pyarrow"))
     return (closed.groupby("bk3").map_groups(vertex_combine,
                                              batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("point_id"))

@@ -756,6 +756,7 @@ def media_dedup(sf_dir: str, concurrency=(1, 4)):
 
     return (mat(hashed.map_batches(part, batch_format="pyarrow"))
             .groupby("bk").map_groups(combine, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("keep_ref"))
 
 

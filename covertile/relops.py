@@ -93,6 +93,7 @@ def revenue_by_nation(li_ds, od_ds, cu_ds, nation_tbl: pa.Table):
     return (mat(j2.map_batches(nation_partial, batch_format="pyarrow"))
             .groupby("n_name").sum("units")
             .map_batches(finalize, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("n_name"))
 
 
@@ -155,6 +156,7 @@ def pricing_summary(li_ds):
         })
 
     return (agg.map_batches(finalize, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort(["l_returnflag", "l_linestatus"]))
 
 
@@ -281,6 +283,7 @@ def local_supplier_volume(li_ds, od_ds, cu_ds, su_ds, nation_tbl: pa.Table,
     return (mat(j3.map_batches(nation_partial, batch_format="pyarrow"))
             .groupby("n_name").sum("units")
             .map_batches(finalize, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("n_name"))
 
 

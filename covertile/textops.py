@@ -933,6 +933,7 @@ def _sampled_df(docs_ds, k: int, sample_mod: int, top_k: int = DF_TOP_K):
 
     top = (mat(docs_ds.map_batches(part, batch_format="pyarrow"))
            .groupby("sh").sum("c")
+           .materialize()  # mat() rule: sort re-executes a lazy exchange
            .sort(["sum(c)", "sh"], descending=[True, False])
            .limit(top_k))
     bs = list(top.iter_batches(batch_size=None, batch_format="pyarrow"))
@@ -1248,6 +1249,7 @@ def topk_terms(docs_ds, k: int = TOPK_TERMS_K):
 
     return (mat(docs_ds.map_batches(part, batch_format="pyarrow"))
             .groupby("bk").map_groups(combine, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort(["n", "token"], descending=[True, False])
             .limit(k))
 
@@ -1383,6 +1385,7 @@ def token_rarity(docs_ds, broadcast_max: int | None = None):
                               np.maximum.reduceat(tf, off[:-1]))
 
         return (docs_ds.map_batches(score, batch_format="pyarrow")
+                .materialize()  # mat() rule
                 .sort("doc_id"))
 
     from .joins import hash_join_int_key
@@ -1451,6 +1454,7 @@ def token_rarity(docs_ds, broadcast_max: int | None = None):
 
     return (mat(joined.map_batches(doc_part, batch_format="pyarrow"))
             .groupby("bk").map_groups(doc_combine, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("doc_id"))
 
 
@@ -1611,6 +1615,7 @@ def bigram_lm_score(docs_ds,
             return _final_table(ids, nbg_l, hap, sbg, spre)
 
         return (docs_ds.map_batches(score, batch_format="pyarrow")
+                .materialize()  # mat() rule
                 .sort("doc_id"))
 
     # ---- open-vocabulary fallback: occurrence rows join the vocab table
@@ -1694,6 +1699,7 @@ def bigram_lm_score(docs_ds,
 
     return (mat(joined.map_batches(doc_part, batch_format="pyarrow"))
             .groupby("bk").map_groups(doc_combine, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("doc_id"))
 
 
@@ -1961,6 +1967,7 @@ def tfidf_keywords(docs_ds, k: int = TFIDF_K,
             return _topk_rows(ids, d_idx, tok, tf, df)
 
         return (docs_ds.map_batches(extract, batch_format="pyarrow")
+                .materialize()  # mat() rule
                 .sort(["doc_id", "rank"]))
 
     # ---- open-vocabulary fallback: tf rows join the df table
@@ -1994,6 +2001,7 @@ def tfidf_keywords(docs_ds, k: int = TFIDF_K,
 
     return (mat(joined.map_batches(regroup, batch_format="pyarrow"))
             .groupby("bk").map_groups(doc_topk, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort(["doc_id", "rank"]))
 
 
@@ -2049,7 +2057,9 @@ def sample_bernoulli(docs_ds, pct: int = SAMPLE_PCT):
         m = bk < pct
         return pa.table({"doc_id": ids[m], "bucket": bk[m]})
 
-    return docs_ds.map_batches(part, batch_format="pyarrow").sort("doc_id")
+    return (docs_ds.map_batches(part, batch_format="pyarrow")
+            .materialize()  # mat() rule
+            .sort("doc_id"))
 
 
 def sample_bernoulli_sql(pct: int = SAMPLE_PCT) -> str:
@@ -2134,6 +2144,7 @@ def mixture_rebalance(docs_ds):
                          "source": col.filter(keep)})
 
     return (docs_ds.map_batches(filt, batch_format="pyarrow")
+            .materialize()  # mat() rule
             .sort("doc_id"))
 
 
@@ -2175,7 +2186,9 @@ def sample_stratified(docs_ds, strata_pct: dict | None = None):
         return pa.table({"doc_id": ids[m],
                          "lang": lang.filter(pa.array(m))})
 
-    return docs_ds.map_batches(part, batch_format="pyarrow").sort("doc_id")
+    return (docs_ds.map_batches(part, batch_format="pyarrow")
+            .materialize()  # mat() rule
+            .sort("doc_id"))
 
 
 def sample_stratified_sql(strata_pct: dict | None = None) -> str:
@@ -2240,6 +2253,7 @@ def corpus_filter(docs_ds, min_tokens: int = FILTER_MIN_TOKENS,
     return (mat(docs_ds.map_batches(gate, batch_format="pyarrow"))
             .groupby("fp").min("doc_id")
             .map_batches(emit, batch_format="pyarrow")
+            .materialize()  # mat() rule
             .sort("doc_id"))
 
 
@@ -2313,6 +2327,7 @@ def group_quantiles(docs_ds, group_col: str = "lang",
 
     return (mat(docs_ds.map_batches(part, batch_format="pyarrow"))
             .groupby(group_col).map_groups(quant, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort(group_col))
 
 
@@ -2396,7 +2411,9 @@ def dataset_split(docs_ds, split_pct: dict | None = None):
                               pa.string()),
         })
 
-    return docs_ds.map_batches(part, batch_format="pyarrow").sort("doc_id")
+    return (docs_ds.map_batches(part, batch_format="pyarrow")
+            .materialize()  # mat() rule
+            .sort("doc_id"))
 
 
 def dataset_split_sql(split_pct: dict | None = None) -> str:
@@ -2687,6 +2704,7 @@ def grouped_topk(docs_ds, group_col: str = "lang",
 
     return (mat(docs_ds.map_batches(part, batch_format="pyarrow"))
             .groupby(group_col).map_groups(final, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort([group_col, "rank"]))
 
 
@@ -2758,7 +2776,9 @@ def dedup_corpus(docs_ds, tau: float = JACCARD_TAU, k: int = SHINGLE_K):
         mask = ~np.isin(ids, ray.get(drop_ref))
         return pa.table({"doc_id": ids[mask]})
 
-    return docs_ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    return (docs_ds.map_batches(keep, batch_format="pyarrow")
+            .materialize()  # mat() rule
+            .sort("doc_id"))
 
 
 def dedup_corpus_sql(tau: float = JACCARD_TAU, k: int = SHINGLE_K) -> str:

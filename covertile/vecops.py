@@ -1147,7 +1147,9 @@ def sq_stats(emb_ds):
             "code_max": c.max(1).astype(np.int64),
         })
 
-    return emb_ds.map_batches(part, batch_format="pyarrow").sort("vec_id")
+    return (emb_ds.map_batches(part, batch_format="pyarrow")
+            .materialize()  # mat() rule
+            .sort("vec_id"))
 
 
 _SQ_CODE = ("COALESCE(LEAST(GREATEST(floor(CAST(v AS DOUBLE) / "
