@@ -153,6 +153,16 @@ def sql_window_heavy_hitters() -> str:
     return eventops.window_heavy_hitters_sql()
 
 
+def q_inter_arrival_stats(sf_dir: str):
+    return eventops.inter_arrival_stats(
+        _events(sf_dir, columns=("ts", "user_id")),
+        nbuckets=_fanout(sf_dir))
+
+
+def sql_inter_arrival_stats() -> str:
+    return eventops.inter_arrival_stats_sql()
+
+
 QUERIES = {
     "events_window": q_tumbling_window,
     "cohort_retention": q_cohort_retention,
@@ -168,6 +178,7 @@ QUERIES = {
     "uniques_sketch": q_uniques_sketch,
     "window_heavy_hitters": q_window_heavy_hitters,
     "value_histogram": q_value_histogram,
+    "inter_arrival_stats": q_inter_arrival_stats,
 }
 
 ORACLES = {
@@ -185,4 +196,5 @@ ORACLES = {
     "uniques_sketch": sql_uniques_sketch,
     "window_heavy_hitters": sql_window_heavy_hitters,
     "value_histogram": sql_value_histogram,
+    "inter_arrival_stats": sql_inter_arrival_stats,
 }

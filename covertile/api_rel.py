@@ -135,6 +135,74 @@ def sql_large_order_customers() -> str:
     return relops.large_order_customers_sql()
 
 
+def q_nation_trade_volume(sf_dir: str):
+    import pyarrow.parquet as pq
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    return relops.nation_trade_volume(
+        _t(sf_dir, "lineitem",
+           ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate")),
+        _t(sf_dir, "orders", ("o_orderkey", "o_custkey")),
+        _t(sf_dir, "customer", ("c_custkey", "c_nationkey")),
+        _t(sf_dir, "supplier", ("s_suppkey", "s_nationkey")),
+        nation)
+
+
+def sql_nation_trade_volume() -> str:
+    return relops.nation_trade_volume_sql()
+
+
+def q_market_share(sf_dir: str):
+    import pyarrow.parquet as pq
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    return relops.market_share(
+        _t(sf_dir, "lineitem",
+           ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")),
+        _t(sf_dir, "orders", ("o_orderkey", "o_custkey", "o_orderdate")),
+        _t(sf_dir, "customer", ("c_custkey", "c_nationkey")),
+        _t(sf_dir, "supplier", ("s_suppkey", "s_nationkey")),
+        nation, region)
+
+
+def sql_market_share() -> str:
+    return relops.market_share_sql()
+
+
+def q_top_supplier(sf_dir: str):
+    return relops.top_supplier(
+        _t(sf_dir, "lineitem",
+           ("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")),
+        _t(sf_dir, "supplier", ("s_suppkey", "s_name")))
+
+
+def sql_top_supplier() -> str:
+    return relops.top_supplier_sql()
+
+
+def q_small_qty_revenue(sf_dir: str):
+    return relops.small_qty_revenue(
+        _t(sf_dir, "lineitem",
+           ("l_partkey", "l_quantity", "l_extendedprice")),
+        _t(sf_dir, "part", ("p_partkey", "p_brand")))
+
+
+def sql_small_qty_revenue() -> str:
+    return relops.small_qty_revenue_sql()
+
+
+def q_brand_bucket_revenue(sf_dir: str):
+    return relops.brand_bucket_revenue(
+        _t(sf_dir, "lineitem",
+           ("l_partkey", "l_quantity", "l_extendedprice", "l_discount")),
+        _t(sf_dir, "part", ("p_partkey", "p_brand", "p_size")))
+
+
+def sql_brand_bucket_revenue() -> str:
+    return relops.brand_bucket_revenue_sql()
+
+
 QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "pricing_summary": q_pricing_summary,
@@ -145,6 +213,11 @@ QUERIES = {
     "promo_revenue_share": q_promo_revenue_share,
     "order_priority_counts": q_order_priority_counts,
     "large_order_customers": q_large_order_customers,
+    "nation_trade_volume": q_nation_trade_volume,
+    "market_share": q_market_share,
+    "top_supplier": q_top_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "brand_bucket_revenue": q_brand_bucket_revenue,
 }
 
 ORACLES = {
@@ -157,4 +230,9 @@ ORACLES = {
     "promo_revenue_share": sql_promo_revenue_share,
     "order_priority_counts": sql_order_priority_counts,
     "large_order_customers": sql_large_order_customers,
+    "nation_trade_volume": sql_nation_trade_volume,
+    "market_share": sql_market_share,
+    "top_supplier": sql_top_supplier,
+    "small_qty_revenue": sql_small_qty_revenue,
+    "brand_bucket_revenue": sql_brand_bucket_revenue,
 }

@@ -229,6 +229,14 @@ def q_ivf_sq_topk_store(sf_dir: str):
         ["query_id", "rank"])
 
 
+def q_dim_stats(sf_dir: str):
+    return vecops.dim_stats(_emb(sf_dir))
+
+
+def sql_dim_stats() -> str:
+    return vecops.dim_stats_sql()
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_filtered": q_ann_topk_filtered,
@@ -246,6 +254,7 @@ QUERIES = {
     "sq_stats": q_sq_stats,
     "sq_ann_topk": q_sq_ann_topk,
     "ivf_sq_topk_store": q_ivf_sq_topk_store,
+    "dim_stats": q_dim_stats,
 }
 
 ORACLES = {
@@ -264,4 +273,5 @@ ORACLES = {
     "sq_stats": sql_sq_stats,
     "sq_ann_topk": sql_sq_ann_topk,
     "ivf_sq_topk_store": sql_sq_ann_topk,
+    "dim_stats": sql_dim_stats,
 }

@@ -2019,3 +2019,171 @@ SELECT event_type,
        count(*) AS n_events
 FROM c GROUP BY event_type, bucket ORDER BY event_type, bucket
 """
+
+
+# ------------------------------------------- inter-arrival gap quantiles
+
+IA_CHUNK_HOURS = 24 * 7
+IA_QS = (50, 90, 99)  # percent -> p50_s / p90_s / p99_s columns
+
+
+def inter_arrival_stats(events_ds, chunk_hours: int = IA_CHUNK_HOURS,
+                        nbuckets: int | None = None):
+    """-> ONE row (n_gaps, p50_s, p90_s, p99_s, max_s): exact global
+    quantiles of per-user inter-arrival gaps (whole seconds between a
+    user's consecutive events, all event types) — the arrival-process
+    profile a streaming pipeline reads before sizing session timeouts.
+
+    Exact at scale via the sessionize two-stage scheme + the
+    group_quantiles histogram discipline:
+
+    1. Events bucket by hash(user, ts-chunk); inside a coarse group the
+       per-(user, chunk) runs sort once (lexsort) and their INTERIOR
+       gaps collapse to (gap_s, count) histogram partials.  Each run
+       also emits one BOUNDARY row (user, first_ts, last_ts) —
+       metadata-sized.
+    2. Boundary rows re-bucket by user hash; a user's chunk-runs sort
+       by first_ts and the cross-chunk gaps (next.first − prev.last)
+       join the histogram.  Chunking therefore never changes the gap
+       multiset (gaps of a sorted sequence are invariant to how the
+       sequence is cut).
+    3. Histogram partials merge in one value-domain-sized groupby; the
+       quantile is index arithmetic on cumulative counts (DuckDB
+       quantile_disc semantics: 1-indexed sorted element at ceil(q·n),
+       same as textops.group_quantiles)."""
+    chunk_us = np.int64(chunk_hours) * np.int64(60) * np.int64(_US_PER_MIN)
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    SHIFT = _bucket_shift(nbuckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        ck = ts // chunk_us
+        h = (uid.astype(np.uint64) * PHI + ck.astype(np.uint64)) * PHI
+        return pa.table({"bk": (h >> SHIFT).astype(np.int64),
+                         "user_id": uid, "ts": ts})
+
+    def stage1(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy()
+        n = len(uid)
+        empty = pa.table({
+            "kind": pa.array([], pa.int8()),
+            "user_id": pa.array([], pa.int64()),
+            "first_ts": pa.array([], pa.int64()),
+            "last_ts": pa.array([], pa.int64()),
+            "gap_s": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        ts = group["ts"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        new_run = np.empty(n, bool)
+        new_run[0] = True
+        new_run[1:] = ((uid_s[1:] != uid_s[:-1])
+                       | (ts_s[1:] // chunk_us != ts_s[:-1] // chunk_us))
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n) - 1
+        # interior gaps: positions NOT at a run start
+        gaps = (ts_s[1:] - ts_s[:-1])[~new_run[1:]] // 1_000_000
+        ug, cnt = np.unique(gaps, return_counts=True)
+        z8 = np.zeros
+        hist = pa.table({
+            "kind": z8(len(ug), np.int8),
+            "user_id": z8(len(ug), np.int64),
+            "first_ts": z8(len(ug), np.int64),
+            "last_ts": z8(len(ug), np.int64),
+            "gap_s": ug.astype(np.int64),
+            "c": cnt.astype(np.int64),
+        })
+        bounds = pa.table({
+            "kind": np.ones(len(starts), np.int8),
+            "user_id": uid_s[starts],
+            "first_ts": ts_s[starts],
+            "last_ts": ts_s[ends],
+            "gap_s": z8(len(starts), np.int64),
+            "c": z8(len(starts), np.int64),
+        })
+        return pa.concat_tables([hist, bounds])
+
+    combined = mat(
+        mat(events_ds.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("bk").map_groups(stage1, batch_format="pyarrow"))
+
+    def interior_hist(batch: pa.Table) -> pa.Table:
+        m = batch["kind"].to_numpy() == 0
+        return pa.table({"gap_s": batch["gap_s"].to_numpy()[m],
+                         "c": batch["c"].to_numpy()[m]})
+
+    def bound_bucket(batch: pa.Table) -> pa.Table:
+        m = batch["kind"].to_numpy() == 1
+        uid = batch["user_id"].to_numpy()[m]
+        bk2 = ((uid.astype(np.uint64) * PHI) >> SHIFT).astype(np.int64)
+        return pa.table({"bk2": bk2, "user_id": uid,
+                         "first_ts": batch["first_ts"].to_numpy()[m],
+                         "last_ts": batch["last_ts"].to_numpy()[m]})
+
+    def stitch(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table({"gap_s": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        first = group["first_ts"].to_numpy()
+        last = group["last_ts"].to_numpy()
+        order = np.lexsort((first, uid))
+        uid_s, first_s, last_s = uid[order], first[order], last[order]
+        same = uid_s[1:] == uid_s[:-1]
+        gaps = (first_s[1:] - last_s[:-1])[same] // 1_000_000
+        ug, cnt = np.unique(gaps, return_counts=True)
+        return pa.table({"gap_s": ug.astype(np.int64),
+                         "c": cnt.astype(np.int64)})
+
+    bound_hist = (mat(combined.map_batches(bound_bucket,
+                                           batch_format="pyarrow"))
+                  .groupby("bk2").map_groups(stitch,
+                                             batch_format="pyarrow"))
+
+    hist = mat(combined.map_batches(interior_hist,
+                                    batch_format="pyarrow")
+               .union(bound_hist))
+
+    def quantiles(batch: pa.Table) -> pa.Table:
+        v = batch["gap_s"].to_numpy()
+        c = batch["sum(c)"].to_numpy()
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1]) if len(cum) else 0
+        cols = {"n_gaps": pa.array([n], pa.int64())}
+        for q in IA_QS:
+            k = int(np.ceil(q / 100.0 * n))
+            cols[f"p{q}_s"] = pa.array(
+                [int(v[np.searchsorted(cum, max(k, 1), side="left")])
+                 if n else None], pa.int64())
+        cols["max_s"] = pa.array([int(v[-1]) if n else None], pa.int64())
+        return pa.table(cols)
+
+    return (hist.groupby("gap_s").sum("c")
+            .repartition(1)
+            .map_batches(quantiles, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def inter_arrival_stats_sql() -> str:
+    qcols = ",\n       ".join(
+        f"CAST(quantile_disc(gap_s, {q / 100.0}) AS BIGINT) AS p{q}_s"
+        for q in IA_QS)
+    return f"""
+WITH g AS (
+  SELECT CAST((epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)))
+         // 1000000 AS BIGINT) AS gap_s
+  FROM events
+)
+SELECT CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       {qcols},
+       CAST(max(gap_s) AS BIGINT) AS max_s
+FROM g WHERE gap_s IS NOT NULL
+"""

@@ -1016,3 +1016,602 @@ FROM big JOIN orders ON o_orderkey = big.l_orderkey
 JOIN customer ON c_custkey = o_custkey
 ORDER BY big.qty_units DESC, o_orderkey LIMIT {int(k)}
 """
+
+
+# --------------------------------------------------- Q7-shaped trade matrix
+
+Q7_DATE_LO = "1995-01-01"
+Q7_DATE_HI = "1998-01-01"
+
+
+def nation_trade_volume(li_ds, od_ds, cu_ds, su_ds, nation_tbl: pa.Table,
+                        date_lo: str = Q7_DATE_LO,
+                        date_hi: str = Q7_DATE_HI):
+    """TPC-H-Q7-shaped trade matrix: revenue per (supplier nation,
+    customer nation, shipdate year) inside a shipdate window -> rows
+    (supp_nation, cust_nation, l_year, revenue) sorted.
+
+    Shape: the shipdate filter runs at the lineitem scan (only matching
+    rows enter any exchange); three bucketed hash joins attach the
+    supplier nation, the order's customer, and the customer nation; the
+    final rollup collapses per block to one row per (supp-nation,
+    cust-nation, year) COMPOSITE int64 key — at most 25·25·|years| rows
+    per block regardless of input size — before a metadata-sized
+    groupby.  The 25-row nation name table is a broadcast lut.  Unlike
+    the classic Q7 this keeps ALL nation pairs (a pair filter would
+    leave the small-sf fixtures empty); the oracle mirrors that."""
+    import ray
+
+    nk = nation_tbl["n_nationkey"].to_numpy().astype(np.int64)
+    names = np.asarray(nation_tbl["n_name"], dtype=object)
+    lut = np.full(int(nk.max()) + 1, "", dtype=object)
+    lut[nk] = names
+    lut_ref = ray.put(lut)
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy().astype("datetime64[us]")
+        ts = sd.view(np.int64)
+        m = (ts >= lo) & (ts < hi)
+        units = (_cents(batch["l_extendedprice"])
+                 * (100 - _cents(batch["l_discount"])))[m]
+        yr = sd[m].astype("datetime64[Y]").view(np.int64) + 1970
+        return pa.table({
+            "s_suppkey": batch["l_suppkey"].to_numpy()[m],
+            "o_orderkey": batch["l_orderkey"].to_numpy()[m],
+            "l_year": yr,
+            "units": units,
+        })
+
+    li_schema = pa.schema([("s_suppkey", pa.int64()),
+                           ("o_orderkey", pa.int64()),
+                           ("l_year", pa.int64()),
+                           ("units", pa.int64())])
+
+    j1 = hash_join_int_key(
+        li_ds.map_batches(li_proj, batch_format="pyarrow"),
+        su_ds, key="s_suppkey", left_schema=li_schema,
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int32())]))
+
+    def rekey_order(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "l_year": batch["l_year"],
+                         "units": batch["units"],
+                         "s_nationkey": batch["s_nationkey"]})
+
+    mid_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("l_year", pa.int64()),
+                            ("units", pa.int64()),
+                            ("s_nationkey", pa.int32())])
+
+    j2 = hash_join_int_key(
+        j1.map_batches(rekey_order, batch_format="pyarrow"),
+        od_ds, key="o_orderkey", left_schema=mid_schema,
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+
+    def rekey_cust(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "l_year": batch["l_year"],
+                         "units": batch["units"],
+                         "s_nationkey": batch["s_nationkey"]})
+
+    j3 = hash_join_int_key(
+        j2.map_batches(rekey_cust, batch_format="pyarrow"),
+        cu_ds, key="c_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("l_year", pa.int64()),
+                               ("units", pa.int64()),
+                               ("s_nationkey", pa.int32())]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sn = batch["s_nationkey"].to_numpy().astype(np.int64)
+        cn = batch["c_nationkey"].to_numpy().astype(np.int64)
+        yr = batch["l_year"].to_numpy()
+        gkey = (sn << 24) | (cn << 12) | yr  # natkeys < 4096, year < 4096
+        uk, inv = np.unique(gkey, return_inverse=True)
+        return pa.table({
+            "gkey": uk,
+            "units": np.bincount(
+                inv, weights=batch["units"].to_numpy(),
+                minlength=len(uk)).astype(np.int64),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        lut_ = ray.get(lut_ref)
+        gk = batch["gkey"].to_numpy()
+        return pa.table({
+            "supp_nation": pa.array(lut_[gk >> 24], pa.string()),
+            "cust_nation": pa.array(lut_[(gk >> 12) & 0xFFF], pa.string()),
+            "l_year": gk & 0xFFF,
+            "revenue": batch["sum(units)"].to_numpy().astype(np.float64)
+                       / 10000.0,
+        })
+
+    return (mat(j3.map_batches(partial, batch_format="pyarrow"))
+            .groupby("gkey").sum("units")
+            .map_batches(finalize, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
+            .sort(["supp_nation", "cust_nation", "l_year"]))
+
+
+def nation_trade_volume_sql(date_lo: str = Q7_DATE_LO,
+                            date_hi: str = Q7_DATE_HI) -> str:
+    pc_ = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    dc = "CAST(round(l_discount * 100.0) AS BIGINT)"
+    return f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({pc_} * (100 - {dc})) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+  AND l_shipdate <  TIMESTAMP '{date_hi}'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------- Q8-shaped market share
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "EUROPE"
+Q8_DATE_LO = "1995-01-01"
+Q8_DATE_HI = "1997-01-01"
+
+
+def market_share(li_ds, od_ds, cu_ds, su_ds, nation_tbl: pa.Table,
+                 region_tbl: pa.Table, nation: str = Q8_NATION,
+                 region: str = Q8_REGION, date_lo: str = Q8_DATE_LO,
+                 date_hi: str = Q8_DATE_HI):
+    """TPC-H-Q8-shaped market share: among orders placed by customers in
+    `region` inside an orderdate window, the share of revenue supplied
+    by `nation`, per order year -> (o_year, mkt_share, total_revenue).
+
+    Shape: orders are date-filtered before their join; the region
+    membership of the 25 nations and the target nationkey are broadcast
+    constants applied at partial-aggregation time; the final exchange
+    carries at most |years| rows per block (two int64 sums per year —
+    the share is a ratio of exact int64 sums, so the double division is
+    bitwise equal to the oracle's)."""
+    import ray
+
+    rk = {int(k): str(n) for k, n in zip(
+        region_tbl["r_regionkey"].to_numpy(),
+        np.asarray(region_tbl["r_name"], dtype=object))}
+    nk = nation_tbl["n_nationkey"].to_numpy().astype(np.int64)
+    names = np.asarray(nation_tbl["n_name"], dtype=object)
+    nreg = nation_tbl["n_regionkey"].to_numpy().astype(np.int64)
+    in_region = np.zeros(int(nk.max()) + 1, bool)
+    in_region[nk] = np.array([rk[int(r)] == region for r in nreg])
+    target = int(nk[np.flatnonzero(names == nation)[0]])
+    in_region_ref = ray.put(in_region)
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def od_filter(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy().astype("datetime64[us]")
+        ts = od.view(np.int64)
+        m = (ts >= lo) & (ts < hi)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].to_numpy()[m],
+            "o_custkey": batch["o_custkey"].to_numpy()[m],
+            "o_year": od[m].astype("datetime64[Y]").view(np.int64) + 1970,
+        })
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        units = _cents(batch["l_extendedprice"]) * (
+            100 - _cents(batch["l_discount"]))
+        return pa.table({"s_suppkey": batch["l_suppkey"],
+                         "o_orderkey": batch["l_orderkey"],
+                         "units": units})
+
+    j1 = hash_join_int_key(
+        li_ds.map_batches(li_proj, batch_format="pyarrow"),
+        su_ds, key="s_suppkey",
+        left_schema=pa.schema([("s_suppkey", pa.int64()),
+                               ("o_orderkey", pa.int64()),
+                               ("units", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int32())]))
+
+    def rekey_order(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "units": batch["units"],
+                         "s_nationkey": batch["s_nationkey"]})
+
+    j2 = hash_join_int_key(
+        j1.map_batches(rekey_order, batch_format="pyarrow"),
+        od_ds.map_batches(od_filter, batch_format="pyarrow"),
+        key="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("units", pa.int64()),
+                               ("s_nationkey", pa.int32())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_year", pa.int64())]))
+
+    def rekey_cust(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "units": batch["units"],
+                         "s_nationkey": batch["s_nationkey"],
+                         "o_year": batch["o_year"]})
+
+    j3 = hash_join_int_key(
+        j2.map_batches(rekey_cust, batch_format="pyarrow"),
+        cu_ds, key="c_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("units", pa.int64()),
+                               ("s_nationkey", pa.int32()),
+                               ("o_year", pa.int64())]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep_ = ray.get(in_region_ref)
+        cn = batch["c_nationkey"].to_numpy().astype(np.int64)
+        m = keep_[cn]
+        yr = batch["o_year"].to_numpy()[m]
+        units = batch["units"].to_numpy()[m]
+        is_target = (batch["s_nationkey"].to_numpy().astype(
+            np.int64)[m] == target)
+        uy, inv = np.unique(yr, return_inverse=True)
+        return pa.table({
+            "o_year": uy,
+            "tot_units": np.bincount(inv, weights=units,
+                                     minlength=len(uy)).astype(np.int64),
+            "nat_units": np.bincount(inv, weights=units * is_target,
+                                     minlength=len(uy)).astype(np.int64),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tot = batch["sum(tot_units)"].to_numpy()
+        nat = batch["sum(nat_units)"].to_numpy()
+        return pa.table({
+            "o_year": batch["o_year"],
+            "mkt_share": nat.astype(np.float64) / tot.astype(np.float64),
+            "total_revenue": tot.astype(np.float64) / 10000.0,
+        })
+
+    return (mat(j3.map_batches(partial, batch_format="pyarrow"))
+            .groupby("o_year").sum(["tot_units", "nat_units"])
+            .map_batches(finalize, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
+            .sort("o_year"))
+
+
+def market_share_sql(nation: str = Q8_NATION, region: str = Q8_REGION,
+                     date_lo: str = Q8_DATE_LO,
+                     date_hi: str = Q8_DATE_HI) -> str:
+    pc_ = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    dc = "CAST(round(l_discount * 100.0) AS BIGINT)"
+    return f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN sn.n_name = '{nation}'
+                     THEN {pc_} * (100 - {dc}) ELSE 0 END) AS DOUBLE)
+         / CAST(sum({pc_} * (100 - {dc})) AS DOUBLE) AS mkt_share,
+       CAST(sum({pc_} * (100 - {dc})) AS DOUBLE) / 10000.0
+         AS total_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+WHERE r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '{date_lo}'
+  AND o_orderdate <  TIMESTAMP '{date_hi}'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------- Q15-shaped top supplier
+
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def top_supplier(li_ds, su_ds, date_lo: str = Q15_DATE_LO,
+                 date_hi: str = Q15_DATE_HI):
+    """TPC-H-Q15-shaped argmax: the supplier(s) with the maximum revenue
+    over a shipdate quarter -> (s_suppkey, s_name, total_revenue),
+    sorted by suppkey (ALL max-achieving suppliers, as in the spec).
+
+    Shape: the shipdate filter runs at the scan; each block collapses to
+    (suppkey, units) partials via bincount; the groupby exchange is
+    supplier-sized.  The global max is a driver-side scalar over that
+    supplier-sized aggregate (metadata, not data); the surviving row(s)
+    join supplier for the name."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        m = (ts >= lo) & (ts < hi)
+        units = (_cents(batch["l_extendedprice"])
+                 * (100 - _cents(batch["l_discount"])))[m]
+        sk, inv = np.unique(batch["l_suppkey"].to_numpy()[m],
+                            return_inverse=True)
+        return pa.table({
+            "s_suppkey": sk,
+            "units": np.bincount(inv, weights=units,
+                                 minlength=len(sk)).astype(np.int64),
+        })
+
+    rev = mat(mat(li_ds.map_batches(li_partial, batch_format="pyarrow"))
+              .groupby("s_suppkey").sum("units"))
+    best = rev.max("sum(units)")  # supplier-sized aggregate -> scalar
+
+    def keep_max(batch: pa.Table) -> pa.Table:
+        u = batch["units"].to_numpy()
+        return batch.filter(pa.array(u == best))
+
+    winners = rev.map_batches(
+        lambda b: pa.table({"s_suppkey": b["s_suppkey"],
+                            "units": b["sum(units)"]}),
+        batch_format="pyarrow").map_batches(keep_max,
+                                            batch_format="pyarrow")
+
+    def su_project(batch: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": batch["s_suppkey"],
+                         "s_name": batch["s_name"]})
+
+    j = hash_join_int_key(
+        winners,
+        su_ds.map_batches(su_project, batch_format="pyarrow"),
+        key="s_suppkey",
+        left_schema=pa.schema([("s_suppkey", pa.int64()),
+                               ("units", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_name", pa.string())]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": batch["s_suppkey"],
+            "s_name": batch["s_name"],
+            "total_revenue": batch["units"].to_numpy().astype(np.float64)
+                             / 10000.0,
+        })
+
+    return (j.map_batches(finalize, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
+            .sort("s_suppkey"))
+
+
+def top_supplier_sql(date_lo: str = Q15_DATE_LO,
+                     date_hi: str = Q15_DATE_HI) -> str:
+    pc_ = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    dc = "CAST(round(l_discount * 100.0) AS BIGINT)"
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum({pc_} * (100 - {dc})) AS BIGINT) AS units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+    AND l_shipdate <  TIMESTAMP '{date_hi}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(units AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev JOIN supplier USING (s_suppkey)
+WHERE units = (SELECT max(units) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# ------------------------------------------- Q17-shaped small-quantity audit
+
+Q17_BRAND = "Brand#11"
+
+
+def small_qty_revenue(li_ds, part_ds, brand: str = Q17_BRAND):
+    """TPC-H-Q17-shaped correlated-average filter: yearly-averaged
+    revenue from lineitems of `brand` parts whose quantity is below 20%
+    of that part's average quantity -> one row (avg_yearly; SQL-NULL
+    when no row qualifies, mirroring the oracle's empty-sum).
+
+    Shape: part is FILTERED to the brand before its join (the brand is
+    a constant fraction of part — the join's right side never carries
+    the full part table); the brand lineitem rows are materialized once
+    and used twice (per-part stats, then the correlated filter) instead
+    of re-scanning lineitem; the per-part average is carried as EXACT
+    integers (sum, count) so the 20% predicate is the integer identity
+    qty·5·cnt < sum_qty — bitwise-free of float division on both
+    engine and oracle sides."""
+    def part_filter(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["p_brand"], dtype=object) == brand
+        return pa.table({"p_partkey": batch["p_partkey"].to_numpy()[m]})
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": batch["l_partkey"],
+            "qty": np.round(batch["l_quantity"].to_numpy()).astype(
+                np.int64),
+            "price_cents": _cents(batch["l_extendedprice"]),
+        })
+
+    brand_rows = mat(hash_join_int_key(
+        li_ds.map_batches(li_proj, batch_format="pyarrow"),
+        part_ds.map_batches(part_filter, batch_format="pyarrow"),
+        key="p_partkey",
+        left_schema=pa.schema([("p_partkey", pa.int64()),
+                               ("qty", pa.int64()),
+                               ("price_cents", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64())])))
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        pk, inv = np.unique(batch["p_partkey"].to_numpy(),
+                            return_inverse=True)
+        return pa.table({
+            "p_partkey": pk,
+            "sumq": np.bincount(inv, weights=batch["qty"].to_numpy(),
+                                minlength=len(pk)).astype(np.int64),
+            "cnt": np.bincount(inv, minlength=len(pk)).astype(np.int64),
+        })
+
+    stats = (mat(brand_rows.map_batches(stats_partial,
+                                        batch_format="pyarrow"))
+             .groupby("p_partkey").sum(["sumq", "cnt"])
+             .map_batches(lambda b: pa.table({
+                 "p_partkey": b["p_partkey"],
+                 "sumq": b["sum(sumq)"], "cnt": b["sum(cnt)"]}),
+                 batch_format="pyarrow"))
+
+    j2 = hash_join_int_key(
+        brand_rows, stats, key="p_partkey",
+        left_schema=pa.schema([("p_partkey", pa.int64()),
+                               ("qty", pa.int64()),
+                               ("price_cents", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("sumq", pa.int64()),
+                                ("cnt", pa.int64())]))
+
+    def eligible_partial(batch: pa.Table) -> pa.Table:
+        q = batch["qty"].to_numpy()
+        m = q * 5 * batch["cnt"].to_numpy() < batch["sumq"].to_numpy()
+        return pa.table({
+            "cents": pa.array([int(batch["price_cents"].to_numpy()[m]
+                                   .sum())], pa.int64()),
+            "n": pa.array([int(m.sum())], pa.int64()),
+        })
+
+    agg = (j2.map_batches(eligible_partial, batch_format="pyarrow")
+           .sum(["cents", "n"]))  # driver-side scalar: two int64s
+    # an all-empty join (brand with no lineitems) sums to None
+    cents = agg["sum(cents)"] if agg else 0
+    n = agg["sum(n)"] if agg else 0
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "avg_yearly": pa.array(
+            [cents / 700.0 if n else None], pa.float64()),
+    }))
+
+
+def small_qty_revenue_sql(brand: str = Q17_BRAND) -> str:
+    q = "CAST(round(l_quantity) AS BIGINT)"
+    pc_ = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    return f"""
+WITH br AS (
+  SELECT l_partkey, {q} AS qty, {pc_} AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{brand}'
+), st AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sumq,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM br GROUP BY l_partkey
+)
+SELECT CAST(sum(cents) AS DOUBLE) / 700.0 AS avg_yearly
+FROM br JOIN st USING (l_partkey)
+WHERE qty * 5 * cnt < sumq
+"""
+
+
+# --------------------------------------------- Q19-shaped disjunctive revenue
+
+Q19_BUCKETS = (  # (brand, max_size, qty_lo, qty_hi) - size is 1..max_size
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#5", 15, 20, 30),
+)
+
+
+def brand_bucket_revenue(li_ds, part_ds, buckets=Q19_BUCKETS):
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: per brand bucket,
+    the revenue of lineitems whose part matches the bucket's brand+size
+    range and whose quantity lies in the bucket's range ->
+    (p_brand, revenue) sorted, only brands with matches (as GROUP BY).
+
+    Shape: part is filtered to the bucket brands before its join; the
+    size/quantity predicates run vectorized inside the join output; the
+    final exchange carries at most |buckets| rows per block."""
+    brands = [b for b, _, _, _ in buckets]
+    brand_id = {b: i for i, b in enumerate(brands)}
+    max_size = np.array([s for _, s, _, _ in buckets], np.int64)
+    qty_lo = np.array([lo for _, _, lo, _ in buckets], np.int64)
+    qty_hi = np.array([hi for _, _, _, hi in buckets], np.int64)
+
+    def part_filter(batch: pa.Table) -> pa.Table:
+        pb = np.asarray(batch["p_brand"], dtype=object)
+        bid = np.array([brand_id.get(b, -1) for b in pb], np.int64)
+        m = bid >= 0
+        return pa.table({
+            "p_partkey": batch["p_partkey"].to_numpy()[m],
+            "bid": bid[m],
+            "p_size": batch["p_size"].to_numpy()[m].astype(np.int64),
+        })
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        units = _cents(batch["l_extendedprice"]) * (
+            100 - _cents(batch["l_discount"]))
+        return pa.table({
+            "p_partkey": batch["l_partkey"],
+            "qty": np.round(batch["l_quantity"].to_numpy()).astype(
+                np.int64),
+            "units": units,
+        })
+
+    j = hash_join_int_key(
+        li_ds.map_batches(li_proj, batch_format="pyarrow"),
+        part_ds.map_batches(part_filter, batch_format="pyarrow"),
+        key="p_partkey",
+        left_schema=pa.schema([("p_partkey", pa.int64()),
+                               ("qty", pa.int64()),
+                               ("units", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("bid", pa.int64()),
+                                ("p_size", pa.int64())]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bid = batch["bid"].to_numpy()
+        q = batch["qty"].to_numpy()
+        sz = batch["p_size"].to_numpy()
+        m = ((sz >= 1) & (sz <= max_size[bid])
+             & (q >= qty_lo[bid]) & (q <= qty_hi[bid]))
+        ub, inv = np.unique(bid[m], return_inverse=True)
+        return pa.table({
+            "bid": ub,
+            "units": np.bincount(
+                inv, weights=batch["units"].to_numpy()[m],
+                minlength=len(ub)).astype(np.int64),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        names = np.array(brands, dtype=object)
+        return pa.table({
+            "p_brand": pa.array(names[batch["bid"].to_numpy()],
+                                pa.string()),
+            "revenue": batch["sum(units)"].to_numpy().astype(np.float64)
+                       / 10000.0,
+        })
+
+    return (mat(j.map_batches(partial, batch_format="pyarrow"))
+            .groupby("bid").sum("units")
+            .map_batches(finalize, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
+            .sort("p_brand"))
+
+
+def brand_bucket_revenue_sql(buckets=Q19_BUCKETS) -> str:
+    pc_ = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    dc = "CAST(round(l_discount * 100.0) AS BIGINT)"
+    q = "CAST(round(l_quantity) AS BIGINT)"
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s} "
+        f"AND {q} BETWEEN {lo} AND {hi})"
+        for b, s, lo, hi in buckets)
+    return f"""
+SELECT p_brand,
+       CAST(sum({pc_} * (100 - {dc})) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+GROUP BY p_brand ORDER BY p_brand
+"""

@@ -1323,3 +1323,59 @@ def ivf_sq_topk_store(store_dir: str, query_ids: np.ndarray,
                                          "bucket"])
     return _topk_merge_bucketed(
         ds.map_batches(partial, batch_format="pyarrow"), k)
+
+
+# ------------------------------------------------ per-dimension profile
+
+def dim_stats(emb_ds):
+    """-> (dim, n_vecs, vmin, vmax) per embedding dimension, sorted —
+    the per-coordinate profile a pipeline reads before choosing scalar
+    quantization ranges (sq_stats' global min/max, refined per dim).
+
+    Shape: each block collapses to d rows (dim, count, min, max) via
+    one vectorized reduction; the groupby exchange carries d rows per
+    block regardless of input size.  min/max of float32 are exact under
+    any merge order (unlike float sums), so the oracle compare is
+    bitwise; the final cast to float64 is exact."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = np.asarray(col.flatten(), np.float32).reshape(len(batch), -1)
+        d = m.shape[1]
+        return pa.table({
+            "dim": np.arange(d, dtype=np.int64),
+            "n": np.full(d, len(batch), np.int64),
+            "vmin": m.min(axis=0),
+            "vmax": m.max(axis=0),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "dim": batch["dim"],
+            "n_vecs": batch["sum(n)"],
+            "vmin": batch["min(vmin)"].to_numpy().astype(np.float64),
+            "vmax": batch["max(vmax)"].to_numpy().astype(np.float64),
+        })
+
+    return (mat(emb_ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby("dim")
+            .aggregate(Sum("n"), Min("vmin"), Max("vmax"))
+            .map_batches(finalize, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
+            .sort("dim"))
+
+
+def dim_stats_sql() -> str:
+    return """
+SELECT CAST(dim - 1 AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(v) AS DOUBLE) AS vmin,
+       CAST(max(v) AS DOUBLE) AS vmax
+FROM (SELECT generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings)
+GROUP BY dim ORDER BY dim
+"""

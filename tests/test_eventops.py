@@ -20,7 +20,8 @@ def con():
                                   "hopping_window", "props_stats",
                                   "cohort_retention",
                                   "window_heavy_hitters",
-                                  "value_histogram"])
+                                  "value_histogram",
+                                  "inter_arrival_stats"])
 def test_event_query_matches_oracle(ray_session, con, name):
     from covertile import api_events
     got = api_events.QUERIES[name](SF).to_pandas().reset_index(drop=True)

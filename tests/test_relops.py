@@ -120,7 +120,12 @@ def test_hash_join_stale_declared_schema_fails_loudly(ray_session):
 @pytest.mark.parametrize("name", ["returned_item_report",
                                   "promo_revenue_share",
                                   "order_priority_counts",
-                                  "large_order_customers"])
+                                  "large_order_customers",
+                                  "nation_trade_volume",
+                                  "market_share",
+                                  "top_supplier",
+                                  "brand_bucket_revenue",
+                                  "small_qty_revenue"])
 def test_new_rel_query_matches_oracle(ray_session, con, name):
     from covertile import api_rel
     got = api_rel.QUERIES[name](SF).to_pandas().reset_index(drop=True)
@@ -156,3 +161,41 @@ def test_order_priority_counts_empty_bucket(ray_session):
     got = relops.order_priority_counts(
         rd.from_arrow(li), rd.from_arrow(od)).to_pandas()
     assert got["n_orders"].sum() == 1  # only order 1 has a late lineitem
+
+
+def test_small_qty_revenue_empty_brand_is_null(ray_session):
+    """A brand with no qualifying lineitems must yield SQL-NULL (the
+    oracle's empty-sum), not 0 or NaN-from-zero-division."""
+    import pandas as pd
+    from covertile import relops
+    from covertile.sources import read_table
+    got = relops.small_qty_revenue(
+        read_table(SF, "lineitem",
+                   ("l_partkey", "l_quantity", "l_extendedprice")),
+        read_table(SF, "part", ("p_partkey", "p_brand")),
+        brand="Brand#NO_SUCH").to_pandas()
+    assert len(got) == 1
+    assert pd.isna(got["avg_yearly"].iloc[0])
+
+
+def test_top_supplier_keeps_all_max_ties(ray_session):
+    """Two suppliers tied at the max revenue must BOTH be returned
+    (Q15 spec semantics), in suppkey order."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import relops
+    li = pa.table({
+        "l_suppkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 60.0, 40.0, 10.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        "l_shipdate": pa.array(
+            [np.datetime64("1996-02-01", "us")] * 4),
+    })
+    su = pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["a", "b", "c"], pa.string()),
+    })
+    out = relops.top_supplier(rd.from_arrow(li).repartition(3),
+                              rd.from_arrow(su)).to_pandas()
+    assert list(out["s_suppkey"]) == [1, 2]
+    assert list(out["total_revenue"]) == [100.0, 100.0]

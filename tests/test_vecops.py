@@ -36,7 +36,7 @@ def assert_matches(got, want, name):
     "embedding_cosine_dedup", "cosine_lsh_dedup", "emb_knn",
     "ivf_topk_exact", "ivf_topk_store",
     "media_features", "media_resize", "frame_sample",
-    "media_pixel_stats", "media_dedup",
+    "media_pixel_stats", "media_dedup", "dim_stats",
 ])
 def test_vec_query_matches_oracle(ray_session, con, name):
     from covertile import api_vec
