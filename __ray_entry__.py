@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_enrich": api.q_doc_enrich,
         "triangle_counts": api.q_triangle_counts,
         "spatial_components": api.q_spatial_components,
+        "degree_histogram": api.q_degree_histogram,
         "index_lineage": api.q_index_lineage,
     }
     out.update(api_text.QUERIES)
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_enrich": api.sql_doc_enrich(),
         "triangle_counts": api.sql_triangle_counts(),
         "spatial_components": api.sql_spatial_components(),
+        "degree_histogram": api.sql_degree_histogram(),
     }
     out.update({k: v() for k, v in api_text.ORACLES.items()})
     out.update({k: v() for k, v in api_vec.ORACLES.items()})

@@ -614,3 +614,28 @@ lab(node, lbl) AS (
 SELECT node AS point_id, min(lbl) AS component_id FROM lab GROUP BY node
 ORDER BY point_id
 """
+
+
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution of the engine's epsilon graph at EPS_RADIUS
+    -> (degree, n_vertices): the connectivity profile read before
+    choosing an epsilon (pairs with knn_radius_quantiles, which answers
+    the same question from the kNN side)."""
+    from .graphops import degree_histogram
+    idx, points, _ = _index_for(sf_dir, EPS_RADIUS)
+    return degree_histogram(epsilon_graph(idx, points, EPS_RADIUS))
+
+
+def sql_degree_histogram() -> str:
+    d = geometry.dist_sql("a.x", "a.y", "b.x", "b.y")
+    return f"""
+WITH pts AS ({geometry.pts_cte()}),
+deg AS (
+  SELECT a.doc_id AS pid, count(*) AS degree
+  FROM pts a, pts b
+  WHERE {d} <= {EPS_RADIUS} AND a.doc_id != b.doc_id
+  GROUP BY a.doc_id
+)
+SELECT degree, count(*) AS n_vertices
+FROM deg GROUP BY degree ORDER BY degree
+"""

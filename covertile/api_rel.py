@@ -203,6 +203,25 @@ def sql_brand_bucket_revenue() -> str:
     return relops.brand_bucket_revenue_sql()
 
 
+def q_global_sales_opportunity(sf_dir: str):
+    return relops.global_sales_opportunity(
+        _t(sf_dir, "customer", ("c_custkey", "c_mktsegment", "c_acctbal")),
+        _t(sf_dir, "orders", ("o_custkey", "o_orderdate")))
+
+
+def sql_global_sales_opportunity() -> str:
+    return relops.global_sales_opportunity_sql()
+
+
+def q_order_value_quantiles(sf_dir: str):
+    return relops.order_value_quantiles(
+        _t(sf_dir, "orders", ("o_totalprice",)))
+
+
+def sql_order_value_quantiles() -> str:
+    return relops.order_value_quantiles_sql()
+
+
 QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "pricing_summary": q_pricing_summary,
@@ -218,6 +237,8 @@ QUERIES = {
     "top_supplier": q_top_supplier,
     "small_qty_revenue": q_small_qty_revenue,
     "brand_bucket_revenue": q_brand_bucket_revenue,
+    "global_sales_opportunity": q_global_sales_opportunity,
+    "order_value_quantiles": q_order_value_quantiles,
 }
 
 ORACLES = {
@@ -235,4 +256,6 @@ ORACLES = {
     "top_supplier": sql_top_supplier,
     "small_qty_revenue": sql_small_qty_revenue,
     "brand_bucket_revenue": sql_brand_bucket_revenue,
+    "global_sales_opportunity": sql_global_sales_opportunity,
+    "order_value_quantiles": sql_order_value_quantiles,
 }

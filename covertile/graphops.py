@@ -183,3 +183,43 @@ def triangle_counts(edges_ds):
                                              batch_format="pyarrow")
             .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("point_id"))
+
+
+def degree_histogram(edges_ds):
+    """Degree distribution of an undirected graph given as a directed
+    (src_id, dst_id) edge Dataset (each undirected edge present in both
+    directions, self-loops allowed and ignored) -> (degree,
+    n_vertices) sorted by degree, for every vertex with degree >= 1.
+
+    Two domain-bounded exchanges: per-block partial degree counts merge
+    in one vertex-sized groupby; per-block (degree, count) histogram
+    partials merge in one degree-domain-sized groupby.  The edge table
+    itself never shuffles."""
+    def deg_part(batch: pa.Table) -> pa.Table:
+        s = batch["src_id"].to_numpy()
+        d = batch["dst_id"].to_numpy()
+        m = s != d
+        u, inv = np.unique(s[m], return_inverse=True)
+        return pa.table({
+            "point_id": u,
+            "c": np.bincount(inv, minlength=len(u)).astype(np.int64),
+        })
+
+    deg = (mat(edges_ds.map_batches(deg_part, batch_format="pyarrow"))
+           .groupby("point_id").sum("c"))
+
+    def hist_part(batch: pa.Table) -> pa.Table:
+        dg, cnt = np.unique(batch["sum(c)"].to_numpy(),
+                            return_counts=True)
+        return pa.table({"degree": dg.astype(np.int64),
+                         "n": cnt.astype(np.int64)})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"degree": batch["degree"],
+                         "n_vertices": batch["sum(n)"]})
+
+    return (mat(deg.map_batches(hist_part, batch_format="pyarrow"))
+            .groupby("degree").sum("n")
+            .map_batches(finalize, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
+            .sort("degree"))

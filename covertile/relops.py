@@ -1615,3 +1615,177 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE {ors}
 GROUP BY p_brand ORDER BY p_brand
 """
+
+
+# ------------------------------------- Q22-shaped global sales opportunity
+
+def global_sales_opportunity(cu_ds, od_ds, cutoff: str = IDLE_CUTOFF,
+                             nbuckets: int = IDLE_BUCKETS):
+    """TPC-H-Q22-shaped scalar-subquery + anti-join: customers whose
+    account balance exceeds the global average of POSITIVE balances and
+    who placed no order on/after `cutoff` -> (c_mktsegment,
+    n_customers, total_acctbal), sorted.
+
+    Shape: the scalar subquery is ONE metadata-sized pass over customer
+    (per-block (sum, count) partials of positive balance cents,
+    tree-combined to two int64s on the driver) and the "above average"
+    predicate is the integer identity cents·count > sum — no float
+    division on either side, so engine and oracle agree bitwise.  The
+    predicate then prunes customers BEFORE the idle_customers-style
+    bucketed anti-join (both sides hash once on custkey; per-bucket
+    np.isin)."""
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    cut_us = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"])
+        m = cents > 0
+        return pa.table({"s": pa.array([int(cents[m].sum())], pa.int64()),
+                         "c": pa.array([int(m.sum())], pa.int64())})
+
+    agg = cu_ds.map_batches(pos_partial, batch_format="pyarrow").sum(
+        ["s", "c"])
+    pos_sum = int(agg["sum(s)"]) if agg else 0
+    pos_cnt = int(agg["sum(c)"]) if agg else 0
+
+    def bk_of(keys: np.ndarray) -> np.ndarray:
+        return ((keys.astype(np.uint64) * PHI) >> np.uint64(40)
+                ).astype(np.int64) % np.int64(nbuckets)
+
+    def cust_route(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"])
+        m = cents * pos_cnt > pos_sum  # c_acctbal > avg(positive)
+        key = batch["c_custkey"].to_numpy()[m]
+        return pa.table({
+            "bk": bk_of(key), "key": key,
+            "side": np.zeros(len(key), np.int8),
+            "seg": batch.filter(pa.array(m))["c_mktsegment"],
+            "cents": cents[m],
+        })
+
+    def ord_route(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        key = np.unique(batch["o_custkey"].to_numpy()[ts >= cut_us])
+        return pa.table({
+            "bk": bk_of(key), "key": key,
+            "side": np.ones(len(key), np.int8),
+            "seg": pa.array([""] * len(key), pa.string()),
+            "cents": np.zeros(len(key), np.int64),
+        })
+
+    def anti(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        key = group["key"].to_numpy()
+        cust = side == 0
+        okeys = np.unique(key[~cust])
+        keep = cust & ~np.isin(key, okeys)
+        seg = np.asarray(group["seg"], dtype=object)[keep]
+        cents = group["cents"].to_numpy()[keep]
+        uk, inv = np.unique(seg, return_inverse=True)
+        return pa.table({
+            "seg": pa.array(uk, pa.string()),
+            "n": np.bincount(inv, minlength=len(uk)).astype(np.int64),
+            "cents": np.bincount(inv, weights=cents,
+                                 minlength=len(uk)).astype(np.int64),
+        })
+
+    routed = (cu_ds.map_batches(cust_route, batch_format="pyarrow")
+              .union(od_ds.map_batches(ord_route, batch_format="pyarrow")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        seg = np.asarray(batch["seg"], dtype=object)
+        uk, inv = np.unique(seg, return_inverse=True)
+        n = np.bincount(inv, weights=batch["n"].to_numpy(),
+                        minlength=len(uk)).astype(np.int64)
+        cents = np.bincount(inv, weights=batch["cents"].to_numpy(),
+                            minlength=len(uk)).astype(np.int64)
+        return pa.table({
+            "c_mktsegment": pa.array(uk, pa.string()),
+            "n_customers": n,
+            "total_acctbal": cents.astype(np.float64) / 100.0,
+        })
+
+    return (mat(routed).groupby("bk").map_groups(anti,
+                                                 batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def global_sales_opportunity_sql(cutoff: str = IDLE_CUTOFF) -> str:
+    cents = "CAST(round(c_acctbal * 100.0) AS BIGINT)"
+    return f"""
+WITH pos AS (
+  SELECT CAST(sum({cents}) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer WHERE {cents} > 0
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(CAST(sum({cents}) AS BIGINT) AS DOUBLE) / 100.0
+         AS total_acctbal
+FROM customer cu, pos
+WHERE {cents} * pos.c > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cu.c_custkey
+                    AND o.o_orderdate >= DATE '{cutoff}')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------- order-value exact quantiles
+
+OV_QS = (25, 50, 75, 90, 99)  # percent -> p25..p99 columns
+
+
+def order_value_quantiles(od_ds):
+    """-> ONE row (n_orders, p25..p99, max_price): exact global
+    quantiles of o_totalprice — the order-value distribution profile.
+
+    The group_quantiles histogram discipline with a single global
+    group: per-block (cents, count) value-histogram partials, one
+    value-domain-bounded groupby, index arithmetic on cumulative counts
+    (DuckDB quantile_disc semantics: 1-indexed element at ceil(q·n)).
+    Prices carry 2 decimals so the cents domain is integer and the
+    quantiles are exact; the final /100.0 double is bitwise vs SQL."""
+    def part(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"])
+        uv, cnt = np.unique(cents, return_counts=True)
+        return pa.table({"cents": uv, "c": cnt.astype(np.int64)})
+
+    def quantiles(batch: pa.Table) -> pa.Table:
+        v = batch["cents"].to_numpy()
+        c = batch["sum(c)"].to_numpy()
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1]) if len(cum) else 0
+        cols = {"n_orders": pa.array([n], pa.int64())}
+        for q in OV_QS:
+            k = int(np.ceil(q / 100.0 * n))
+            val = (float(v[np.searchsorted(cum, max(k, 1), side="left")])
+                   / 100.0 if n else None)
+            cols[f"p{q}"] = pa.array([val], pa.float64())
+        cols["max_price"] = pa.array(
+            [float(v[-1]) / 100.0 if n else None], pa.float64())
+        return pa.table(cols)
+
+    return (mat(od_ds.map_batches(part, batch_format="pyarrow"))
+            .groupby("cents").sum("c")
+            .repartition(1)
+            .map_batches(quantiles, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def order_value_quantiles_sql() -> str:
+    cents = "CAST(round(o_totalprice * 100.0) AS BIGINT)"
+    qcols = ",\n       ".join(
+        f"CAST(quantile_disc({cents}, {q / 100.0}) AS DOUBLE) / 100.0"
+        f" AS p{q}" for q in OV_QS)
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       {qcols},
+       CAST(max({cents}) AS DOUBLE) / 100.0 AS max_price
+FROM orders
+"""

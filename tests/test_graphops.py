@@ -89,3 +89,36 @@ def test_spatial_components_matches_oracle(ray_session):
     for c in got.columns:
         assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
     assert (got["component_id"] != got["point_id"]).any(), "vacuous"
+
+
+def test_degree_histogram_hand_graph(ray_session):
+    """Path graph 1-2-3 (+ a self-loop to ignore): degrees 1,2,1 ->
+    histogram {1: 2, 2: 1}; invariant sum(degree*n) = 2|E|."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile.graphops import degree_histogram
+
+    tbl = pa.table({
+        "src_id": pa.array([1, 2, 2, 3, 3], pa.int64()),
+        "dst_id": pa.array([2, 1, 3, 2, 3], pa.int64()),  # 3-3 self-loop
+    })
+    got = (degree_histogram(rd.from_arrow(tbl).repartition(3))
+           .to_pandas().set_index("degree")["n_vertices"].to_dict())
+    assert got == {1: 2, 2: 1}
+
+
+def test_degree_histogram_matches_oracle(ray_session):
+    """Driver-surface query vs the grouped cross-join SQL at sf0.001."""
+    from covertile import api
+
+    got = (api.q_degree_histogram(SF).to_pandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(api.sql_degree_histogram()).df()
+    assert len(got) == len(want)
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+    assert got["n_vertices"].sum() > 0, "vacuous fixture"

@@ -125,7 +125,9 @@ def test_hash_join_stale_declared_schema_fails_loudly(ray_session):
                                   "market_share",
                                   "top_supplier",
                                   "brand_bucket_revenue",
-                                  "small_qty_revenue"])
+                                  "small_qty_revenue",
+                                  "global_sales_opportunity",
+                                  "order_value_quantiles"])
 def test_new_rel_query_matches_oracle(ray_session, con, name):
     from covertile import api_rel
     got = api_rel.QUERIES[name](SF).to_pandas().reset_index(drop=True)
@@ -199,3 +201,13 @@ def test_top_supplier_keeps_all_max_ties(ray_session):
                               rd.from_arrow(su)).to_pandas()
     assert list(out["s_suppkey"]) == [1, 2]
     assert list(out["total_revenue"]) == [100.0, 100.0]
+
+
+def test_global_sales_opportunity_nonvacuous(ray_session, con):
+    """The Q22 shape must produce rows at sf0.001 (rich idle customers
+    exist) — guards against a silently-empty fixture making the oracle
+    compare vacuous."""
+    from covertile import api_rel
+    got = (api_rel.QUERIES["global_sales_opportunity"](SF)
+           .to_pandas().reset_index(drop=True))
+    assert got["n_customers"].sum() > 0
