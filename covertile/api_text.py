@@ -95,6 +95,37 @@ def sql_fingerprint() -> str:
     return T.fingerprint_sql()
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """The documents fixture has no exact-identical texts, so the driver
+    query PLANTS deterministic duplicates (doc_id % 7 == 0 docs collapse
+    to 3 shared texts), mirrored exactly by the oracle CTE — the
+    late_events jitter precedent: the plant makes the dup-detection path
+    non-vacuous while staying bitwise-checkable."""
+    import numpy as np
+    import pyarrow as pa
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        text = np.asarray(batch["text"], dtype=object).copy()
+        m = ids % 7 == 0
+        text[m] = [f"DUP_{i % 3}" for i in ids[m]]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(text, pa.string()),
+                         "source": batch["source"]})
+
+    docs = _docs(sf_dir, ("doc_id", "text", "source")).map_batches(
+        plant, batch_format="pyarrow")
+    return T.dup_rate_by_source(docs)
+
+
+def sql_dup_rate_by_source() -> str:
+    planted = ("SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+               "'DUP_' || CAST(doc_id % 3 AS VARCHAR) ELSE text END "
+               "AS text, source FROM documents")
+    return T.dup_rate_by_source_sql().replace("FROM documents",
+                                              f"FROM ({planted})")
+
+
 def q_exact_dedup(sf_dir: str):
     return T.exact_dedup(_docs(sf_dir)).materialize().sort("fingerprint")
 
@@ -379,6 +410,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
+    "dup_rate_by_source": q_dup_rate_by_source,
     "ngram_jaccard_dedup": q_ngram_jaccard,
     "simhash_dedup": q_simhash_dups,
     "minhash_lsh_dedup": q_minhash_lsh,
@@ -419,6 +451,7 @@ ORACLES = {
     "lang_id": sql_lang_id,
     "doc_fingerprint": sql_fingerprint,
     "exact_dedup": sql_exact_dedup,
+    "dup_rate_by_source": sql_dup_rate_by_source,
     "ngram_jaccard_dedup": sql_ngram_jaccard,
     "simhash_dedup": sql_simhash_dups,
     "minhash_lsh_dedup": sql_minhash_lsh,

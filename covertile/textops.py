@@ -2790,3 +2790,92 @@ WHERE doc_id NOT IN (
 )
 ORDER BY doc_id
 """
+
+
+# ----------------------------------------------- per-source duplication rate
+
+def dup_rate_by_source(docs_ds, nbits: int = 8):
+    """-> per source (source, n_docs, n_dup_docs, dup_rate): how much of
+    each source's text is duplicated ANYWHERE in the corpus (md5
+    equality, cross-source) — the per-provider contamination audit a
+    curation pipeline runs before mixing sources.
+
+    Shape: each block collapses to distinct (fingerprint, source, count)
+    rows; ONE exchange groups them by a coarse hash bucket of the
+    fingerprint (all rows of a fingerprint share its bucket, so the
+    global count>1 test is exact in-bucket; vectorized np.unique, no
+    per-fingerprint Python — the _coarse_bucket lesson); per-bucket
+    per-source partials are metadata-sized and tree-combine in a final
+    repartition(1).  The doc texts themselves never shuffle — only
+    (16-byte fp, source, count) triples."""
+    def partial(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        fp = np.array([hashlib.md5(s.encode()).hexdigest()
+                       for s in text.to_pylist()], dtype=object)
+        src = np.asarray(_text_col(batch, "source"), dtype=object)
+        key = np.char.add(np.char.add(fp.astype(str), "\x00"),
+                          src.astype(str))
+        uk, idx, inv = np.unique(key, return_index=True,
+                                 return_inverse=True)
+        u64 = np.array([int(f[:16], 16) for f in fp[idx]], np.uint64)
+        return pa.table({
+            "bk": _coarse_bucket(u64, nbits),
+            "fingerprint": pa.array(fp[idx], pa.string()),
+            "source": pa.array(src[idx], pa.string()),
+            "c": np.bincount(inv, minlength=len(uk)).astype(np.int64),
+        })
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        fp = np.asarray(group["fingerprint"], dtype=object)
+        src = np.asarray(group["source"], dtype=object)
+        c = group["c"].to_numpy()
+        _, inv = np.unique(fp, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        dup = tot[inv] > 1
+        us, sinv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "source": pa.array(us, pa.string()),
+            "n": np.bincount(sinv, weights=c,
+                             minlength=len(us)).astype(np.int64),
+            "nd": np.bincount(sinv, weights=c * dup,
+                              minlength=len(us)).astype(np.int64),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"], dtype=object)
+        us, sinv = np.unique(src, return_inverse=True)
+        n = np.bincount(sinv, weights=batch["n"].to_numpy(),
+                        minlength=len(us)).astype(np.int64)
+        nd = np.bincount(sinv, weights=batch["nd"].to_numpy(),
+                         minlength=len(us)).astype(np.int64)
+        return pa.table({
+            "source": pa.array(us, pa.string()),
+            "n_docs": n,
+            "n_dup_docs": nd,
+            "dup_rate": nd.astype(np.float64) / n.astype(np.float64),
+        })
+
+    return (mat(docs_ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby("bk").map_groups(per_bucket, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def dup_rate_by_source_sql() -> str:
+    return """
+WITH f AS (SELECT source, md5(text) AS fp FROM documents),
+tot AS (SELECT fp, count(*) AS c FROM f GROUP BY fp)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN tot.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(sum(CASE WHEN tot.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM f JOIN tot USING (fp)
+GROUP BY source ORDER BY source
+"""

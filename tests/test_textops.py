@@ -38,6 +38,7 @@ def assert_matches(got, want, name):
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
     "group_quantiles", "subword_stats", "dataset_split", "dup_components",
     "grouped_topk", "normalize_text", "doc_chunks",
+    "dup_rate_by_source",
 ])
 def test_text_query_matches_oracle(ray_session, con, name):
     from covertile import api_text
