@@ -582,6 +582,18 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("doc_chunks", lambda: C.doc_chunks(docs).count())
     stage("pii_scrub", lambda: C.pii_scrub(docs).count())
     stage("exact_dedup", lambda: T.exact_dedup(docs).count())
+
+    def add_source_text(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": ids,
+            "text": batch["text"],
+            "source": pc.take(srcs2, pa.array((ids % 20).astype(np.int64))),
+        })
+
+    srcs2 = pa.array(np.array([f"src{i}" for i in range(20)]))
+    stage("dup_rate_by_source", lambda: T.dup_rate_by_source(
+        docs.map_batches(add_source_text, batch_format="pyarrow")).count())
     stage("dedup_keep_best", lambda: T.dedup_keep_best(docs).count())
     stage("dup_spans", lambda: C.dup_spans(docs).count())
     stage("hll_profile", lambda: C.hll_profile(
@@ -613,6 +625,7 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
         pa.concat_tables(vecs.limit(V.ANN_NUM_QUERIES).iter_batches(
             batch_size=None, batch_format="pyarrow")))
     stage("ann_topk", lambda: V.ann_topk(vecs, qid, qm).count())
+    stage("dim_stats", lambda: V.dim_stats(vecs).count())
     stage("sq_ann_topk", lambda: V.sq_ann_topk(vecs, qid, qm).count())
 
     def run_bm25():
@@ -683,6 +696,8 @@ def run_aux_bench(sf_dir: str, num_cpus: int, n_docs: int = 200_000,
     stage("window_heavy_hitters",
           lambda: E.window_heavy_hitters(events).count())
     stage("value_histogram", lambda: E.value_histogram(events).count())
+    stage("inter_arrival_stats",
+          lambda: E.inter_arrival_stats(events).count())
     stage("funnel", lambda: E.funnel(
         events, first_type="view", then_type="buy").count())
     stage("asof_join", lambda: E.asof_join(events, right_type="buy").count())
