@@ -2153,94 +2153,15 @@ def inter_arrival_stats(events_ds, chunk_hours: int = IA_CHUNK_HOURS,
     # — the gap domain can reach millions of distinct seconds (30 days =
     # 2.6M), so a groupby(gap_s) + repartition(1) merge would pull a
     # multi-million-row histogram into ONE task (measured 11.2s of a
-    # 5M-event run).  Instead:
-    #   A. per-block partials collapse to 4096-second COARSE buckets
-    #      (metadata-sized: <= 7.7k buckets per YEAR of gap range) and
-    #      tree-combine on the driver; cumulative bucket counts locate
-    #      each quantile's bucket + residual rank, and the global max.
-    #   B. a second map-only pass over the SAME materialized partials
-    #      keeps only the <= |IA_QS| target buckets (each contributes at
-    #      most 4096 distinct values per block); the driver merges that
-    #      sliver and reads the answers by index arithmetic.
-    # Neither phase is an all-to-all: both are map passes over `hist`
-    # with driver-side metadata combines.
-    CB = 12  # log2 of the coarse bucket width in seconds
+    # 5M-event run; 1.4s with qstats' coarse-bucket scheme).
+    from .qstats import histogram_quantiles
+    import ray.data as _rd
 
-    def coarse_part(batch: pa.Table) -> pa.Table:
-        g = batch["gap_s"].to_numpy()
-        c = batch["c"].to_numpy()
-        cb, inv = np.unique(g >> CB, return_inverse=True)
-        mx = np.zeros(len(cb), np.int64)
-        np.maximum.at(mx, inv, g)
-        return pa.table({
-            "cb": cb,
-            "c": np.bincount(inv, weights=c,
-                             minlength=len(cb)).astype(np.int64),
-            "mx": mx,
-        })
-
-    cp = hist.map_batches(coarse_part,
-                          batch_format="pyarrow").to_arrow_refs()
-    import ray as _ray
-    parts = [t for t in _ray.get(cp) if len(t)]
-    if parts:
-        allp = pa.concat_tables(parts)
-        cb = allp["cb"].to_numpy()
-        ucb, inv = np.unique(cb, return_inverse=True)
-        cnt = np.bincount(inv, weights=allp["c"].to_numpy(),
-                          minlength=len(ucb)).astype(np.int64)
-        mx = np.zeros(len(ucb), np.int64)
-        np.maximum.at(mx, inv, allp["mx"].to_numpy())
-        cum = np.cumsum(cnt)
-        n = int(cum[-1])
-    else:
-        ucb = np.zeros(0, np.int64)
-        cum = np.zeros(0, np.int64)
-        mx = np.zeros(0, np.int64)
-        n = 0
-
-    targets: dict[int, int] = {}  # quantile percent -> residual rank
-    tbuckets: dict[int, int] = {}  # quantile percent -> coarse bucket
-    for q in IA_QS:
-        if not n:
-            continue
-        k = max(int(np.ceil(q / 100.0 * n)), 1)
-        bi = int(np.searchsorted(cum, k, side="left"))
-        tbuckets[q] = int(ucb[bi])
-        targets[q] = k - (int(cum[bi - 1]) if bi else 0)
-    need = np.unique(np.array(sorted(set(tbuckets.values())), np.int64))
-
-    def target_part(batch: pa.Table) -> pa.Table:
-        g = batch["gap_s"].to_numpy()
-        keep = np.isin(g >> CB, need)
-        return pa.table({"gap_s": g[keep],
-                         "c": batch["c"].to_numpy()[keep]})
-
-    if n:
-        tp = [t for t in _ray.get(
-            hist.map_batches(target_part,
-                             batch_format="pyarrow").to_arrow_refs())
-            if len(t)]
-        tt = pa.concat_tables(tp)
-        tg = tt["gap_s"].to_numpy()
-        tc = tt["c"].to_numpy()
-        ug, tinv = np.unique(tg, return_inverse=True)
-        uc = np.bincount(tinv, weights=tc,
-                         minlength=len(ug)).astype(np.int64)
-
+    n, qv, mx = histogram_quantiles(hist, IA_QS, value_col="gap_s")
     cols = {"n_gaps": pa.array([n], pa.int64())}
     for q in IA_QS:
-        if n:
-            b = tbuckets[q]
-            m = (ug >> CB) == b
-            bcum = np.cumsum(uc[m])
-            val = int(ug[m][np.searchsorted(bcum, targets[q],
-                                            side="left")])
-        else:
-            val = None
-        cols[f"p{q}_s"] = pa.array([val], pa.int64())
-    cols["max_s"] = pa.array([int(mx.max()) if n else None], pa.int64())
-    import ray.data as _rd
+        cols[f"p{q}_s"] = pa.array([qv[q]], pa.int64())
+    cols["max_s"] = pa.array([mx], pa.int64())
     return _rd.from_arrow(pa.table(cols))
 
 

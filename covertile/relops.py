@@ -1743,39 +1743,32 @@ def order_value_quantiles(od_ds):
     """-> ONE row (n_orders, p25..p99, max_price): exact global
     quantiles of o_totalprice — the order-value distribution profile.
 
-    The group_quantiles histogram discipline with a single global
-    group: per-block (cents, count) value-histogram partials, one
-    value-domain-bounded groupby, index arithmetic on cumulative counts
-    (DuckDB quantile_disc semantics: 1-indexed element at ceil(q·n)).
-    Prices carry 2 decimals so the cents domain is integer and the
-    quantiles are exact; the final /100.0 double is bitwise vs SQL."""
+    The qstats two-phase scheme (see covertile/qstats.py): per-block
+    (cents, count) histogram partials, coarse-bucket metadata combine to
+    locate each quantile's bucket, then a target-bucket-only second
+    pass — the cents domain reaches millions of distinct values over
+    billions of orders, so a full-histogram groupby+repartition(1)
+    merge would funnel it into one task.  Prices carry 2 decimals so
+    the cents domain is integer and the quantiles are exact (DuckDB
+    quantile_disc semantics); the final /100.0 double is bitwise."""
+    import ray.data as _rd
+
+    from .qstats import histogram_quantiles
+
     def part(batch: pa.Table) -> pa.Table:
         cents = _cents(batch["o_totalprice"])
         uv, cnt = np.unique(cents, return_counts=True)
         return pa.table({"cents": uv, "c": cnt.astype(np.int64)})
 
-    def quantiles(batch: pa.Table) -> pa.Table:
-        v = batch["cents"].to_numpy()
-        c = batch["sum(c)"].to_numpy()
-        order = np.argsort(v)
-        v, c = v[order], c[order]
-        cum = np.cumsum(c)
-        n = int(cum[-1]) if len(cum) else 0
-        cols = {"n_orders": pa.array([n], pa.int64())}
-        for q in OV_QS:
-            k = int(np.ceil(q / 100.0 * n))
-            val = (float(v[np.searchsorted(cum, max(k, 1), side="left")])
-                   / 100.0 if n else None)
-            cols[f"p{q}"] = pa.array([val], pa.float64())
-        cols["max_price"] = pa.array(
-            [float(v[-1]) / 100.0 if n else None], pa.float64())
-        return pa.table(cols)
-
-    return (mat(od_ds.map_batches(part, batch_format="pyarrow"))
-            .groupby("cents").sum("c")
-            .repartition(1)
-            .map_batches(quantiles, batch_format="pyarrow",
-                         batch_size=None))
+    hist = mat(od_ds.map_batches(part, batch_format="pyarrow"))
+    n, qv, mx = histogram_quantiles(hist, OV_QS, value_col="cents")
+    cols = {"n_orders": pa.array([n], pa.int64())}
+    for q in OV_QS:
+        cols[f"p{q}"] = pa.array(
+            [qv[q] / 100.0 if qv[q] is not None else None], pa.float64())
+    cols["max_price"] = pa.array(
+        [mx / 100.0 if mx is not None else None], pa.float64())
+    return _rd.from_arrow(pa.table(cols))
 
 
 def order_value_quantiles_sql() -> str:
