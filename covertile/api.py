@@ -116,40 +116,39 @@ KNN_RADIUS_QS = (25, 50, 75, 90, 99)
 def q_knn_radius_quantiles(sf_dir: str):
     """Exact discrete quantiles of the distance to the K-th nearest
     neighbor — the standard diagnostic for choosing an epsilon radius
-    before a density query.  Composes the kNN engine with the
-    group_quantiles histogram discipline: the exchange carries one row
-    per DISTINCT k-th distance per block (the point-sized radius
-    column, never the k·n pair table)."""
+    before a density query.  Distances are continuous floats (all
+    distinct at scale), so a single-group histogram merge would funnel
+    a point-sized table into one task; instead the k-th distances map
+    to their IEEE-754 bit patterns (order-preserving int64 for
+    non-negative doubles — no value arithmetic, so exactness is
+    untouched) and the qstats two-phase coarse-bucket scheme answers
+    the rank queries with metadata-sized driver combines."""
     import pyarrow.compute as pc
+    import ray.data as _rd
 
     from .joins import mat
+    from .qstats import histogram_quantiles
     idx, points, n = _index_for(sf_dir, None)
     kd = knn_join(idx, points, KNN_K, n_points_hint=n)
 
     def part(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["rank"], KNN_K))
-        uv, c = np.unique(t["dist"].to_numpy(), return_counts=True)
-        return pa.table({"g": np.zeros(len(uv), np.int64),
-                         "v": uv, "c": c.astype(np.int64)})
+        bits = t["dist"].to_numpy().view(np.int64)  # dist >= 0 always
+        uv, c = np.unique(bits, return_counts=True)
+        return pa.table({"v": uv, "c": c.astype(np.int64)})
 
-    def quant(group: pa.Table) -> pa.Table:
-        v = group["v"].to_numpy()
-        c = group["c"].to_numpy()
-        order = np.argsort(v)
-        v, c = v[order], c[order]
-        uv, start = np.unique(v, return_index=True)
-        cum = np.cumsum(np.add.reduceat(c, start))
-        n_ = int(cum[-1])
-        cols = {"n_points": pa.array([n_], pa.int64())}
-        for pq in KNN_RADIUS_QS:
-            k = int(np.ceil(pq / 100.0 * n_))
-            cols[f"p{pq}"] = pa.array(
-                [float(uv[np.searchsorted(cum, max(k, 1), side="left")])],
-                pa.float64())
-        return pa.table(cols)
-
-    return (mat(kd.map_batches(part, batch_format="pyarrow"))
-            .groupby("g").map_groups(quant, batch_format="pyarrow"))
+    # coarse_bits=40: exponent + top-12-mantissa buckets (each spans a
+    # ~0.02% relative range of distances, so target-bucket slivers are
+    # tiny even on tightly clustered radii)
+    n_, qv, _mx = histogram_quantiles(
+        mat(kd.map_batches(part, batch_format="pyarrow")),
+        KNN_RADIUS_QS, coarse_bits=40)
+    cols = {"n_points": pa.array([n_], pa.int64())}
+    for pq in KNN_RADIUS_QS:
+        val = (float(np.array([qv[pq]], np.int64).view(np.float64)[0])
+               if qv[pq] is not None else None)
+        cols[f"p{pq}"] = pa.array([val], pa.float64())
+    return _rd.from_arrow(pa.table(cols))
 
 
 def sql_knn_radius_quantiles() -> str:
