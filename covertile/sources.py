@@ -25,7 +25,8 @@ import pyarrow as pa
 
 __all__ = ["fvecs_dim_count", "read_fvecs", "write_fvecs_shards",
            "write_graph_text_single", "write_graph_text_shards",
-           "read_table", "read_lance_fragments", "write_jsonl_shards"]
+           "read_table", "read_lance_fragments", "write_jsonl_shards",
+           "write_csv_shards"]
 
 
 def _lance_module():
@@ -132,6 +133,18 @@ def read_table(sf_dir: str, name: str, columns=None, filter=None):
         if columns:
             ds = ds.select_columns(list(columns))
         return ds
+    csv_path = os.path.join(sf_dir, f"{name}.csv")
+    if not os.path.exists(pq_path) and os.path.exists(csv_path):
+        # CSV: row-major like JSONL — projection applies right after
+        # parse; types are pyarrow's CSV inference (int64/double/string/
+        # timestamp).  Same caveat: convert to parquet for exact types.
+        ds = rd.read_csv(csv_path)
+        if filter is not None:
+            ds = ds.map_batches(lambda t: t.filter(filter),
+                                batch_format="pyarrow")
+        if columns:
+            ds = ds.select_columns(list(columns))
+        return ds
     return rd.read_parquet(pq_path,
                            columns=list(columns) if columns else None,
                            filter=filter)
@@ -149,6 +162,21 @@ def write_jsonl_shards(ds, out_dir: str) -> dict:
                     if f.endswith(".json") or f.endswith(".jsonl"))
     manifest = {"format": "jsonl", "shards": shards}
     # beside (not inside) the shard dir: readers scan every file in it
+    with open(out_dir.rstrip("/") + ".manifest.json", "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def write_csv_shards(ds, out_dir: str) -> dict:
+    """Dataset -> CSV, one shard file per block plus a manifest (the
+    write_jsonl_shards discipline).  Returns the manifest."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_csv(out_dir)
+    shards = sorted(f for f in os.listdir(out_dir)
+                    if f.endswith(".csv"))
+    manifest = {"format": "csv", "shards": shards}
     with open(out_dir.rstrip("/") + ".manifest.json", "w") as f:
         json.dump(manifest, f)
     return manifest

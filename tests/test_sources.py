@@ -245,3 +245,26 @@ def test_jsonl_roundtrip_and_dispatch(ray_session, tmp_path):
             .reset_index(drop=True))
     assert list(df.columns) == ["doc_id", "lang"]
     assert df.equals(want)
+
+
+def test_csv_roundtrip_and_dispatch(ray_session, tmp_path):
+    """write_csv_shards -> read_table dispatch on <name>.csv when no
+    parquet twin exists: rows, projection and filter all honored."""
+    import pyarrow.compute as pc
+    from covertile.sources import read_table, write_csv_shards
+
+    docs = read_table("/root/testdata/sf0.001", "documents",
+                      columns=("doc_id", "lang", "n_chars")).limit(50)
+    out = str(tmp_path / "documents.csv")
+    manifest = write_csv_shards(docs, out)
+    assert manifest["shards"], "at least one shard written"
+
+    back = read_table(str(tmp_path), "documents",
+                      columns=("doc_id", "lang"),
+                      filter=pc.field("lang") == "en")
+    df = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = (docs.to_pandas().query("lang == 'en'")
+            [["doc_id", "lang"]].sort_values("doc_id")
+            .reset_index(drop=True))
+    assert list(df.columns) == ["doc_id", "lang"]
+    assert df.equals(want)
