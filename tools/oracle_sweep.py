@@ -70,14 +70,21 @@ def canon(df):
 results = {}
 for name in qs:
     t0 = time.time()
+    # sec = total (engine + oracle + compare); ray_s / sql_s split the
+    # two sides — round-5 session 4 found the dedup family's "slow"
+    # sweep entries were 90% DuckDB recursive-CTE oracle time
+    # misattributed to the engine by the combined timer.
     row = {"sec": None}
     try:
         got = canon(to_pandas(qs[name](SF)))
+        row["ray_s"] = round(time.time() - t0, 2)
         row["rows"] = int(len(got))
         if name not in osql:
             row["status"] = "no_oracle"
         else:
+            t1 = time.time()
             want = canon(con.execute(osql[name]).df())
+            row["sql_s"] = round(time.time() - t1, 2)
             if list(got.columns) != list(want.columns):
                 row["status"] = "SCHEMA_FAIL"
                 row["detail"] = f"{list(got.columns)} vs {list(want.columns)}"
