@@ -222,6 +222,26 @@ def sql_order_value_quantiles() -> str:
     return relops.order_value_quantiles_sql()
 
 
+def q_forecast_revenue_change(sf_dir: str):
+    return relops.forecast_revenue_change(
+        _t(sf_dir, "lineitem",
+           ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")))
+
+
+def sql_forecast_revenue_change() -> str:
+    return relops.forecast_revenue_change_sql()
+
+
+def q_customer_order_distribution(sf_dir: str):
+    return relops.customer_order_distribution(
+        _t(sf_dir, "customer", ("c_custkey",)),
+        _t(sf_dir, "orders", ("o_custkey",)))
+
+
+def sql_customer_order_distribution() -> str:
+    return relops.customer_order_distribution_sql()
+
+
 QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "pricing_summary": q_pricing_summary,
@@ -239,6 +259,8 @@ QUERIES = {
     "brand_bucket_revenue": q_brand_bucket_revenue,
     "global_sales_opportunity": q_global_sales_opportunity,
     "order_value_quantiles": q_order_value_quantiles,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "customer_order_distribution": q_customer_order_distribution,
 }
 
 ORACLES = {
@@ -258,4 +280,6 @@ ORACLES = {
     "brand_bucket_revenue": sql_brand_bucket_revenue,
     "global_sales_opportunity": sql_global_sales_opportunity,
     "order_value_quantiles": sql_order_value_quantiles,
+    "forecast_revenue_change": sql_forecast_revenue_change,
+    "customer_order_distribution": sql_customer_order_distribution,
 }

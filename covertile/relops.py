@@ -1782,3 +1782,161 @@ SELECT CAST(count(*) AS BIGINT) AS n_orders,
        CAST(max({cents}) AS DOUBLE) / 100.0 AS max_price
 FROM orders
 """
+
+
+# --------------------------------------------- Q6-shaped revenue forecast
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISCOUNT = 6      # percent, +/- 1
+Q6_QTY_MAX = 24
+
+
+def forecast_revenue_change(li_ds, date_lo: str = Q6_DATE_LO,
+                            date_hi: str = Q6_DATE_HI,
+                            discount_pct: int = Q6_DISCOUNT,
+                            qty_max: int = Q6_QTY_MAX):
+    """TPC-H-Q6-shaped selective scan-aggregate: the revenue that would
+    be recovered by eliminating small discounts — sum(price * discount)
+    over a shipdate year, discount within +/-1pct of `discount_pct`,
+    quantity < qty_max -> ONE row (revenue; SQL-NULL on empty).
+
+    The simplest possible distributed shape and deliberately kept that
+    way: predicates and the cents product run inside the scan's
+    map_batches, each block collapses to one int64, and the only
+    cross-task traffic is the driver-side scalar sum.  No exchange at
+    all — the operator that shows the engine's floor overhead."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    dlo = np.int64(discount_pct - 1)
+    dhi = np.int64(discount_pct + 1)
+    qmax = np.int64(qty_max)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        dc = _cents(batch["l_discount"])  # discount pct = cents value
+        qty = np.round(batch["l_quantity"].to_numpy()).astype(np.int64)
+        m = ((ts >= lo) & (ts < hi) & (dc >= dlo) & (dc <= dhi)
+             & (qty < qmax))
+        units = _cents(batch["l_extendedprice"])[m] * dc[m]
+        return pa.table({"units": pa.array([int(units.sum())], pa.int64()),
+                         "n": pa.array([int(m.sum())], pa.int64())})
+
+    agg = li_ds.map_batches(part, batch_format="pyarrow").sum(
+        ["units", "n"])
+    units = agg["sum(units)"] if agg else 0
+    n = agg["sum(n)"] if agg else 0
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "revenue": pa.array([units / 10000.0 if n else None],
+                            pa.float64()),
+    }))
+
+
+def forecast_revenue_change_sql(date_lo: str = Q6_DATE_LO,
+                                date_hi: str = Q6_DATE_HI,
+                                discount_pct: int = Q6_DISCOUNT,
+                                qty_max: int = Q6_QTY_MAX) -> str:
+    pc_ = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    dc = "CAST(round(l_discount * 100.0) AS BIGINT)"
+    return f"""
+SELECT CAST(sum({pc_} * {dc}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+  AND l_shipdate <  TIMESTAMP '{date_hi}'
+  AND {dc} BETWEEN {int(discount_pct) - 1} AND {int(discount_pct) + 1}
+  AND CAST(round(l_quantity) AS BIGINT) < {int(qty_max)}
+"""
+
+
+# ------------------------------------- Q13-shaped order-count distribution
+
+def customer_order_distribution(cu_ds, od_ds,
+                                nbuckets: int = IDLE_BUCKETS):
+    """TPC-H-Q13-shaped two-level aggregate: the distribution of
+    customers by their order count (including zero-order customers) ->
+    (c_count, custdist) sorted by custdist DESC, c_count DESC.
+
+    Shape: orders collapse per block to (custkey, n) partials; ONE
+    custkey-hash exchange joins them with the customer keys (the
+    left-join's null side = zero-order customers, found per bucket via
+    np.isin); per-bucket (order-count, n-customers) histogram partials
+    tree-combine in a metadata-sized repartition(1) — the count domain
+    is tiny (max orders per customer), the classic histogram-of-counts
+    rollup."""
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+
+    def bk_of(keys: np.ndarray) -> np.ndarray:
+        return ((keys.astype(np.uint64) * PHI) >> np.uint64(40)
+                ).astype(np.int64) % np.int64(nbuckets)
+
+    def cust_route(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy()
+        return pa.table({"bk": bk_of(key), "key": key,
+                         "n": np.zeros(len(key), np.int64),
+                         "side": np.zeros(len(key), np.int8)})
+
+    def ord_route(batch: pa.Table) -> pa.Table:
+        key, inv = np.unique(batch["o_custkey"].to_numpy(),
+                             return_inverse=True)
+        return pa.table({
+            "bk": bk_of(key), "key": key,
+            "n": np.bincount(inv, minlength=len(key)).astype(np.int64),
+            "side": np.ones(len(key), np.int8),
+        })
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        key = group["key"].to_numpy()
+        n = group["n"].to_numpy()
+        cust = side == 0
+        ckeys = key[cust]
+        okeys = key[~cust]
+        on = n[~cust]
+        # merge order partials per custkey (several blocks may emit the
+        # same custkey), then attach to customers; missing -> 0
+        uk, oinv = np.unique(okeys, return_inverse=True)
+        tot = np.bincount(oinv, weights=on,
+                          minlength=len(uk)).astype(np.int64)
+        pos = np.searchsorted(uk, ckeys)
+        pos_c = np.clip(pos, 0, max(0, len(uk) - 1))
+        hit = (len(uk) > 0) & (uk[pos_c] == ckeys)
+        cnt = np.where(hit, tot[pos_c], 0)
+        ucnt, cinv = np.unique(cnt, return_inverse=True)
+        return pa.table({
+            "c_count": ucnt,
+            "custdist": np.bincount(
+                cinv, minlength=len(ucnt)).astype(np.int64),
+        })
+
+    routed = (cu_ds.map_batches(cust_route, batch_format="pyarrow")
+              .union(od_ds.map_batches(ord_route, batch_format="pyarrow")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cc = batch["c_count"].to_numpy()
+        ucc, inv = np.unique(cc, return_inverse=True)
+        dist = np.bincount(inv, weights=batch["custdist"].to_numpy(),
+                           minlength=len(ucc)).astype(np.int64)
+        order = np.lexsort((-ucc, -dist))
+        return pa.table({"c_count": ucc[order], "custdist": dist[order]})
+
+    return (mat(routed).groupby("bk").map_groups(per_bucket,
+                                                 batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def customer_order_distribution_sql() -> str:
+    return """
+WITH oc AS (
+  SELECT c_custkey,
+         CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM oc GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""

@@ -127,7 +127,9 @@ def test_hash_join_stale_declared_schema_fails_loudly(ray_session):
                                   "brand_bucket_revenue",
                                   "small_qty_revenue",
                                   "global_sales_opportunity",
-                                  "order_value_quantiles"])
+                                  "order_value_quantiles",
+                                  "forecast_revenue_change",
+                                  "customer_order_distribution"])
 def test_new_rel_query_matches_oracle(ray_session, con, name):
     from covertile import api_rel
     got = api_rel.QUERIES[name](SF).to_pandas().reset_index(drop=True)
