@@ -2812,7 +2812,13 @@ def dup_rate_by_source(docs_ds, nbits: int = 8):
         text = _text_col(batch)
         fp = np.array([hashlib.md5(s.encode()).hexdigest()
                        for s in text.to_pylist()], dtype=object)
-        src = np.asarray(_text_col(batch, "source"), dtype=object)
+        src_col = _text_col(batch, "source")
+        # a NULL source would silently become the string "None" here
+        # while SQL GROUP BY keeps a distinct NULL group — fail loudly
+        # instead (the mixture_rebalance null-source precedent)
+        if src_col.null_count:
+            raise ValueError("dup_rate_by_source: NULL source values")
+        src = np.asarray(src_col, dtype=object)
         key = np.char.add(np.char.add(fp.astype(str), "\x00"),
                           src.astype(str))
         uk, idx, inv = np.unique(key, return_index=True,
