@@ -1350,6 +1350,15 @@ def top_supplier(li_ds, su_ds, date_lo: str = Q15_DATE_LO,
     rev = mat(mat(li_ds.map_batches(li_partial, batch_format="pyarrow"))
               .groupby("s_suppkey").sum("units"))
     best = rev.max("sum(units)")  # supplier-sized aggregate -> scalar
+    if best is None:
+        # empty shipdate window: 0 rows WITH the schema.  Returned as a
+        # pyarrow.Table (allowed by the driver contract) because Ray
+        # drops the schema of an empty Dataset through to_pandas().
+        return pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue": pa.array([], pa.float64()),
+        })
 
     def keep_max(batch: pa.Table) -> pa.Table:
         u = batch["units"].to_numpy()

@@ -213,3 +213,26 @@ def test_global_sales_opportunity_nonvacuous(ray_session, con):
     got = (api_rel.QUERIES["global_sales_opportunity"](SF)
            .to_pandas().reset_index(drop=True))
     assert got["n_customers"].sum() > 0
+
+
+def test_top_supplier_empty_window_keeps_schema(ray_session):
+    """A shipdate window with no lineitems must return 0 rows WITH the
+    (s_suppkey, s_name, total_revenue) schema — Ray drops the schema of
+    an empty Dataset through to_pandas(), so the empty case returns a
+    typed pyarrow.Table (allowed by the driver contract)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import relops
+    li = pa.table({
+        "l_suppkey": pa.array([1], pa.int64()),
+        "l_extendedprice": pa.array([10.0]),
+        "l_discount": pa.array([0.0]),
+        "l_shipdate": pa.array([np.datetime64("1990-01-01", "us")]),
+    })
+    su = pa.table({"s_suppkey": pa.array([1], pa.int64()),
+                   "s_name": pa.array(["a"], pa.string())})
+    out = relops.top_supplier(rd.from_arrow(li), rd.from_arrow(su))
+    assert isinstance(out, pa.Table)
+    df = out.to_pandas()
+    assert len(df) == 0
+    assert df.columns.tolist() == ["s_suppkey", "s_name", "total_revenue"]
