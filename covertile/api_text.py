@@ -126,6 +126,87 @@ def sql_dup_rate_by_source() -> str:
                                               f"FROM ({planted})")
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup against a PHYSICAL fingerprint store —
+    the 'new crawl shard vs existing corpus' primitive: the store holds
+    docs with doc_id % 5 != 0 (built under /tmp per the ivf_topk_store
+    discipline), the 'new shard' is doc_id % 5 == 0, and deterministic
+    duplicate plants on BOTH sides (store: doc_id % 7 == 0 collapse to
+    3 shared texts; new: doc_id % 10 == 0 take the same texts) make the
+    dup path non-vacuous while every original fixture text stays
+    unique across the split.  Oracle mirrors the split + plants as
+    CTEs; the engine's store read is partition-pruned per bucket."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    def planted(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        text = np.asarray(batch["text"], dtype=object).copy()
+        m = ids % 7 == 0
+        text[m] = [f"DUP_{i % 3}" for i in ids[m]]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(text, pa.string())})
+
+    def new_shard(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = ids % 5 == 0
+        ids_k = ids[keep]
+        text = np.asarray(batch["text"], dtype=object)[keep].copy()
+        m = ids_k % 10 == 0
+        text[m] = [f"DUP_{i % 3}" for i in ids_k[m]]
+        return pa.table({"doc_id": pa.array(ids_k, pa.int64()),
+                         "text": pa.array(text, pa.string())})
+
+    def store_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = ids % 5 != 0
+        return planted(pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "text": pa.array(
+                np.asarray(batch["text"], dtype=object)[keep],
+                pa.string()),
+        }))
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"fpstore-{os.getpid()}-{abs(hash(sf_dir)) % 99991}")
+    shutil.rmtree(store, ignore_errors=True)
+    T.fingerprint_build_store(
+        docs.map_batches(store_side, batch_format="pyarrow"), store)
+    return T.dedup_against_store(
+        docs.map_batches(new_shard, batch_format="pyarrow"), store)
+
+
+def sql_dedup_incremental() -> str:
+    plant = "'DUP_' || CAST(doc_id % 3 AS VARCHAR)"
+    return f"""
+WITH store AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN {plant} ELSE text END AS text
+  FROM documents WHERE doc_id % 5 != 0
+),
+st AS (
+  SELECT md5(text) AS fp, min(doc_id) AS keep_id
+  FROM store GROUP BY fp
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = 0 THEN {plant} ELSE text END) AS fp
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT new.doc_id,
+       (st.fp IS NOT NULL) AS is_dup,
+       st.keep_id
+FROM new LEFT JOIN st ON new.fp = st.fp
+ORDER BY new.doc_id
+"""
+
+
 def q_exact_dedup(sf_dir: str):
     return T.exact_dedup(_docs(sf_dir)).materialize().sort("fingerprint")
 
@@ -411,6 +492,7 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "dedup_incremental": q_dedup_incremental,
     "ngram_jaccard_dedup": q_ngram_jaccard,
     "simhash_dedup": q_simhash_dups,
     "minhash_lsh_dedup": q_minhash_lsh,
@@ -452,6 +534,7 @@ ORACLES = {
     "doc_fingerprint": sql_fingerprint,
     "exact_dedup": sql_exact_dedup,
     "dup_rate_by_source": sql_dup_rate_by_source,
+    "dedup_incremental": sql_dedup_incremental,
     "ngram_jaccard_dedup": sql_ngram_jaccard,
     "simhash_dedup": sql_simhash_dups,
     "minhash_lsh_dedup": sql_minhash_lsh,

@@ -2885,3 +2885,140 @@ SELECT source,
 FROM f JOIN tot USING (fp)
 GROUP BY source ORDER BY source
 """
+
+
+# ------------------------------------- physical fingerprint store + delta
+
+FP_STORE_BITS = 6  # 64 hive buckets
+
+
+def fingerprint_build_store(docs_ds, store_dir: str,
+                            nbits: int = FP_STORE_BITS) -> str:
+    """Materialize the corpus's exact-dedup state as a bucketed parquet
+    store: one hive partition (bucket=N/) per fingerprint-hash bucket,
+    rows (fingerprint, keep_id = min doc_id).  The ingest-time half of
+    incremental dedup: at 100 TB the existing corpus is checked against
+    ONCE and new shards query the store — the text itself never moves
+    again (the ivf_build_store / bm25_build_store discipline, applied
+    to dedup state)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        fp = np.array([hashlib.md5(s.encode()).hexdigest()
+                       for s in text.to_pylist()], dtype=object)
+        ids = batch["doc_id"].to_numpy()
+        uniq, inv = np.unique(fp, return_inverse=True)
+        mn = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, ids)
+        u64 = np.array([int(f[:16], 16) for f in uniq], np.uint64)
+        return pa.table({
+            "bucket": _coarse_bucket(u64, nbits),
+            "fingerprint": pa.array(uniq, pa.string()),
+            "keep_id": mn,
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        fp = np.asarray(group["fingerprint"], dtype=object)
+        ids = group["keep_id"].to_numpy()
+        bk = group["bucket"].to_numpy()
+        uniq, inv = np.unique(fp, return_inverse=True)
+        mn = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, ids)
+        first = np.zeros(len(uniq), np.int64)
+        np.maximum.at(first, inv, np.arange(len(fp)))
+        return pa.table({
+            "bucket": bk[first],
+            "fingerprint": pa.array(uniq, pa.string()),
+            "keep_id": mn,
+        })
+
+    (mat(docs_ds.map_batches(partial, batch_format="pyarrow"))
+     .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+     .write_parquet(store_dir, partition_cols=["bucket"]))
+    return store_dir
+
+
+def dedup_against_store(new_docs_ds, store_dir: str,
+                        nbits: int = FP_STORE_BITS):
+    """Incremental exact dedup: which NEW documents already exist in a
+    fingerprint_build_store corpus -> (doc_id, is_dup, keep_id
+    nullable), sorted by doc_id.
+
+    Scale shape: new docs collapse per block to (bucket, doc_id, fp)
+    rows; ONE bucket exchange groups them, and each group reads ONLY
+    its own store partition (partition-pruned at the directory level —
+    non-touched buckets' bytes stay on disk, exactly the
+    ivf_topk_store read discipline).  Membership resolves on the
+    uint64 fingerprint prefix via searchsorted with a full-string
+    verify on hits (no Python-object binary search)."""
+    import glob as _glob
+    import os
+
+    def route(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        fp = np.array([hashlib.md5(s.encode()).hexdigest()
+                       for s in text.to_pylist()], dtype=object)
+        u64 = np.array([int(f[:16], 16) for f in fp], np.uint64)
+        return pa.table({
+            "bucket": _coarse_bucket(u64, nbits),
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fp, pa.string()),
+        })
+
+    def check(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "is_dup": pa.array([], pa.bool_()),
+            "keep_id": pa.array([], pa.int64()),
+        })
+        n = len(group)
+        if n == 0:
+            return empty
+        bk = int(group["bucket"][0].as_py())
+        ids = group["doc_id"].to_numpy()
+        fp = np.asarray(group["fingerprint"], dtype=object)
+        part = os.path.join(store_dir, f"bucket={bk}")
+        files = sorted(_glob.glob(os.path.join(part, "*.parquet")))
+        if not files:
+            return pa.table({
+                "doc_id": ids,
+                "is_dup": np.zeros(n, bool),
+                "keep_id": pa.array([None] * n, pa.int64()),
+            })
+        st = pa.concat_tables([pq.read_table(f) for f in files])
+        sfp = np.asarray(st["fingerprint"], dtype=object)
+        skeep = st["keep_id"].to_numpy()
+        s64 = np.array([int(f[:16], 16) for f in sfp], np.uint64)
+        order = np.argsort(s64, kind="stable")
+        s64_s, sfp_s, skeep_s = s64[order], sfp[order], skeep[order]
+        q64 = np.array([int(f[:16], 16) for f in fp], np.uint64)
+        lo = np.searchsorted(s64_s, q64, side="left")
+        hi = np.searchsorted(s64_s, q64, side="right")
+        pos_c = np.clip(lo, 0, max(0, len(s64_s) - 1))
+        hit = (hi > lo)
+        # 64-bit prefix match -> verify the full 128-bit hex string;
+        # an equal-prefix RUN (distinct stored md5s colliding on the
+        # top 64 bits — ~n²/2^65, but correctness is a contract) scans
+        # its few entries
+        hit &= np.where(hi - lo == 1, sfp_s[pos_c] == fp, True)
+        keep = np.where(hit, skeep_s[pos_c], 0)
+        multi = np.flatnonzero(hit & (hi - lo > 1))
+        for i in multi:
+            run = slice(lo[i], hi[i])
+            m = np.flatnonzero(sfp_s[run] == fp[i])
+            if len(m):
+                keep[i] = skeep_s[lo[i] + m[0]]
+            else:
+                hit[i] = False
+        return pa.table({
+            "doc_id": ids,
+            "is_dup": hit,
+            "keep_id": pa.array(
+                [int(k) if h else None for h, k in zip(hit, keep)],
+                pa.int64()),
+        })
+
+    return (mat(new_docs_ds.map_batches(route, batch_format="pyarrow"))
+            .groupby("bucket").map_groups(check, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
+            .sort("doc_id"))
