@@ -207,6 +207,87 @@ ORDER BY new.doc_id
 """
 
 
+_ND_PLANT = ("near duplicate planted document number {} "
+             "with shared shingle mass for the lsh store")
+
+
+def q_neardup_incremental(sf_dir: str):
+    """Incremental NEAR-dup against the physical LSH store: same
+    store/new split as dedup_incremental (doc_id % 5), with LONG
+    planted texts (k-shingleable, 3 classes) so cross-split Jaccard-1.0
+    pairs exist.  Engine = banded-MinHash candidates from the store's
+    bands/ partitions + exact verify against its shingles/ partitions;
+    oracle = exact cross-split Jaccard (the sql_minhash_lsh precedent:
+    precision 1.0 by construction, recall 1.0 at this operating point
+    on the fixtures)."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    def store_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = ids % 5 != 0
+        ids_k = ids[keep]
+        text = np.asarray(batch["text"], dtype=object)[keep].copy()
+        m = ids_k % 7 == 0
+        text[m] = [_ND_PLANT.format(i % 3) for i in ids_k[m]]
+        return pa.table({"doc_id": pa.array(ids_k, pa.int64()),
+                         "text": pa.array(text, pa.string())})
+
+    def new_shard(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = ids % 5 == 0
+        ids_k = ids[keep]
+        text = np.asarray(batch["text"], dtype=object)[keep].copy()
+        m = ids_k % 10 == 0
+        text[m] = [_ND_PLANT.format(i % 3) for i in ids_k[m]]
+        return pa.table({"doc_id": pa.array(ids_k, pa.int64()),
+                         "text": pa.array(text, pa.string())})
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"ndstore-{os.getpid()}-{abs(hash(sf_dir)) % 99991}")
+    shutil.rmtree(store, ignore_errors=True)
+    T.neardup_build_store(
+        docs.map_batches(store_side, batch_format="pyarrow"), store)
+    return T.neardup_against_store(
+        docs.map_batches(new_shard, batch_format="pyarrow"), store)
+
+
+def sql_neardup_incremental() -> str:
+    from .textops import JACCARD_TAU, SHINGLE_K, shingle_sql_expr
+    plant = ("'" + _ND_PLANT.replace("{}", "' || CAST(doc_id % 3 AS "
+                                     "VARCHAR) || '") + "'")
+    sh = shingle_sql_expr(SHINGLE_K)
+    return f"""
+WITH stored AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN {plant} ELSE text END AS text
+  FROM documents WHERE doc_id % 5 != 0
+),
+newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN {plant} ELSE text END AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+shs AS (SELECT doc_id, {sh} AS s FROM stored),
+shn AS (SELECT doc_id, {sh} AS s FROM newd),
+j AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           AS jacc
+  FROM shn a, shs b
+)
+SELECT a_id, b_id, jacc FROM j WHERE jacc >= {JACCARD_TAU}
+ORDER BY a_id, b_id
+"""
+
+
 def q_exact_dedup(sf_dir: str):
     return T.exact_dedup(_docs(sf_dir)).materialize().sort("fingerprint")
 
@@ -493,6 +574,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "dup_rate_by_source": q_dup_rate_by_source,
     "dedup_incremental": q_dedup_incremental,
+    "neardup_incremental": q_neardup_incremental,
     "ngram_jaccard_dedup": q_ngram_jaccard,
     "simhash_dedup": q_simhash_dups,
     "minhash_lsh_dedup": q_minhash_lsh,
@@ -535,6 +617,7 @@ ORACLES = {
     "exact_dedup": sql_exact_dedup,
     "dup_rate_by_source": sql_dup_rate_by_source,
     "dedup_incremental": sql_dedup_incremental,
+    "neardup_incremental": sql_neardup_incremental,
     "ngram_jaccard_dedup": sql_ngram_jaccard,
     "simhash_dedup": sql_simhash_dups,
     "minhash_lsh_dedup": sql_minhash_lsh,

@@ -1048,34 +1048,44 @@ def minhash_lsh_pairs(docs_ds, tau: float = JACCARD_TAU,
         lambda b: _shingle_table(b, k), batch_format="pyarrow")
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        s = batch["shingles"]
-        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
-        lens = np.asarray(pc.list_value_length(s), np.int64)
-        flat = np.asarray(s.flatten(), np.uint64)
-        off = _segment_offsets(lens)
-        ids = batch["doc_id"].to_numpy()
-        n = len(ids)
-        nonempty = lens > 0
-        sig = np.full((n, num_perms), np.iinfo(np.uint64).max, np.uint64)
-        for p in range(num_perms):
-            hp = flat * pa_[p] + pb_[p]  # uint64 wraparound
-            if len(hp):
-                mins = np.minimum.reduceat(hp, off[:-1][nonempty])
-                sig[nonempty, p] = mins
-        # band key: md5 of the band's row values (collision-safe bucket id)
-        out_k, out_d = [], []
-        for bnd in range(bands):
-            block = sig[:, bnd * rows:(bnd + 1) * rows]
-            kk = block[:, 0]
-            for j in range(1, rows):
-                kk = kk * np.uint64(0x9E3779B97F4A7C15) + block[:, j]
-            out_k.append((kk // np.uint64(bands)).astype(np.int64) * bands + bnd)
-            out_d.append(ids)
-        return pa.table({"sh": np.concatenate(out_k),
-                         "doc_id": np.concatenate(out_d)})
+        return _band_rows(batch, num_perms, bands, pa_, pb_)
 
     banded = sets_ds.map_batches(band_rows, batch_format="pyarrow")
     return _verify_jaccard(_candidate_pairs(banded), docs_ds, tau, k)
+
+
+def _band_rows(batch: pa.Table, num_perms: int, bands: int,
+               pa_: np.ndarray, pb_: np.ndarray) -> pa.Table:
+    """(doc_id, shingles) batch -> banded LSH rows (sh, doc_id): MinHash
+    signature per doc (universal-hash perms over the shingle set), one
+    mixed band key per band.  Key formula shared by the in-memory LSH
+    (minhash_lsh_pairs) and the physical store (neardup_build_store) —
+    equal shingle sets produce equal band keys on both paths."""
+    rows = num_perms // bands
+    s = batch["shingles"]
+    s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    lens = np.asarray(pc.list_value_length(s), np.int64)
+    flat = np.asarray(s.flatten(), np.uint64)
+    off = _segment_offsets(lens)
+    ids = batch["doc_id"].to_numpy()
+    n = len(ids)
+    nonempty = lens > 0
+    sig = np.full((n, num_perms), np.iinfo(np.uint64).max, np.uint64)
+    for p in range(num_perms):
+        hp = flat * pa_[p] + pb_[p]  # uint64 wraparound
+        if len(hp):
+            mins = np.minimum.reduceat(hp, off[:-1][nonempty])
+            sig[nonempty, p] = mins
+    out_k, out_d = [], []
+    for bnd in range(bands):
+        block = sig[:, bnd * rows:(bnd + 1) * rows]
+        kk = block[:, 0]
+        for j in range(1, rows):
+            kk = kk * np.uint64(0x9E3779B97F4A7C15) + block[:, j]
+        out_k.append((kk // np.uint64(bands)).astype(np.int64) * bands + bnd)
+        out_d.append(ids)
+    return pa.table({"sh": np.concatenate(out_k),
+                     "doc_id": np.concatenate(out_d)})
 
 
 # ----------------------------------------------------------------- SimHash
@@ -3022,3 +3032,210 @@ def dedup_against_store(new_docs_ds, store_dir: str,
             .groupby("bucket").map_groups(check, batch_format="pyarrow")
             .materialize()  # mat() rule: sort re-executes a lazy exchange
             .sort("doc_id"))
+
+
+# --------------------------------------- physical near-dup (LSH) store
+
+def neardup_build_store(docs_ds, store_dir: str, k: int = SHINGLE_K,
+                        num_perms: int = MINHASH_PERMS,
+                        bands: int = MINHASH_BANDS,
+                        nbits: int = FP_STORE_BITS) -> str:
+    """Materialize the corpus's NEAR-dup state as two hive-partitioned
+    parquet tables under store_dir: bands/ (bucket=N -> (sh, doc_id)
+    banded MinHash rows) and shingles/ (sbucket=M -> (doc_id, shingles))
+    — the fingerprint_build_store discipline extended to LSH, so a new
+    crawl shard finds its near-duplicates in the corpus without the
+    corpus text ever moving again.  Band keys share _band_rows with the
+    in-memory LSH, so the two paths bucket identically."""
+    import os
+    pa_, pb_ = _minhash_params(num_perms)
+
+    sets_ds = mat(docs_ds.map_batches(
+        lambda b: _shingle_table(b, k), batch_format="pyarrow"))
+
+    def banded(batch: pa.Table) -> pa.Table:
+        t = _band_rows(batch, num_perms, bands, pa_, pb_)
+        key = t["sh"].to_numpy().view(np.uint64)
+        return t.append_column("bucket", pa.array(
+            _coarse_bucket(key, nbits)))
+
+    sets_ds.map_batches(banded, batch_format="pyarrow").write_parquet(
+        os.path.join(store_dir, "bands"), partition_cols=["bucket"])
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return batch.append_column("sbucket", pa.array(
+            _coarse_bucket(ids.astype(np.uint64), nbits)))
+
+    sets_ds.map_batches(shingle_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(store_dir, "shingles"), partition_cols=["sbucket"])
+    return store_dir
+
+
+#: broadcast cap for the new shard's shingle sets in
+#: neardup_against_store (rows); the shard side is small by contract —
+#: beyond this, route the shard's shingles through a doc-id-bucketed
+#: exchange instead of a broadcast (the token_rarity fallback lesson).
+NEARDUP_SHARD_MAX = 2_000_000
+
+
+def neardup_against_store(new_docs_ds, store_dir: str,
+                          tau: float = JACCARD_TAU, k: int = SHINGLE_K,
+                          num_perms: int = MINHASH_PERMS,
+                          bands: int = MINHASH_BANDS,
+                          nbits: int = FP_STORE_BITS):
+    """Incremental near-dup: which NEW documents are near-duplicates
+    (exact Jaccard >= tau over k-shingles) of a neardup_build_store
+    corpus -> (a_id = new doc, b_id = store doc, jacc), sorted.
+
+    Scale shape: the new shard's banded rows group by band-key bucket
+    and each group reads ONLY its own bands/ partition to form
+    candidates (partition-pruned, like dedup_against_store); candidate
+    verification groups by the STORE doc's shingle bucket and reads
+    only those shingles/ partitions.  The new shard's shingle sets
+    broadcast once (ray.put) — the shard is the small side by contract
+    (capped at NEARDUP_SHARD_MAX rows, fail-loudly).  Precision is 1.0
+    (every candidate re-verified with exact Jaccard); recall is the
+    LSH operating point's, 1.0 on the test corpora (the
+    sql_minhash_lsh precedent)."""
+    import glob as _glob
+    import os
+
+    import ray
+
+    pa_, pb_ = _minhash_params(num_perms)
+
+    sets_ds = mat(new_docs_ds.map_batches(
+        lambda b: _shingle_table(b, k), batch_format="pyarrow"))
+
+    # broadcast the new shard's shingle sets (small side by contract)
+    parts = [t for t in ray.get(sets_ds.to_arrow_refs()) if len(t)]
+    n_shard = sum(len(t) for t in parts)
+    if n_shard > NEARDUP_SHARD_MAX:
+        raise ValueError(
+            f"neardup_against_store: new shard has {n_shard} docs > "
+            f"NEARDUP_SHARD_MAX={NEARDUP_SHARD_MAX}; route the shard "
+            f"shingles through a bucketed exchange instead")
+    shard: dict[int, np.ndarray] = {}
+    for t in parts:
+        ids = t["doc_id"].to_numpy()
+        col = t["shingles"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        lens = np.asarray(pc.list_value_length(col), np.int64)
+        flat = np.asarray(col.flatten(), np.uint64)
+        off = _segment_offsets(lens)
+        for i, d in enumerate(ids):
+            shard[int(d)] = np.sort(flat[off[i]:off[i + 1]])
+    shard_ref = ray.put(shard)
+
+    def banded(batch: pa.Table) -> pa.Table:
+        t = _band_rows(batch, num_perms, bands, pa_, pb_)
+        key = t["sh"].to_numpy().view(np.uint64)
+        return t.append_column("bucket", pa.array(
+            _coarse_bucket(key, nbits)))
+
+    def candidates(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if len(group) == 0:
+            return empty
+        bk = int(group["bucket"][0].as_py())
+        part = os.path.join(store_dir, "bands", f"bucket={bk}")
+        files = sorted(_glob.glob(os.path.join(part, "*.parquet")))
+        if not files:
+            return empty
+        st = pa.concat_tables([pq.read_table(f) for f in files])
+        s_sh = st["sh"].to_numpy()
+        s_id = st["doc_id"].to_numpy()
+        order = np.argsort(s_sh, kind="stable")
+        s_sh_s, s_id_s = s_sh[order], s_id[order]
+        q_sh = group["sh"].to_numpy()
+        q_id = group["doc_id"].to_numpy()
+        # pair packing below assumes 32-bit doc ids; fail loudly past it
+        assert (len(q_id) == 0 or int(q_id.max()) < 1 << 32) and \
+            (len(s_id) == 0 or int(s_id.max()) < 1 << 32), \
+            "neardup_against_store: doc_id >= 2^32, widen pair packing"
+        lo = np.searchsorted(s_sh_s, q_sh, side="left")
+        hi = np.searchsorted(s_sh_s, q_sh, side="right")
+        runs = hi - lo
+        m = runs > 0
+        if not m.any():
+            return empty
+        a = np.repeat(q_id[m], runs[m])
+        idx = (np.arange(int(runs[m].sum()))
+               - np.repeat(np.cumsum(runs[m]) - runs[m], runs[m])
+               + np.repeat(lo[m], runs[m]))
+        b = s_id_s[idx]
+        pair = a.astype(np.uint64) * np.uint64(1 << 32) + \
+            b.astype(np.uint64)  # dedup same pair from multiple bands
+        uniq = np.unique(pair)
+        return pa.table({
+            "a_id": (uniq >> np.uint64(32)).astype(np.int64),
+            "b_id": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+        })
+
+    cand = (mat(sets_ds.map_batches(banded, batch_format="pyarrow"))
+            .groupby("bucket").map_groups(candidates,
+                                          batch_format="pyarrow"))
+
+    def add_sbucket(batch: pa.Table) -> pa.Table:
+        b = batch["b_id"].to_numpy()
+        return batch.append_column("sbucket", pa.array(
+            _coarse_bucket(b.astype(np.uint64), nbits)))
+
+    def verify(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64()),
+                          "jacc": pa.array([], pa.float64())})
+        if len(group) == 0:
+            return empty
+        sb = int(group["sbucket"][0].as_py())
+        part = os.path.join(store_dir, "shingles", f"sbucket={sb}")
+        files = sorted(_glob.glob(os.path.join(part, "*.parquet")))
+        if not files:
+            return empty
+        st = pa.concat_tables([pq.read_table(f) for f in files])
+        s_ids = st["doc_id"].to_numpy()
+        col = st["shingles"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        lens = np.asarray(pc.list_value_length(col), np.int64)
+        flat = np.asarray(col.flatten(), np.uint64)
+        off = _segment_offsets(lens)
+        where = {int(d): i for i, d in enumerate(s_ids)}
+        sh = ray.get(shard_ref)
+        # the same (a, b) candidate arrives once per band-key COARSE
+        # bucket it collided in (the in-bucket dedup can't see across
+        # buckets); all copies share b's sbucket, so dedup here
+        ga = group["a_id"].to_numpy()
+        gb = group["b_id"].to_numpy()
+        pair = np.unique(ga.astype(np.uint64) * np.uint64(1 << 32)
+                         + gb.astype(np.uint64))
+        a_out, b_out, j_out = [], [], []
+        for a, b in zip((pair >> np.uint64(32)).astype(np.int64),
+                        (pair & np.uint64(0xFFFFFFFF)).astype(np.int64)):
+            sa = sh.get(int(a))
+            i = where.get(int(b))
+            if sa is None or i is None:
+                continue
+            sbv = flat[off[i]:off[i + 1]]
+            inter = len(np.intersect1d(sa, sbv, assume_unique=True))
+            union = len(sa) + len(sbv) - inter
+            if union == 0:
+                continue
+            j = inter / union
+            if j >= tau:
+                a_out.append(int(a))
+                b_out.append(int(b))
+                j_out.append(j)
+        return pa.table({"a_id": pa.array(a_out, pa.int64()),
+                         "b_id": pa.array(b_out, pa.int64()),
+                         "jacc": pa.array(j_out, pa.float64())})
+
+    return (mat(cand.map_batches(add_sbucket, batch_format="pyarrow"))
+            .groupby("sbucket").map_groups(verify, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
+            .sort(["a_id", "b_id"]))

@@ -38,7 +38,7 @@ def assert_matches(got, want, name):
     "topk_terms", "sample_bernoulli", "sample_stratified", "corpus_filter",
     "group_quantiles", "subword_stats", "dataset_split", "dup_components",
     "grouped_topk", "normalize_text", "doc_chunks",
-    "dup_rate_by_source", "dedup_incremental",
+    "dup_rate_by_source", "dedup_incremental", "neardup_incremental",
 ])
 def test_text_query_matches_oracle(ray_session, con, name):
     from covertile import api_text
@@ -645,3 +645,38 @@ def test_dedup_incremental_nonvacuous_and_pruned(ray_session, tmp_path):
     assert bool(out.loc[10, "is_dup"]) and out.loc[10, "keep_id"] == 2
     assert not bool(out.loc[11, "is_dup"])
     assert bool(out.loc[12, "is_dup"]) and out.loc[12, "keep_id"] == 1
+
+
+def test_neardup_store_hand_case(ray_session, tmp_path):
+    """LSH store round trip on a hand corpus: an exact duplicate and a
+    near-duplicate of store docs must surface with the right partners;
+    an unrelated doc must not.  Output pairs are exact-verified, so
+    jacc values match the brute Jaccard."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import textops as T
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "keeps on running through the quiet field")
+    near = base + " x"
+    other = ("completely different content with no shared shingles "
+             "anywhere in this sentence at all right here")
+    store_docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([base, other], pa.string()),
+    })
+    store = str(tmp_path / "ndstore")
+    T.neardup_build_store(rd.from_arrow(store_docs), store)
+
+    new_docs = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array([base, near, "nothing alike whatsoever"],
+                         pa.string()),
+    })
+    out = (T.neardup_against_store(rd.from_arrow(new_docs), store)
+           .to_pandas())
+    got = {(a, b) for a, b in zip(out["a_id"], out["b_id"])}
+    assert (10, 1) in got          # exact duplicate
+    assert (11, 1) in got          # near duplicate
+    assert all(b != 2 for _, b in got)  # unrelated store doc untouched
+    assert (out.set_index(["a_id", "b_id"]).loc[(10, 1), "jacc"] == 1.0)
