@@ -229,6 +229,49 @@ def q_ivf_sq_topk_store(sf_dir: str):
         ["query_id", "rank"])
 
 
+def q_cosine_neardup_incremental(sf_dir: str):
+    """Incremental embedding near-dup against the physical IVF store:
+    store side = vec_id % 5 != 0 (bucketed under /tmp via
+    ivf_build_store — the store doubles as the near-dup corpus), new
+    shard = vec_id % 5 == 0, probes=ALL so the result is provably
+    exact and the cross-split cosine SQL is the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    cent = _centroids_of(sf_dir)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"cosstore-{os.getpid()}-{abs(hash(sf_dir)) % 99991}")
+    shutil.rmtree(store, ignore_errors=True)
+
+    def store_side(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["vec_id"].to_numpy() % 5 != 0))
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["vec_id"].to_numpy() % 5 == 0))
+
+    vecops.ivf_build_store(
+        _emb(sf_dir).map_batches(store_side, batch_format="pyarrow"),
+        cent, store)
+    return vecops.cosine_neardup_against_store(
+        _emb(sf_dir).map_batches(new_side, batch_format="pyarrow"),
+        store, probes=None)
+
+
+def sql_cosine_neardup_incremental() -> str:
+    from .vecops import COS_TAU
+    return f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM embeddings a, embeddings b
+WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 != 0
+  AND list_cosine_similarity(a.embedding, b.embedding) >= {COS_TAU}
+ORDER BY a_id, b_id
+"""
+
+
 def q_dim_stats(sf_dir: str):
     return vecops.dim_stats(_emb(sf_dir))
 
@@ -255,6 +298,7 @@ QUERIES = {
     "sq_ann_topk": q_sq_ann_topk,
     "ivf_sq_topk_store": q_ivf_sq_topk_store,
     "dim_stats": q_dim_stats,
+    "cosine_neardup_incremental": q_cosine_neardup_incremental,
 }
 
 ORACLES = {
@@ -274,4 +318,5 @@ ORACLES = {
     "sq_ann_topk": sql_sq_ann_topk,
     "ivf_sq_topk_store": sql_sq_ann_topk,
     "dim_stats": sql_dim_stats,
+    "cosine_neardup_incremental": sql_cosine_neardup_incremental,
 }

@@ -1379,3 +1379,88 @@ FROM (SELECT generate_subscripts(embedding, 1) AS dim,
       FROM embeddings)
 GROUP BY dim ORDER BY dim
 """
+
+
+# ---------------------------------- incremental embedding near-dup (store)
+
+def cosine_neardup_against_store(new_emb_ds, store_dir: str,
+                                 tau: float = COS_TAU,
+                                 probes: int | None = None):
+    """Incremental embedding near-dup: which NEW vectors have cosine >=
+    tau against an ivf_build_store corpus -> (a_id = new vec, b_id =
+    store vec), sorted.  The ivf store doubles as the near-dup store —
+    same hive bucket per centroid cell, raw vectors in place.
+
+    Scale shape: each new vector routes to its `probes` nearest
+    centroids' buckets (probes=None = ALL buckets -> provably exact,
+    the ivf_topk_store operating-point discipline); each bucket group
+    reads ONLY its own store partition.  A store vector lives in
+    exactly one bucket, so pairs emit exactly once — no dedup pass.
+    Scoring is a float64 GEMM prescreen with slack, then the per-pair
+    einsum verify shared with _verify_cosine (line ~703), so the
+    tau decision matches the exact operators' bitwise-tested path."""
+    import glob as _glob
+    import os
+
+    import ray
+
+    cent = np.load(os.path.join(store_dir, "centroids.npy"))
+    nb = len(cent)
+    p = nb if probes is None else min(int(probes), nb)
+    cent_ref = ray.put(np.asarray(cent, np.float64))
+
+    def route(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _emb_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": batch["embedding"]})
+        sim = m @ c.T
+        top = np.argpartition(-sim, min(p, nb - 1), axis=1)[:, :p]
+        n = len(ids)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rep = np.repeat(np.arange(n), p)
+        return pa.table({
+            "bucket": top.reshape(-1).astype(np.int64),
+            "vec_id": np.repeat(ids, p),
+            "embedding": col.take(pa.array(rep, pa.int64())),
+        })
+
+    def check(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if len(group) == 0:
+            return empty
+        bk = int(group["bucket"][0].as_py())
+        part = os.path.join(store_dir, f"bucket={bk}")
+        files = sorted(_glob.glob(os.path.join(part, "*.parquet")))
+        if not files:
+            return empty
+        st = pa.concat_tables([pq.read_table(f, columns=[
+            "vec_id", "embedding"]) for f in files])
+        a_ids, am = _emb_matrix(group.select(["vec_id", "embedding"]))
+        b_ids, bm = _emb_matrix(st)
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return empty
+        sim = am @ bm.T
+        ai, bi = np.nonzero(sim >= tau - 1e-9)  # GEMM prescreen + slack
+        if len(ai) == 0:
+            return empty
+        # exact per-pair verify on the shared einsum path (the decision
+        # the margin tests pin down)
+        cos = np.einsum("ij,ij->i", am[ai], bm[bi])
+        keep = cos >= tau
+        order = np.lexsort((b_ids[bi[keep]], a_ids[ai[keep]]))
+        return pa.table({
+            "a_id": a_ids[ai[keep]][order],
+            "b_id": b_ids[bi[keep]][order],
+        })
+
+    return (mat(new_emb_ds.map_batches(route, batch_format="pyarrow"))
+            .groupby("bucket").map_groups(check, batch_format="pyarrow")
+            .materialize()  # mat() rule: sort re-executes a lazy exchange
+            .sort(["a_id", "b_id"]))

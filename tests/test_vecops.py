@@ -37,6 +37,7 @@ def assert_matches(got, want, name):
     "ivf_topk_exact", "ivf_topk_store",
     "media_features", "media_resize", "frame_sample",
     "media_pixel_stats", "media_dedup", "dim_stats",
+    "cosine_neardup_incremental",
 ])
 def test_vec_query_matches_oracle(ray_session, con, name):
     from covertile import api_vec
@@ -636,3 +637,59 @@ def test_cosine_lsh_verify_paths_agree(ray_session, monkeypatch):
     monkeypatch.setattr(vecops, "LSH_ID_COLLECT_MAX", 0)
     monkeypatch.setattr(vecops, "LSH_BCAST_MAX_FLOATS", 128_000_000)
     assert run().equals(default)
+
+
+def test_cosine_neardup_store_pruned_subset(ray_session, tmp_path):
+    """The pruned operating point (probes < all) returns a SUBSET of
+    probes=all (which is exact), and probes=all finds every pair the
+    brute cross-split cosine finds."""
+    import pyarrow as pa
+    import ray.data as rd
+    from covertile import vecops
+
+    rng = np.random.default_rng(11)
+    d = 16
+    cent = rng.standard_normal((4, d))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    # store vecs near centroids; new vecs = jittered copies of some
+    n_store, n_new = 60, 12
+    sv = cent[rng.integers(0, 4, n_store)] + \
+        0.05 * rng.standard_normal((n_store, d))
+    nv = sv[:n_new] + 0.01 * rng.standard_normal((n_new, d))
+
+    def tbl(ids, m):
+        off = np.arange(0, (len(ids) + 1) * d, d, dtype=np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.LargeListArray.from_arrays(
+                off, pa.array(m.astype(np.float32).reshape(-1),
+                              pa.float32())),
+        })
+
+    store = str(tmp_path / "cosstore")
+    vecops.ivf_build_store(rd.from_arrow(tbl(np.arange(n_store), sv)),
+                           cent, store)
+    new_ds = tbl(np.arange(100, 100 + n_new), nv)
+    exact = (vecops.cosine_neardup_against_store(
+        rd.from_arrow(new_ds), store, tau=0.9, probes=None)
+        .to_pandas())
+    pruned = (vecops.cosine_neardup_against_store(
+        rd.from_arrow(new_ds), store, tau=0.9, probes=1)
+        .to_pandas())
+    ep = {(a, b) for a, b in zip(exact["a_id"], exact["b_id"])}
+    pp = {(a, b) for a, b in zip(pruned["a_id"], pruned["b_id"])}
+    assert pp <= ep
+    # brute truth
+    a64 = nv / np.linalg.norm(nv.astype(np.float32).astype(np.float64),
+                              axis=1, keepdims=True)
+    s64 = sv / np.linalg.norm(sv.astype(np.float32).astype(np.float64),
+                              axis=1, keepdims=True)
+    # mirror the engine's f32-storage roundtrip before normalizing
+    a64 = nv.astype(np.float32).astype(np.float64)
+    a64 /= np.linalg.norm(a64, axis=1, keepdims=True)
+    s64 = sv.astype(np.float32).astype(np.float64)
+    s64 /= np.linalg.norm(s64, axis=1, keepdims=True)
+    sim = a64 @ s64.T
+    truth = {(100 + i, j) for i, j in zip(*np.nonzero(sim >= 0.9))}
+    assert ep == truth
+    assert len(ep) >= n_new  # every jittered copy finds its source
